@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
 
 TABLES = (
     "region",
@@ -27,8 +29,24 @@ TABLES = (
 )
 
 
+# columns written as parquet TIMESTAMP(NANOS), which Spark has no native
+# type for: read as long (legacy conf) and truncate ns → µs exactly like
+# DuckDB/Arrow do, so oracle comparisons see identical values.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        field = df.schema[col]
+        if isinstance(field.dataType, LongType):
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+        elif not isinstance(field.dataType, TimestampType):
+            raise TypeError(f"{name}.{col}: unexpected type {field.dataType}")
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
