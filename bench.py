@@ -1,0 +1,78 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its FULL plan via the noop sink (no driver collect,
+no result-size bias); timings are wall-clock per query after a shared
+warm-up that touches every input table so JVM/JIT and file-listing costs
+don't pollute the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "op_graph_flagship",
+    "op_lag_edge",
+    "op_agg_nodes",
+    "op_limit_n",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q_customers_per_region",
+    "q_events_by_type",
+    "op_agg_wordfreq",
+    "op_topk",
+    "q_semi_orders_with_items",
+    "q_anti_customers_no_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from poc_spark import contract
+    from poc_spark.session import get_spark
+    from poc_spark.sources.catalog import TABLES, load_table
+
+    spark = get_spark("poc_spark-bench")
+
+    # warm-up: list + scan every table once (count is cheap and touches
+    # footers/row-groups) so per-query timings measure the query, not
+    # first-touch costs.
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = contract.REGISTRY[name]
+        start = time.perf_counter()
+        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ from poc_spark.operators.network import (
     lag_edges,
     ordered_limit,
 )
+from poc_spark.operators.text import top_k_words, word_freq
 from poc_spark.sources.catalog import load_table
 
 
@@ -260,13 +261,7 @@ def op_norm_sender(spark, sf_dir):
 def op_agg_wordfreq(spark, sf_dir):
     """OP-AGG-WORDFREQ (vestigial /analyze endpoint,
     frontend/src/components/Formgibui.jsx:63-83)."""
-    return (
-        _t(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", r"\s+")).alias("word"))
-        .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    return word_freq(_t(spark, sf_dir, "documents"), "text")
 
 
 @register(
@@ -283,7 +278,7 @@ def op_topk(spark, sf_dir):
     """OP-TOPK: top-10 words, deterministic tie-break by word
     (frontend/src/components/Formgibui.jsx:68-69). Spark plans
     TakeOrderedAndProject — true top-k, no full sort."""
-    return op_agg_wordfreq(spark, sf_dir).orderBy(F.desc("freq"), "word").limit(10)
+    return top_k_words(op_agg_wordfreq(spark, sf_dir), 10)
 
 
 # ---------------------------------------------------------------------------

@@ -23,3 +23,18 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture()
+def tmp_path_repo(tmp_path_factory):
+    """Scratch dir kept inside the repo (.tmp is gitignored; nothing may
+    be written outside /root/repo)."""
+    import pathlib
+    import shutil
+    import uuid
+
+    base = pathlib.Path(__file__).resolve().parent.parent / ".tmp" / "pytest"
+    d = base / uuid.uuid4().hex[:12]
+    d.mkdir(parents=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
