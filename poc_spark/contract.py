@@ -24,12 +24,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from poc_spark.functions.chat_parse import normalize_sender
+from poc_spark.operators.dedup import (
+    embedding_near_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from poc_spark.operators.multimodal import decode_media, payload_stats
 from poc_spark.operators.network import (
     induced_subgraph,
     lag_edges,
     ordered_limit,
 )
+from poc_spark.operators.similarity import (
+    ann_hyperplane,
+    knn_brute,
+    random_hyperplanes,
+)
 from poc_spark.operators.text import top_k_words, word_freq
+from poc_spark.operators.textstats import (
+    LANG_ORDER,
+    LANG_STOPWORDS,
+    doc_stats,
+    fingerprints,
+    lang_id,
+    token_count,
+    winnowing_fingerprints,
+)
 from poc_spark.sources.catalog import load_table
 
 
@@ -521,6 +543,256 @@ def q_anti_customers_no_orders(spark, sf_dir):
     return cust.join(
         recent, cust.c_custkey == recent.o_custkey, "left_anti"
     ).select("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: dedup / similarity / text analysis / multimodal
+# (SURVEY §2.8; operators live in poc_spark/operators/{dedup,similarity,
+# textstats,multimodal}.py). SQL-expressible ones get oracles; the
+# hash-function-dependent ones (minhash/simhash/LSH — xxhash64 has no
+# DuckDB twin) are rows-only checks with pytest ground-truth tests.
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS_SQL = (
+    "list_sort(list_distinct(list_filter("
+    "string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)))"
+)
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT sha256({_NORM_SQL}) AS text_sha,
+           min(doc_id) AS keep_id,
+           count(*)    AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized text (north-star)."""
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.t, b.t))::DOUBLE
+                 / len(list_distinct(a.t || b.t)), 6) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.t, b.t))::DOUBLE
+                / len(list_distinct(a.t || b.t)), 6) >= 0.95
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard pairs ≥ 0.95 (all-pairs verification form;
+    the LSH form below is the scale path). Jaccard is int/int — division
+    is bit-identical across engines."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.95
+    )
+
+
+@register("dedup_minhash_lsh", None)  # xxhash64-based: no DuckDB twin
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-verified (rows-only check;
+    pytest holds the ground-truth comparison)."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.7, num_hashes=64, bands=16
+    )
+
+
+@register("dedup_simhash", None)  # xxhash64-based: no DuckDB twin
+def dedup_simhash(spark, sf_dir):
+    """SimHash hamming ≤ 3 pairs via pigeonhole chunk banding (complete,
+    not probabilistic; rows-only check)."""
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, chunks=4)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.4 (threshold chosen to be
+    non-empty on the synthetic embeddings; real dedup uses ~0.95)."""
+    return embedding_near_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "sim_knn_brute",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id AS id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos
+    FROM embeddings, q
+    ORDER BY cos DESC, id LIMIT 10
+    """,
+)
+def sim_knn_brute(spark, sf_dir):
+    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return knn_brute(emb, qv, k=10)
+
+
+@register("sim_ann_lsh", None)  # LSH bucket pruning: no DuckDB twin
+def sim_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN for the vec_id=0 query (rows-only; recall vs
+    brute force is pinned in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    planes = random_hyperplanes(len(qv), n_planes=6, seed=42)
+    return ann_hyperplane(emb, qv, k=10, planes=planes, probe_bits=2)
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> len(x) > 0))::BIGINT AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+@register(
+    "text_doc_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS dt,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> len(x) > 0) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        length(text)::BIGINT AS n_chars,
+        len(toks)::BIGINT    AS n_tokens,
+        (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+          ::DOUBLE / greatest(length(text), 1) AS punct_ratio,
+        len(list_intersect(dt, ['the','and','of','to','a','in','is','it']))
+          ::DOUBLE / greatest(len(toks), 1) AS stop_ratio,
+        length(array_to_string(toks, ''))::DOUBLE
+          / greatest(len(toks), 1) AS atl
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(atl, 6)         AS avg_token_len,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6)  AS stopword_ratio,
+           ((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN stop_ratio > 0 THEN 1.0 ELSE 0.0 END)) / 3.0
+             AS quality_score
+    FROM s
+    """,
+)
+def text_doc_stats(spark, sf_dir):
+    """Quality features per document (C4/Gopher-style cheap signals)."""
+    return doc_stats(_t(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    hits = ",\n        ".join(
+        "len(list_intersect(dt, [{}]))::BIGINT AS h_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]), lang
+        )
+        for lang in LANG_ORDER
+    )
+    best_lang, best_hits = f"'{LANG_ORDER[0]}'", f"h_{LANG_ORDER[0]}"
+    for lang in LANG_ORDER[1:]:
+        best_lang = (
+            f"CASE WHEN h_{lang} > ({best_hits}) THEN '{lang}' "
+            f"ELSE ({best_lang}) END"
+        )
+        best_hits = (
+            f"CASE WHEN h_{lang} > ({best_hits}) THEN h_{lang} "
+            f"ELSE ({best_hits}) END"
+        )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS dt FROM documents),
+    h AS (SELECT doc_id,
+        {hits}
+      FROM t)
+    SELECT doc_id, {best_lang} AS pred_lang, ({best_hits})::BIGINT AS hits
+    FROM h
+    """
+
+
+@register("text_langid", None)  # sql attached below after definition
+def text_langid(spark, sf_dir):
+    """Stopword-hit language ID with deterministic alphabetical
+    tie-break — same literal lists embedded in the SQL oracle."""
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+REGISTRY["text_langid"] = QuerySpec(text_langid, _langid_sql())
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    """Canonical md5 content fingerprint of normalized text."""
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register("text_winnowing", None)  # xxhash64-based: no DuckDB twin
+def text_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (rows-only; overlap-detection pinned in
+    pytest). Output exploded so the rows-only count is meaningful."""
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+
+
+@register(
+    "mm_payload_stats",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def mm_payload_stats(spark, sf_dir):
+    """Multimodal binary plumbing: treat utf-8 text bytes as an opaque
+    payload column; byte length + checksum at scan speed, no decode."""
+    media = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payload_stats(media).select("doc_id", "n_bytes", "sha256")
+
+
+@register("mm_decode_stub", None)  # mapInPandas stub: no SQL form
+def mm_decode_stub(spark, sf_dir):
+    """Arrow-batched decode plumbing over synthetic media built from the
+    documents table (deterministic fake decode — codecs are stubbed)."""
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "video")
+        .otherwise("audio")
+        .alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+    return decode_media(media, fake=True)
 
 
 # ---------------------------------------------------------------------------

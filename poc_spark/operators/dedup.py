@@ -1,0 +1,376 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference has no dedup (its corpus is one chat file); these are the
+north-star extensions (BASELINE.json) designed Spark-first for 100 TB:
+
+  exact_duplicates       hash-groupBy on normalized text — one shuffle on
+                         a 64-hex key, partial agg map-side.
+  ngram_jaccard_pairs    exact token-set Jaccard over candidate pairs.
+                         The all-pairs form is quadratic — only for
+                         corpus slices / verification; the LSH form below
+                         is the scale path.
+  minhash_lsh_pairs      MinHash + banded LSH: shingle → k minhashes →
+                         b bands → bucket join on band key → verify exact
+                         Jaccard on candidates. Shuffle cost O(docs × b),
+                         never O(docs²). Probabilistic recall (standard
+                         (1/b)^(1/r) S-curve); precision 1.0 because
+                         candidates are verified.
+  simhash_signatures     64-bit SimHash per doc (token-hash bit voting).
+  simhash_near_pairs     Hamming-distance near-dups via pigeonhole chunk
+                         banding: split the 64-bit signature into
+                         `chunks` pieces; any pair within distance d <
+                         chunks shares ≥1 exact chunk, so the bucket join
+                         has 100% recall — exact, not probabilistic, and
+                         still O(docs × chunks) shuffle.
+  embedding_near_pairs   cosine ≥ threshold near-dups over an embedding
+                         column (all-pairs verify; IVF/LSH bucketing for
+                         scale lives in operators/similarity.py).
+
+All pure built-in expressions (xxhash64 / array ops / bit ops) — no
+Python UDFs; everything stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(text: Column) -> Column:
+    """Whitespace-collapse + trim + casefold — the canonical form used
+    for exact duplicate detection."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (after normalization) documents:
+    (text_sha, keep_id, n_copies). keep_id = min id — the deterministic
+    survivor; at 100 TB the shuffle key is the 64-hex sha, uniformly
+    distributed, no skew."""
+    return (
+        df.select(
+            F.sha2(normalized_text(F.col(text_col)), 256).alias("text_sha"),
+            F.col(id_col),
+        )
+        .groupBy("text_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# token / shingle helpers
+# ---------------------------------------------------------------------------
+
+
+def token_set(text: Column) -> Column:
+    """Distinct non-empty whitespace tokens, sorted (set semantics)."""
+    toks = F.array_distinct(
+        F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    )
+    return F.array_sort(toks)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text."""
+    toks = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return (inter / union).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, all-pairs — verification / small-slice tool)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs (id_a < id_b, jaccard) with token-set Jaccard ≥
+    threshold. Quadratic — the exactness oracle for the LSH variants,
+    not the scale path."""
+    toks = df.select(
+        F.col(id_col).alias("id"), token_set(F.col(text_col)).alias("toks")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(_jaccard(F.col("a.toks"), F.col("b.toks")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH (the scale path for near-dup)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — sig[i] = min over shingles of
+    xxhash64(i || shingle). Seeded by prefixing the hash input, so the
+    signature is deterministic across runs/partitions."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(
+                F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold on word
+    shingles), found via banded LSH and verified exactly.
+
+    rows-per-band r = num_hashes / bands; candidate probability for true
+    similarity s is 1-(1-s^r)^b. Defaults (r=4, b=32) catch s=0.8 with
+    P≈0.999. Shuffle: docs×bands band-key rows + the candidate verify
+    join — never all-pairs.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
+    band_rows = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col("sig")[b * r + j] for j in range(r)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    a = band_rows.alias("a")
+    b_ = band_rows.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    shing = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    return (
+        candidates.join(
+            shing.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            shing.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash: each distinct token votes
+    ±1 on every bit of xxhash64(token); bit set iff the vote is
+    positive."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_set(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = None
+    for i in range(64):
+        term = F.when(
+            F.col(f"v{i}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs (id_a < id_b, hamming ≤ max_hamming) on SimHash, via
+    pigeonhole chunk banding: with `chunks` 16-bit pieces, any pair
+    within hamming distance < chunks shares at least one exact piece —
+    recall is 100% (requires max_hamming < chunks), and the join is a
+    bucket join, not all-pairs."""
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole completeness needs max_hamming < chunks")
+    width = 64 // chunks
+    sigs = simhash_signatures(df, text_col, id_col)
+    mask = (1 << width) - 1
+    pieces = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("piece"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cp"),
+    ).select("id", "simhash", "cp.chunk", "cp.piece")
+
+    a = pieces.alias("a")
+    b = pieces.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in
+    double precision (elements are cast before multiply)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pairs (id_a < id_b, cosine ≥ threshold). All-pairs verify — the
+    small-slice / verification tool; the bucketed scale path is
+    operators/similarity.py (random-hyperplane LSH)."""
+    with_norm = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = with_norm.alias("a")
+    b = with_norm.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,222 @@
+"""Similarity search over an embedding column (array<float>).
+
+North-star extension (BASELINE.json): approximate-nearest-neighbor at
+100 TB. Three tiers, all pure DataFrame ops (dot products via
+zip_with/aggregate in double precision — JVM-side, no UDFs):
+
+  knn_brute          exact top-k by cosine for one query vector. O(N);
+                     the correctness baseline and the per-bucket kernel.
+  hyperplane buckets random-hyperplane LSH (SimHash for vectors):
+                     bucket = sign-bit pattern of dot(v, plane_j).
+                     Query probes its own bucket plus all buckets within
+                     `probe_bits` bit flips; candidates get exact cosine.
+                     Recall tunable via planes/probes; at scale the scan
+                     prunes to matching buckets (partition by bucket).
+  IVF                inverted-file index: assign every vector to its
+                     nearest centroid (broadcast centroids); a query
+                     scans only the nearest `n_probe` centroid lists.
+                     Centroid quality is pluggable (k-means via
+                     pyspark.ml if desired); the deterministic default
+                     takes the first n_centroids vectors by id, which is
+                     structurally identical and reproducible.
+
+Planes/centroids are tiny and broadcast; the big side never shuffles
+for the query path — bucket/list pruning is a partition-pruning story
+at scale (write the index partitioned by bucket/centroid).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from poc_spark.operators.dedup import _dot, _norm
+
+
+def _as_double_array(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _unit(vec_col: Column) -> tuple[Column, Column]:
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    return v, _norm(v)
+
+
+def knn_brute(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k (id, cos) by cosine similarity to `query_vec`,
+    deterministic tie-break by id. Plans as TakeOrderedAndProject —
+    a full scan but no full sort, and the scan parallelizes per
+    partition with partial top-k."""
+    q = _as_double_array(query_vec)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    v, nrm = _unit(F.col(vec_col))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.round(_dot(v, q) / (nrm * F.lit(qn)), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "id")
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (no numpy dependency needed —
+    random.gauss under a fixed seed)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit j = sign(dot(v, plane_j))."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        bit = F.when(_dot(v, _as_double_array(plane)) > 0, 1).otherwise(0)
+        bucket = bucket.bitwiseOR(F.shiftleft(bit.cast("long"), j))
+    return bucket
+
+
+def add_hyperplane_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the bucket column. At scale, write the result
+    partitioned by `bucket` so queries prune partitions."""
+    return df.withColumn("bucket", hyperplane_bucket(F.col(vec_col), planes))
+
+
+def _query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
+    b = 0
+    for j, plane in enumerate(planes):
+        dot = sum(float(x) * float(p) for x, p in zip(query_vec, plane))
+        if dot > 0:
+            b |= 1 << j
+    return b
+
+
+def _probe_buckets(center: int, n_planes: int, probe_bits: int) -> list[int]:
+    """Center bucket plus all buckets within `probe_bits` bit flips."""
+    out = {center}
+    frontier = {center}
+    for _ in range(probe_bits):
+        frontier = {b ^ (1 << j) for b in frontier for j in range(n_planes)}
+        out |= frontier
+    return sorted(out)
+
+
+def ann_hyperplane(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    planes: list[list[float]] | None = None,
+    n_planes: int = 8,
+    probe_bits: int = 1,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: prune to LSH probe buckets, exact cosine within.
+    probe_bits=n_planes degenerates to brute force (recall 1.0)."""
+    if planes is None:
+        planes = random_hyperplanes(len(query_vec), n_planes, seed)
+    bucketed = add_hyperplane_buckets(df, planes, vec_col)
+    probes = _probe_buckets(_query_bucket(query_vec, planes), len(planes), probe_bits)
+    candidates = bucketed.filter(F.col("bucket").isin(probes))
+    return knn_brute(candidates, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid pick: first n vectors by id. Swap in
+    pyspark.ml KMeans for quality; the index/query structure is
+    unchanged."""
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
+
+
+def _nearest_centroid(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """argmax over centroids of cosine(v, c) — unrolled as nested
+    greatest/when over the (small, broadcast-literal) centroid list."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    nrm = _norm(v)
+    sims = [
+        (
+            cid,
+            _dot(v, _as_double_array(c))
+            / (nrm * F.lit(math.sqrt(sum(x * x for x in c)))),
+        )
+        for cid, c in centroids
+    ]
+    best = None
+    best_sim = None
+    for cid, sim in sims:
+        if best is None:
+            best, best_sim = F.lit(cid), sim
+        else:
+            cond = sim > best_sim
+            best = F.when(cond, F.lit(cid)).otherwise(best)
+            best_sim = F.when(cond, sim).otherwise(best_sim)
+    return best
+
+
+def ivf_index(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid list. At scale, write
+    partitioned by `centroid` → queries prune partitions."""
+    return df.withColumn("centroid", _nearest_centroid(F.col(vec_col), centroids))
+
+
+def ivf_query(
+    index_df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scan only the n_probe nearest centroid lists, exact cosine within."""
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    scored = sorted(
+        (
+            (
+                cid,
+                sum(a * b for a, b in zip(query_vec, c))
+                / (qn * math.sqrt(sum(x * x for x in c)) or 1.0),
+            )
+            for cid, c in centroids
+        ),
+        key=lambda t: -t[1],
+    )
+    probe = [cid for cid, _ in scored[:n_probe]]
+    return knn_brute(
+        index_df.filter(F.col("centroid").isin(probe)), query_vec, k, vec_col, id_col
+    )

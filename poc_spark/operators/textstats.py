@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension): token counting, quality scoring, language ID, document
+fingerprinting. All built-in expressions — ratios are single int/int
+divisions in double (bit-identical across engines, safe to oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Deliberately small and literal so the same lists embed in the SQL
+# oracle; real pipelines would swap in fastText — the Spark plumbing
+# (broadcast map + argmax) is what matters at scale.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une"),
+    "es": ("el", "la", "de", "que", "los", "es", "un", "una"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+LANG_ORDER = tuple(sorted(LANG_STOPWORDS))  # deterministic tie-break
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(_tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish count: split on whitespace AND punctuation AND
+    letter/digit boundaries — a cheap, deterministic proxy for BPE token
+    counts (regex only, no model)."""
+    pieces = F.filter(
+        F.split(
+            F.regexp_replace(
+                F.regexp_replace(text, r"([^\s\w])", r" $1 "),
+                r"(?<=[a-zA-Z])(?=\d)|(?<=\d)(?=[a-zA-Z])",
+                " ",
+            ),
+            r"\s+",
+        ),
+        lambda t: F.length(t) > 0,
+    )
+    return F.size(pieces).cast("long")
+
+
+def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features:
+    (id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+    quality_score). quality_score is the mean of three [0,1] signals —
+    length in range, low punctuation, healthy stopword share — the
+    standard cheap pre-filter shape (cf. C4/Gopher rules)."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_chars = F.length(text).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    en_stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), en_stops)).cast("long")
+    punct_ratio = (n_punct / F.greatest(n_chars, F.lit(1))).cast("double")
+    stop_ratio = (n_stop / F.greatest(n_tokens, F.lit(1))).cast("double")
+    len_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(stop_ratio > 0, 1.0).otherwise(0.0)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            (F.length(F.concat_ws("", toks)) / F.greatest(n_tokens, F.lit(1))), 6
+        ).cast("double").alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        ((len_ok + punct_ok + stop_ok) / 3.0).cast("double").alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, pred_lang, hits) — stopword-hit language ID: count distinct
+    stopword matches per language, argmax with deterministic alphabetical
+    tie-break. The broadcast-literal stopword arrays keep this a single
+    narrow projection (no join, no shuffle)."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    hit_cols = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]]))
+        )
+        for lang in LANG_ORDER
+    }
+    best_lang = F.lit(LANG_ORDER[0])
+    best_hits = hit_cols[LANG_ORDER[0]]
+    for lang in LANG_ORDER[1:]:
+        cond = hit_cols[lang] > best_hits  # strict > keeps earlier lang on tie
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hit_cols[lang]).otherwise(best_hits)
+    return df.select(
+        F.col(id_col),
+        best_lang.alias("pred_lang"),
+        best_hits.cast("long").alias("hits"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fp) — md5 of the whitespace-normalized, casefolded text: the
+    canonical content fingerprint (identical in any engine with md5)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fps: array<long>) — winnowing (Schleimer et al., SIGMOD'03):
+    hash every k-gram of tokens, keep the min hash of each sliding
+    window, dedupe. Robust partial-overlap fingerprints; pure array
+    expressions, no UDF."""
+    toks = _tokens(F.col(text_col))
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    gram_idx = F.sequence(F.lit(0), F.greatest(n_grams - 1, F.lit(0)))
+    hashes = F.when(n_grams > 0, F.transform(
+        gram_idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )).otherwise(F.array().cast("array<bigint>"))
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
+    win_idx = F.sequence(F.lit(0), F.greatest(n_windows - 1, F.lit(0)))
+    mins = F.when(n_windows > 0, F.transform(
+        win_idx, lambda i: F.array_min(F.slice(hashes, i + 1, window))
+    )).otherwise(hashes)
+    return df.select(F.col(id_col), F.array_sort(F.array_distinct(mins)).alias("fps"))

@@ -1,0 +1,109 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine — planted duplicates with known ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from poc_spark.operators.dedup import (
+    embedding_near_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun near the old barn door waiting for dinner time"
+)
+DOCS = [
+    (0, BASE),
+    (1, BASE),                                    # exact dup of 0
+    (2, "  THE quick   brown fox jumps over the lazy dog while the cat sleeps "
+        "in the warm sun near the old barn door waiting for dinner time "),  # normalized dup
+    (3, BASE.replace("dinner", "supper")),        # near dup (1 token changed)
+    (4, "completely different text about spark dataframes and shuffles "
+        "partitions executors and catalyst optimizer plans running fast"),
+    (5, "yet another unrelated document mentioning parquet files arrow "
+        "batches columnar storage compression encodings and page indexes"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = exact_duplicates(docs).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
+    assert by_keep[0] == 3          # 0, 1, 2 normalize to the same text
+    assert by_keep[3] == 1
+    assert len(groups) == 4
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and 0.8 < pairs[(0, 3)] < 1.0
+    assert (4, 5) not in pairs
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16).collect()}
+    # 0-1 identical shingle sets; 0-2 differs only by case of one token
+    # (shingling is case-sensitive by design — exact_duplicates casefolds)
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] >= 0.9
+    # near dup 0-3: shingle jaccard high, verified value strictly < 1
+    assert (0, 3) in pairs and 0.5 < pairs[(0, 3)] < 1.0
+    # precision is exact: nothing with true jaccard < threshold leaks
+    assert all(j >= 0.5 for j in pairs.values())
+    assert (4, 5) not in pairs
+
+
+def test_simhash_near_pairs_complete_vs_bruteforce(spark, docs):
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_pairs(docs, max_hamming=3, chunks=4).collect()}
+    sigs = {r["id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    ids = sorted(sigs)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+            if d <= 3:
+                brute[(a, b)] = d
+    assert got == brute            # pigeonhole banding is complete
+    assert got[(0, 1)] == 0        # identical token sets
+    assert got[(0, 2)] <= 3        # one token differs by case only
+
+
+def test_simhash_rejects_bad_params(spark, docs):
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=4, chunks=4)
+
+
+def test_embedding_near_pairs(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+        (3, [-1.0, 0.0, 0.0]),     # opposite
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in embedding_near_pairs(df, threshold=0.95).collect()}
+    assert list(pairs) == [(0, 1)]
+    assert pairs[(0, 1)] > 0.999
+
+
+def test_minhash_lsh_on_documents_table(spark, sf_dir):
+    """Scale-shape smoke on the real table: runs, verified-precision."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, threshold=0.7, num_hashes=64, bands=16)
+    rows = pairs.limit(20).collect()
+    assert all(r["jaccard"] >= 0.7 and r["id_a"] < r["id_b"] for r in rows)

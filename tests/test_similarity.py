@@ -1,0 +1,76 @@
+"""Similarity-search tests: brute-force exactness, LSH/IVF recall
+against brute force on the real embeddings table."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from poc_spark.operators.similarity import (
+    ann_hyperplane,
+    ivf_centroids,
+    ivf_index,
+    ivf_query,
+    knn_brute,
+    random_hyperplanes,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    row = emb.filter("vec_id = 0").collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def test_knn_brute_exact(spark, emb, query_vec):
+    got = knn_brute(emb, query_vec, k=10).collect()
+    assert got[0]["id"] == 0 and got[0]["cos"] == pytest.approx(1.0, abs=1e-6)
+    # python-side oracle over the collected table
+    rows = emb.collect()
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    sims = []
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        dot = sum(a * b for a, b in zip(v, query_vec))
+        nv = math.sqrt(sum(x * x for x in v))
+        sims.append((round(dot / (nv * qn), 6), r["vec_id"]))
+    expected = sorted(sims, key=lambda t: (-t[0], t[1]))[:10]
+    assert [(r["cos"], r["id"]) for r in got] == expected
+
+
+def test_ann_hyperplane_recall(spark, emb, query_vec):
+    exact = {r["id"] for r in knn_brute(emb, query_vec, k=10).collect()}
+    planes = random_hyperplanes(len(query_vec), n_planes=6, seed=42)
+    approx = {r["id"] for r in
+              ann_hyperplane(emb, query_vec, k=10, planes=planes, probe_bits=2).collect()}
+    # multiprobe with 2 flips over 6 planes covers 22/64 buckets; on 500
+    # unit vectors recall should be substantial and the query vector itself
+    # is always in its own bucket
+    assert 0 in approx
+    assert len(exact & approx) >= 5
+
+
+def test_ann_full_probe_equals_brute(spark, emb, query_vec):
+    planes = random_hyperplanes(len(query_vec), n_planes=4, seed=7)
+    exact = [(r["cos"], r["id"]) for r in knn_brute(emb, query_vec, k=5).collect()]
+    full = [(r["cos"], r["id"]) for r in
+            ann_hyperplane(emb, query_vec, k=5, planes=planes, probe_bits=4).collect()]
+    assert full == exact  # probing every bucket degenerates to brute force
+
+
+def test_ivf_query_recall(spark, emb, query_vec):
+    cents = ivf_centroids(emb, n_centroids=8)
+    idx = ivf_index(emb, cents).cache()
+    exact = {r["id"] for r in knn_brute(emb, query_vec, k=10).collect()}
+    # probing all lists == brute force
+    all_probe = {r["id"] for r in ivf_query(idx, query_vec, cents, k=10, n_probe=8).collect()}
+    assert all_probe == exact
+    # partial probe still finds the query itself and most neighbors
+    part = {r["id"] for r in ivf_query(idx, query_vec, cents, k=10, n_probe=4).collect()}
+    assert 0 in part and len(exact & part) >= 4

@@ -1,0 +1,97 @@
+"""Text-analysis operator tests: token counts, quality stats, language
+ID, fingerprints, winnowing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from poc_spark.operators.textstats import (
+    bpe_ish_token_count,
+    doc_stats,
+    fingerprints,
+    lang_id,
+    token_count,
+    winnowing_fingerprints,
+)
+
+DOCS = [
+    (0, "the quick brown fox is in the barn and it is warm"),
+    (1, "der hund ist nicht mit der katze und das ist gut"),
+    (2, "le chat et le chien est dans les maisons des gens"),
+    (3, "el perro es un animal que vive en los campos de la tierra"),
+    (4, "的 是 了 在 我 有 和 不"),
+    (5, "x"),                       # degenerate: 1 token, no stopwords
+    (6, "Hello, world! It's 2024: costs $3.50 (roughly)."),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert got[0] == 12 and got[5] == 1
+
+
+def test_bpe_ish_token_count_splits_punct_and_digits(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n")).collect()}
+    # "Hello, world! It's 2024: costs $3.50 (roughly)." ->
+    # Hello , world ! It ' s 2024 : costs $ 3 . 50 ( roughly ) . = 18
+    assert got[6] == 18
+    assert got[5] == 1
+
+
+def test_doc_stats(spark, docs):
+    row = {r["doc_id"]: r for r in doc_stats(docs).collect()}
+    assert row[0]["n_tokens"] == 12
+    assert row[0]["stopword_ratio"] > 0.2          # the/is/in/it/and present
+    assert row[5]["quality_score"] < row[0]["quality_score"]
+    assert row[6]["punct_ratio"] > 0.1
+    for r in row.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr"
+    assert got[3] == "es" and got[4] == "zh"
+    assert got[5] == "de"  # zero hits everywhere -> alphabetical first
+
+
+def test_fingerprints_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, " hello world "), (2, "other")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in fingerprints(df).collect()}
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_winnowing_overlap_detection(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (0, f"intro words here {shared} closing remarks"),
+            (1, f"totally different opening {shared} and another ending"),
+            (2, "no overlap at all with anything else whatsoever in here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in winnowing_fingerprints(df).collect()}
+    assert fps[0] & fps[1]                  # shared passage -> shared fingerprints
+    assert not (fps[0] & fps[2])
+    assert all(len(v) > 0 for v in fps.values())
+
+
+def test_on_documents_table(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = doc_stats(docs)
+    assert stats.count() == docs.count()
+    n_chars = {r["doc_id"]: r["n_chars"] for r in stats.collect()}
+    truth = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    assert n_chars == truth  # driver's n_chars column is length(text)
