@@ -19,18 +19,28 @@ import sys
 import time
 
 HEADLINE = [
+    # reference-parity network analysis
     "op_graph_flagship",
     "op_lag_edge",
     "op_agg_nodes",
     "op_limit_n",
+    # TPC-H-shape engine capability
     "q1_pricing_summary",
     "q3_top_revenue",
     "q_customers_per_region",
     "q_events_by_type",
-    "op_agg_wordfreq",
-    "op_topk",
     "q_semi_orders_with_items",
     "q_anti_customers_no_orders",
+    "q_user_sessions",
+    # text / dedup / similarity / multimodal extensions
+    "op_agg_wordfreq",
+    "op_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_knn_brute",
+    "text_doc_stats",
+    "text_langid",
+    "mm_payload_stats",
 ]
 
 

@@ -545,6 +545,47 @@ def q_anti_customers_no_orders(spark, sf_dir):
     ).select("c_custkey")
 
 
+@register(
+    "q_user_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800 * 1000000 OR LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q_user_sessions(spark, sf_dir):
+    """Sessionization (gaps-and-islands, 30-min inactivity gap) — the
+    batch twin of streaming/ingest.py's session windows, expressed with
+    window functions so DuckDB can oracle it. Per-user windows: the
+    shuffle is by user_id, parallel, never global."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: dedup / similarity / text analysis / multimodal
 # (SURVEY §2.8; operators live in poc_spark/operators/{dedup,similarity,

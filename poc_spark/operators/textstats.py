@@ -124,12 +124,14 @@ def winnowing_fingerprints(
     hash every k-gram of tokens, keep the min hash of each sliding
     window, dedupe. Robust partial-overlap fingerprints; pure array
     expressions, no UDF."""
+    from poc_spark.operators.dedup import word_grams
+
     toks = _tokens(F.col(text_col))
     n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    gram_idx = F.sequence(F.lit(0), F.greatest(n_grams - 1, F.lit(0)))
-    hashes = F.when(n_grams > 0, F.transform(
-        gram_idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    )).otherwise(F.array().cast("array<bigint>"))
+    hashes = F.when(
+        n_grams > 0,
+        F.transform(word_grams(F.lower(F.col(text_col)), k), lambda g: F.xxhash64(g)),
+    ).otherwise(F.array().cast("array<bigint>"))
     n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
     win_idx = F.sequence(F.lit(0), F.greatest(n_windows - 1, F.lit(0)))
     mins = F.when(n_windows > 0, F.transform(

@@ -1,0 +1,122 @@
+"""Structured Streaming ingestion of chat exports (SURVEY §7.1 M4:
+new capability, not reference parity — the reference processes uploads
+eagerly; the data is naturally a timestamped event stream).
+
+Pipeline: file source (readStream.text over a landing directory — the
+same `./uploads/` landing zone the reference writes, backend/main.py:22)
+→ the SAME parse expressions as the batch path (poc_spark/functions/
+chat_parse.py — one set of semantics, two execution modes) → watermark →
+session-window burst aggregation / parquet sink.
+
+Ordering note: streaming has no file line_id; event time (`ts`) is the
+order. Lag-style edge construction is NOT a streaming aggregate — for
+continuous graphs use foreachBatch over micro-batches (each batch runs
+the batch lag_edges and merges counts), which `edges_foreach_batch`
+wires up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from poc_spark.functions.chat_parse import (
+    _after_first_bracket,
+    _before_first_bracket,
+    extract_message_text,
+    is_media_omitted,
+    is_message_format,
+    normalize_sender,
+)
+
+
+def stream_chat_lines(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Streaming raw_chat(value, file_path) from a landing directory.
+    maxFilesPerTrigger bounds per-batch work at scale."""
+    return (
+        spark.readStream.option("maxFilesPerTrigger", 64)
+        .text(landing_dir)
+        .select(F.col("value"), F.input_file_name().alias("file_path"))
+    )
+
+
+def parse_chat_stream(raw: DataFrame) -> DataFrame:
+    """Streaming twin of parse_chat_lines: same filters/normalization,
+    full timestamp extracted for event time (d.M.yyyy, HH:mm:ss)."""
+    line = F.col("value")
+    stamp = F.regexp_replace(_before_first_bracket(line), r"^[\[\]]+|[\[\]]+$", "")
+    return (
+        raw.filter(~is_media_omitted(line))
+        .filter(is_message_format(line))
+        .withColumn("ts", F.try_to_timestamp(stamp, F.lit("d.M.yyyy, HH:mm:ss")))
+        .filter(F.col("ts").isNotNull())
+        .withColumn(
+            "sender", normalize_sender(F.substring_index(_after_first_bracket(line), ":", 1))
+        )
+        .filter(F.length("sender") > 0)
+        .withColumn("message", extract_message_text(line))
+        .select("file_path", "ts", "sender", "message")
+    )
+
+
+def conversation_bursts(
+    parsed: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session-window burst detection per chat file: a burst is a run of
+    messages with < `gap` silence between them. Watermark bounds state;
+    late lines beyond it are dropped (documented streaming semantics)."""
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("file_path"))
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.approx_count_distinct("sender").alias("n_senders"),
+        )
+        .select(
+            "file_path",
+            F.col("w.start").alias("burst_start"),
+            F.col("w.end").alias("burst_end"),
+            "n_messages",
+            "n_senders",
+        )
+    )
+
+
+def stream_messages_to_parquet(
+    parsed: DataFrame, path: str, checkpoint: str
+):
+    """Continuous ETL sink (EP-2's table, streaming): exactly-once parquet
+    append via checkpointed file sink. Returns the StreamingQuery."""
+    return (
+        parsed.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def edges_foreach_batch(
+    parsed: DataFrame, out_path: str, checkpoint: str
+):
+    """Continuous interaction-graph maintenance: each micro-batch runs
+    the *batch* lag-edge operator (per file, ordered by ts) and appends
+    its edge deltas; readers aggregate SUM(weight) per (source, target).
+    This is the streaming twin of EP-1 — window-function lag isn't a
+    streaming op, so micro-batch + merge is the idiomatic shape."""
+    from poc_spark.operators.network import lag_edges
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        edges = lag_edges(
+            batch_df, "sender", ("ts",), partition_cols=("file_path",)
+        )
+        edges.write.mode("append").parquet(out_path)
+
+    return (
+        parsed.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
