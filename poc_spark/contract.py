@@ -546,6 +546,211 @@ def q_anti_customers_no_orders(spark, sf_dir):
 
 
 @register(
+    "op_fn_sqrt",
+    """
+    WITH chain AS (
+      SELECT user_id AS cur,
+             LAG(user_id) OVER (ORDER BY ts, event_id) AS prev
+      FROM events
+    ), edges AS (
+      SELECT LEAST(prev, cur) AS source, GREATEST(prev, cur) AS target,
+             count(*) AS weight
+      FROM chain WHERE prev IS NOT NULL AND prev <> cur GROUP BY 1, 2
+    )
+    SELECT source, target,
+           round(sqrt(coalesce(weight, 1)), 6) AS width
+    FROM edges
+    """,
+)
+def op_fn_sqrt(spark, sf_dir):
+    """OP-FN-SQRT: link-width scaling sqrt(weight || 1)
+    (frontend/src/pages/Form.jsx:289,297)."""
+    edges = lag_edges(_t(spark, sf_dir, "events"), "user_id", EVENT_ORDER)
+    return edges.select(
+        "source",
+        "target",
+        F.round(F.sqrt(F.coalesce(F.col("weight"), F.lit(1))), 6).alias("width"),
+    )
+
+
+@register(
+    "op_fil_substr",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE position('12' IN lower(c_name)) > 0
+    """,
+)
+def op_fil_substr(spark, sf_dir):
+    """OP-FIL-SUBSTR / OP-FN-LOWER: case-insensitive substring search
+    (frontend/src/pages/Form.jsx:159-163)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.lower(F.col("c_name")).contains("12"))
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "q6_selective_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2001-06-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_selective_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: highly selective conjunctive filter, all four
+    predicates pushed into the parquet scan, single global aggregate."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("2000-06-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("2001-06-01 00:00:00")))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec4("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q5_revenue_by_region",
+    """
+    SELECT r_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q5_revenue_by_region(spark, sf_dir):
+    """TPC-H Q5 shape: fact → 3 broadcast dims → grouped revenue. The
+    fact table never shuffles before the final aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (_one() - _dec4("l_discount"))
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_rollup_lineitem",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_lineitem(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate (grouping-sets capability, SURVEY
+    §2.8 'none in reference' — engine feature). Subtotal NULLs coalesced
+    to 'ALL' so both engines hash identically."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q_asof_last_click",
+    """
+    SELECT e.event_id, e.user_id,
+           c.event_id AS click_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q_asof_last_click(spark, sf_dir):
+    """As-of join (the classic operator Spark lacks natively): for every
+    error event, the most recent click by the same user at-or-before it.
+    Spark mapping: union-tag + last(ignorenulls) carry-forward window
+    per user — one shuffle by user_id, no range join, no UDF. DuckDB
+    oracles it with a native ASOF JOIN."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "click")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("click_event_id", carried)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "click_event_id")
+    )
+
+
+@register(
+    "q_union_except",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-25 00:00:00'
+    """,
+)
+def q_union_except(spark, sf_dir):
+    """Set operation capability (EXCEPT DISTINCT): purchasers with no
+    error in the last week of the month (time-restricted so the result
+    is non-empty on the synthetic data — every user has every type)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(
+        (F.col("event_type") == "error")
+        & (F.col("ts") >= F.to_timestamp(F.lit("2024-01-25 00:00:00")))
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .subtract(errors.select("user_id"))
+    )
+
+
+@register(
     "q_user_sessions",
     """
     WITH flagged AS (

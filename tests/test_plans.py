@@ -1,0 +1,66 @@
+"""Physical-plan regression guards: the scale properties (pushdown,
+pruning, broadcast, top-k) must survive refactors — a correct but
+full-scanning plan is a silent 100x regression at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from poc_spark import contract
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = contract.REGISTRY[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan          # filter reached the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    # two-phase aggregation: map-side partial combine before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_selective_revenue")
+    scan = plan.split("PushedFilters:")[1].splitlines()[0]
+    for token in ("l_shipdate", "l_discount", "l_quantity"):
+        assert token in scan, f"{token} not pushed: {scan}"
+
+
+def test_q3_broadcasts_no_sort_merge(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_top_revenue")
+    # formatted explain mentions each node twice (tree + detail section)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_revenue_by_region")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "op_topk")
+    assert "TakeOrderedAndProject" in plan               # true top-k, no full sort
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_semi_orders_with_items")
+    assert "LeftSemi" in plan
+
+
+def test_induced_subgraph_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "op_join_semi")
+    assert "BroadcastHashJoin LeftSemi" in plan
+
+
+def test_scan_prunes_columns_for_projection(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "op_proj_users")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in read_schema and "c_name" in read_schema
+    assert "c_acctbal" not in read_schema                # untouched column pruned
