@@ -60,12 +60,17 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # best of 2 runs per query: steady-state throughput, not first-run
+    # JIT/codegen compilation noise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = contract.REGISTRY[name]
-        start = time.perf_counter()
-        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 4)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -35,6 +35,7 @@ from poc_spark.operators.multimodal import decode_media, payload_stats
 from poc_spark.operators.network import (
     induced_subgraph,
     lag_edges,
+    lag_edges_limited,
     ordered_limit,
 )
 from poc_spark.operators.similarity import (
@@ -192,15 +193,15 @@ def op_fil_daterange(spark, sf_dir):
 )
 def op_graph_flagship(spark, sf_dir):
     """EP-1 end-to-end: date range + ordered limit + lag edges
-    (backend/main.py:255-342)."""
+    (backend/main.py:255-342). Uses the fused single-window form —
+    row_number and lag computed in ONE sort/exchange pass."""
     df = _t(spark, sf_dir, "events").filter(
         F.col("ts").between(
             F.to_timestamp(F.lit("2024-01-05 00:00:00")),
             F.to_timestamp(F.lit("2024-01-20 00:00:00")),
         )
     )
-    df = ordered_limit(df, 2000, EVENT_ORDER)
-    return lag_edges(df, "user_id", EVENT_ORDER)
+    return lag_edges_limited(df, "user_id", EVENT_ORDER, 2000)
 
 
 @register(
@@ -388,23 +389,35 @@ def op_proj_users(spark, sf_dir):
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape over the synthetic lineitem: grouped decimal-exact
     money aggregates (engine capability per SURVEY §2.6)."""
-    disc_price = _dec("l_extendedprice") * (_one() - _dec4("l_discount"))
-    charge = disc_price * (_one() + _dec4("l_tax"))
     cnt = F.count(F.lit(1))
-    return (
+    # shared decimal subexpressions computed ONCE in a pre-aggregation
+    # projection (aggregate expressions don't CSE across each other).
+    prepared = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-06-30 00:00:00")))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
-            (F.sum(_dec4("l_discount")).cast("double") / cnt).alias("avg_disc"),
-            cnt.alias("count_order"),
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _dec("l_quantity").alias("qty"),
+            _dec("l_extendedprice").alias("price"),
+            _dec4("l_discount").alias("disc"),
+            (_dec("l_extendedprice") * (_one() - _dec4("l_discount"))).alias("dp"),
+            (
+                _dec("l_extendedprice")
+                * (_one() - _dec4("l_discount"))
+                * (_one() + _dec4("l_tax"))
+            ).alias("chg"),
         )
+    )
+    return prepared.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").cast("double").alias("sum_qty"),
+        F.sum("price").cast("double").alias("sum_base_price"),
+        F.sum("dp").cast("double").alias("sum_disc_price"),
+        F.sum("chg").cast("double").alias("sum_charge"),
+        (F.sum("qty").cast("double") / cnt).alias("avg_qty"),
+        (F.sum("price").cast("double") / cnt).alias("avg_price"),
+        (F.sum("disc").cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
     )
 
 

@@ -95,6 +95,44 @@ def lag_edges(
     )
 
 
+def lag_edges_limited(
+    df: DataFrame,
+    sender_col: str,
+    order_cols: Sequence[str],
+    limit: int,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fused OP-LIMIT-N + OP-LAG-EDGE: row_number and lag share one
+    window spec, so Spark computes both in a single sort/exchange pass
+    instead of two. Correct because the limit keeps a prefix of the
+    order: each surviving row's predecessor is also in the prefix, so
+    lag-then-filter(rn <= n) equals filter-then-lag."""
+    w = (
+        Window.partitionBy(*partition_cols).orderBy(*order_cols)
+        if partition_cols
+        else Window.orderBy(*order_cols)
+    )
+    s = F.col(sender_col)
+    return (
+        df.select(
+            F.row_number().over(w).alias("_rn"),
+            F.lag(sender_col).over(w).alias("_prev"),
+            s.alias("_cur"),
+        )
+        .filter(
+            (F.col("_rn") <= limit)
+            & F.col("_prev").isNotNull()
+            & (F.col("_prev") != F.col("_cur"))
+        )
+        .select(
+            F.least("_prev", "_cur").alias("source"),
+            F.greatest("_prev", "_cur").alias("target"),
+        )
+        .groupBy("source", "target")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def interaction_graph(
     messages: DataFrame,
     start_date: str | dt.date | None = None,
@@ -113,7 +151,32 @@ def interaction_graph(
     # both-bounds-only quirk (backend/main.py:305): a lone bound is a no-op.
     if start_date and end_date:
         df = df.filter(F.col(date_col).between(F.lit(start_date), F.lit(end_date)))
-    df = ordered_limit(df, limit, order_cols, partition_cols)
+
+    if limit:
+        # fused single-window pass: row_number + lag share the window
+        # spec, so the ordered limit and the edge chain cost ONE
+        # sort/exchange instead of two.
+        w = (
+            Window.partitionBy(*partition_cols).orderBy(*order_cols)
+            if partition_cols
+            else Window.orderBy(*order_cols)
+        )
+        base = df.select(
+            F.row_number().over(w).alias("_rn"),
+            F.lag(sender_col).over(w).alias("_prev"),
+            F.col(sender_col).alias("_cur"),
+        ).filter(F.col("_rn") <= limit)
+        nodes = base.select(F.col("_cur").alias("id")).distinct()
+        edges = (
+            base.filter(F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_cur")))
+            .select(
+                F.least("_prev", "_cur").alias("source"),
+                F.greatest("_prev", "_cur").alias("target"),
+            )
+            .groupBy("source", "target")
+            .agg(F.count(F.lit(1)).alias("weight"))
+        )
+        return nodes, edges
 
     nodes = df.select(F.col(sender_col).alias("id")).distinct()
     edges = lag_edges(df, sender_col, order_cols, partition_cols)
