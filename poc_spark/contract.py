@@ -764,6 +764,71 @@ def q_union_except(spark, sf_dir):
 
 
 @register(
+    "q_outer_join_order_fill",
+    """
+    SELECT o.o_orderkey,
+           coalesce(x.n_items, 0) AS n_items,
+           CASE WHEN x.n_items IS NULL THEN 1 ELSE 0 END AS is_empty
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey, count(*) AS n_items
+      FROM lineitem
+      WHERE l_quantity >= 45
+      GROUP BY l_orderkey
+    ) x ON o.o_orderkey = x.l_orderkey
+    """,
+)
+def q_outer_join_order_fill(spark, sf_dir):
+    """Left-outer join capability with null-fill semantics: orders joined
+    to their high-quantity item counts; orders without any get 0/flag."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        F.when(F.col("n_items").isNull(), 1).otherwise(0).alias("is_empty"),
+    )
+
+
+@register(
+    "q_rank_top3_per_segment",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+      FROM customer
+    ) WHERE rnk <= 3
+    """,
+)
+def q_rank_top3_per_segment(spark, sf_dir):
+    """Per-group ranking window (top-3 balances per market segment) —
+    partitioned window, parallel per group, deterministic tie-break."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
     "q_user_sessions",
     """
     WITH flagged AS (

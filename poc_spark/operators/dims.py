@@ -34,6 +34,34 @@ from pyspark.sql import functions as F
 _VERSION_RE = re.compile(r"^v=(\d+)$")
 
 
+def make_user_rows(
+    spark: SparkSession, users: list[tuple[str, str, str, str | None]]
+) -> DataFrame:
+    """Row factory for user registration: engine-generated uuid() key
+    (OP-FN-UUID, reference backend/main.py:114,136). Non-deterministic by
+    design — excluded from hash-checked queries (SURVEY §7.3)."""
+    df = spark.createDataFrame(
+        users, "name string, email string, password string, avatar string"
+    )
+    return df.select(
+        F.uuid().alias("user_id"), "name", "email", "password", "avatar"
+    )
+
+
+def make_research_rows(
+    spark: SparkSession,
+    rows: list[tuple[str, str, str, str, int]],
+) -> DataFrame:
+    """Row factory for research metadata with the engine-side audit
+    timestamp (OP-FN-NOW, reference backend/main.py:413)."""
+    df = spark.createDataFrame(
+        rows,
+        "name string, description string, start_date string, "
+        "end_date string, message_limit int",
+    )
+    return df.withColumn("created_at", F.current_timestamp())
+
+
 class DimTable:
     """A small, mutable dimension stored as versioned parquet snapshots."""
 

@@ -58,6 +58,22 @@ def test_point_lookup_missing(spark, tmp_path_repo):
     assert dim.point_lookup("nope").count() == 0
 
 
+def test_row_factories_uuid_and_now(spark, tmp_path_repo):
+    from poc_spark.operators.dims import make_research_rows, make_user_rows
+
+    users = make_user_rows(spark, [("Eve", "e@x.io", "h", None)]).collect()
+    assert len(users) == 1 and len(users[0]["user_id"]) == 36  # uuid4 shape
+    # two generations yield different keys (non-deterministic by design)
+    again = make_user_rows(spark, [("Eve", "e@x.io", "h", None)]).collect()
+    assert users[0]["user_id"] != again[0]["user_id"]
+
+    res = make_research_rows(
+        spark, [("study", "desc", "2023-01-01", "2023-02-01", 50)]
+    ).collect()
+    assert res[0]["created_at"] is not None
+    assert res[0]["message_limit"] == 50
+
+
 def test_versions_and_vacuum(spark, tmp_path_repo):
     dim = _users(spark, tmp_path_repo)
     dim.insert(spark.createDataFrame([("u3", "C", "c@x", "h", None)], SCHEMA))
