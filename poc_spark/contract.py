@@ -31,6 +31,7 @@ from poc_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+from poc_spark.operators.graph import degrees, pagerank, triangle_count
 from poc_spark.operators.multimodal import decode_media, payload_stats
 from poc_spark.operators.network import (
     induced_subgraph,
@@ -1117,6 +1118,71 @@ def mm_decode_stub(spark, sf_dir):
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
     return decode_media(media, fake=True)
+
+
+_EDGES_CTE = """
+    WITH chain AS (
+      SELECT user_id AS cur,
+             LAG(user_id) OVER (ORDER BY ts, event_id) AS prev
+      FROM events
+    ), edges AS (
+      SELECT LEAST(prev, cur) AS source, GREATEST(prev, cur) AS target,
+             count(*) AS weight
+      FROM chain WHERE prev IS NOT NULL AND prev <> cur GROUP BY 1, 2
+    ), directed AS (
+      SELECT source AS src, target AS dst, weight FROM edges
+      UNION ALL
+      SELECT target AS src, source AS dst, weight FROM edges
+    )
+"""
+
+
+@register(
+    "graph_degrees",
+    _EDGES_CTE
+    + """
+    SELECT src AS id, count(*) AS degree, SUM(weight) AS weighted_degree
+    FROM directed GROUP BY src
+    """,
+)
+def graph_degrees(spark, sf_dir):
+    """Node degree / weighted degree over the interaction graph
+    (extension: the reference renders fixed-size nodes)."""
+    edges = lag_edges(_t(spark, sf_dir, "events"), "user_id", EVENT_ORDER)
+    return degrees(edges)
+
+
+@register(
+    "graph_triangles",
+    _EDGES_CTE
+    + """
+    , wedge AS (
+      SELECT ab.source AS a, ab.target AS b, bc.target AS c
+      FROM edges ab JOIN edges bc ON ab.target = bc.source
+    ), tri AS (
+      SELECT w.a, w.b, w.c FROM wedge w
+      JOIN edges ac ON ac.source = w.a AND ac.target = w.c
+    ), members AS (
+      SELECT a AS id FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    )
+    SELECT id, count(*) AS triangles FROM members GROUP BY id
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle participation via the ordered-wedge join."""
+    edges = lag_edges(_t(spark, sf_dir, "events"), "user_id", EVENT_ORDER)
+    return triangle_count(edges)
+
+
+@register("graph_pagerank", None)  # iterative float sums: no exact oracle
+def graph_pagerank(spark, sf_dir):
+    """Weighted PageRank, 10 iterations (rows-only: float summation
+    order across engines makes exact hashing meaningless; convergence
+    properties pinned in tests/test_graph.py)."""
+    edges = lag_edges(_t(spark, sf_dir, "events"), "user_id", EVENT_ORDER)
+    return pagerank(edges, iterations=10)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,54 @@
+"""Graph-analytics tests on a hand-computed fixture."""
+
+from __future__ import annotations
+
+import pytest
+
+from poc_spark.operators.graph import degrees, pagerank, triangle_count
+
+# triangle a-b-c plus pendant d on a:   a-b(2) a-c(1) b-c(1) a-d(3)
+EDGES = [
+    ("a", "b", 2),
+    ("a", "c", 1),
+    ("b", "c", 1),
+    ("a", "d", 3),
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "source string, target string, weight long")
+
+
+def test_degrees(spark, edges):
+    got = {r["id"]: (r["degree"], r["weighted_degree"]) for r in degrees(edges).collect()}
+    assert got == {
+        "a": (3, 6),
+        "b": (2, 3),
+        "c": (2, 2),
+        "d": (1, 3),
+    }
+
+
+def test_pagerank_properties(spark, edges):
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges, iterations=12).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+    # hub node a must outrank everyone; pendant d beats peripheral c
+    assert ranks["a"] == max(ranks.values())
+    assert ranks["a"] > ranks["b"] > 0
+    assert all(r > 0 for r in ranks.values())
+
+
+def test_pagerank_uniform_on_symmetric_graph(spark):
+    # 3-cycle with equal weights: exact symmetry -> uniform ranks
+    cyc = spark.createDataFrame(
+        [("x", "y", 1), ("x", "z", 1), ("y", "z", 1)],
+        "source string, target string, weight long",
+    )
+    ranks = [r["rank"] for r in pagerank(cyc, iterations=8).collect()]
+    assert all(r == pytest.approx(1 / 3, abs=1e-9) for r in ranks)
+
+
+def test_triangle_count(spark, edges):
+    got = {r["id"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}  # d is in no triangle
