@@ -1120,6 +1120,59 @@ def mm_decode_stub(spark, sf_dir):
     return decode_media(media, fake=True)
 
 
+@register(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)  AS p50_qty,
+           quantile_cont(l_quantity, 0.95) AS p95_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    both linear-interpolation — verified bit-exact empirically)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("p50_qty"),
+            F.percentile("l_quantity", F.lit(0.95)).alias("p95_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q_profile_orders",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderstatus) AS n_statuses,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS null_custkeys
+    FROM orders
+    """,
+)
+def q_profile_orders(spark, sf_dir):
+    """Data-profiling pass: cardinalities, ranges, null counts in one
+    scan — the table-health primitive every pipeline needs."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).cast("long").alias("null_custkeys"),
+    )
+
+
 _EDGES_CTE = """
     WITH chain AS (
       SELECT user_id AS cur,
