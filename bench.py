@@ -32,6 +32,11 @@ HEADLINE = [
     "q_semi_orders_with_items",
     "q_anti_customers_no_orders",
     "q_user_sessions",
+    "q_percentiles",
+    "q_rank_top3_per_segment",
+    # graph analytics
+    "graph_degrees",
+    "graph_triangles",
     # text / dedup / similarity / multimodal extensions
     "op_agg_wordfreq",
     "op_topk",
