@@ -1194,7 +1194,8 @@ _EDGES_CTE = """
     "graph_degrees",
     _EDGES_CTE
     + """
-    SELECT src AS id, count(*) AS degree, SUM(weight) AS weighted_degree
+    SELECT src AS id, count(*) AS degree,
+           CAST(SUM(weight) AS BIGINT) AS weighted_degree
     FROM directed GROUP BY src
     """,
 )

@@ -26,7 +26,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            # unify pandas resolution (Spark->ns, DuckDB->us) — values equal
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
@@ -38,6 +39,10 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
         problems.append(f"row count differs: spark={len(got)} oracle={len(exp)}")
         return problems
     g, e = normalize(got), normalize(exp)
+    for c in g.columns:
+        gd, ed = str(g[c].dtype), str(e[c].dtype)
+        if gd != ed:
+            problems.append(f"col {c}: dtype differs spark={gd} oracle={ed}")
     for c in g.columns:
         gv, ev = g[c], e[c]
         if gv.dtype.kind == "f" or ev.dtype.kind == "f":
