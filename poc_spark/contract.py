@@ -31,7 +31,12 @@ from poc_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from poc_spark.operators.graph import degrees, pagerank, triangle_count
+from poc_spark.operators.graph import (
+    connected_components,
+    degrees,
+    pagerank,
+    triangle_count,
+)
 from poc_spark.operators.multimodal import decode_media, payload_stats
 from poc_spark.operators.network import (
     induced_subgraph,
@@ -1228,6 +1233,33 @@ def graph_triangles(spark, sf_dir):
     """Per-node triangle participation via the ordered-wedge join."""
     edges = lag_edges(_t(spark, sf_dir, "events"), "user_id", EVENT_ORDER)
     return triangle_count(edges)
+
+
+@register(
+    "graph_components",
+    _EDGES_CTE.replace("WITH chain", "WITH RECURSIVE chain", 1)
+    + """
+    , strong AS (
+      SELECT source, target FROM edges WHERE weight >= 4
+    ), und AS (
+      SELECT source AS a, target AS b FROM strong
+      UNION SELECT target, source FROM strong
+    ), reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS id, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+    """,
+)
+def graph_components(spark, sf_dir):
+    """Connected components of the strong-tie graph (weight ≥ 4 — the
+    full graph is one dense component; thresholding splits it).
+    Spark: iterative min-label propagation; oracle: recursive-CTE
+    transitive closure (feasible at oracle scale, ~150 nodes)."""
+    edges = lag_edges(_t(spark, sf_dir, "events"), "user_id", EVENT_ORDER)
+    return connected_components(edges.filter(F.col("weight") >= 4))
 
 
 @register("graph_pagerank", None)  # iterative float sums: no exact oracle

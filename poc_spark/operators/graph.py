@@ -85,6 +85,50 @@ def pagerank(
     return ranks
 
 
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """(id, component) — undirected connected components by min-label
+    propagation: every node repeatedly adopts the smallest label among
+    itself and its neighbors until a fixpoint. component = smallest node
+    id in the component (deterministic).
+
+    Converges in O(diameter) iterations; each iteration is one join +
+    aggregate. The loop checkpoints lineage every 5 rounds and exits
+    early on fixpoint (a count of changed labels — cheap, the label
+    table is one row per node)."""
+    directed = _directed(edges).select("src", "dst")
+    labels = (
+        directed.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for i in range(max_iterations):
+        neighbor_min = (
+            directed.join(labels, directed.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """(id, triangles) — triangles through each node, via the canonical
     ordered edge list joined to itself (each triangle a<b<c counted once
