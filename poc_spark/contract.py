@@ -1126,6 +1126,85 @@ def mm_decode_stub(spark, sf_dir):
 
 
 @register(
+    "q_running_sum",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+    WHERE user_id < 10
+    """,
+)
+def q_running_sum(spark, sf_dir):
+    """Running-total window frame (cumulative per user) — decimal-exact
+    prefix sums so every intermediate value hashes identically."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+        )
+    )
+
+
+@register(
+    "q_pivot_events",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_events(spark, sf_dir):
+    """Pivot / wide transform: one column per event type. Spark's
+    groupBy().pivot() with explicit values — no extra pass to discover
+    categories, plans as a single conditional aggregate."""
+    types = ["click", "view", "purchase", "error", "signup"]
+    pivoted = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+@register(
+    "q_value_histogram",
+    """
+    SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Equi-width histogram binning (floor-divide bucketing)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.col("value") / 10).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "q_percentiles",
     """
     SELECT l_returnflag,

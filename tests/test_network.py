@@ -164,3 +164,20 @@ def test_search_and_induced_subgraph(spark):
     kept = {(r["source"], r["target"]) for r in sub.collect()}
     assert all(s in {"JohnDoe", "Bob", "Carol"} and t in {"JohnDoe", "Bob", "Carol"}
                for s, t in kept)
+
+
+def test_pivot_zero_fill(spark):
+    # q_pivot_events' coalesce-to-0 path: a user missing a category
+    # must report 0, not null (the synthetic events table has no such
+    # user, so the contract compare can't catch a regression here)
+    from poc_spark import contract
+    df = spark.createDataFrame(
+        [(1, "click"), (1, "view"), (2, "click")], "user_id long, event_type string"
+    )
+    types = ["click", "view", "purchase", "error", "signup"]
+    from pyspark.sql import functions as F
+    piv = (df.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+           .select("user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]))
+    rows = {r["user_id"]: r for r in piv.collect()}
+    assert rows[2]["n_view"] == 0 and rows[2]["n_purchase"] == 0
+    assert rows[1]["n_click"] == 1 and rows[1]["n_view"] == 1
