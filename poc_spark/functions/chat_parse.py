@@ -47,8 +47,13 @@ def is_message_format(line: Column) -> Column:
 
 
 def _after_first_bracket(line: Column) -> Column:
-    """Text after the FIRST `] ` — Python `line.split("] ", 1)[1]`."""
-    return F.split(line, r"\] ", 2).getItem(1)
+    """Text after the FIRST `] ` — Python `line.split("] ", 1)[1]`.
+
+    Null (not error) when the line has no "] ": the reference's
+    per-line catch-all skips such rows (the unpack raises,
+    backend/main.py:325-327); under ANSI mode getItem(1) would CRASH
+    the job, so this must be the null-tolerant get()."""
+    return F.get(F.split(line, r"\] ", 2), 1)
 
 
 def _before_first_bracket(line: Column) -> Column:
@@ -92,7 +97,10 @@ def extract_message_text(line: Column) -> Column:
     """Message text after `sender:`, leading whitespace swallowed (the
     reference regex group 3 behind `:\\s*`)."""
     msg = _after_first_bracket(line)
-    after_colon = F.split(msg, ":", 2).getItem(1)
+    # get(): a message part without any ":" yields null, not an
+    # ANSI index error (the ": " the format predicate saw may sit in
+    # the timestamp part)
+    after_colon = F.get(F.split(msg, ":", 2), 1)
     return F.regexp_replace(after_colon, r"^\s+", "")
 
 

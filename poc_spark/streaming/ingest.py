@@ -31,8 +31,17 @@ from poc_spark.functions.chat_parse import (
 
 
 def stream_chat_lines(spark: SparkSession, landing_dir: str) -> DataFrame:
-    """Streaming raw_chat(value, file_path) from a landing directory.
+    """Streaming raw_chat(value, file_path) from a landing DIRECTORY.
     maxFilesPerTrigger bounds per-batch work at scale."""
+    import os
+
+    # the file-stream source requires a directory; a file path fails
+    # mid-query with an obscure "basePath must be a directory" — catch
+    # it at the API boundary instead
+    if os.path.exists(landing_dir) and not os.path.isdir(landing_dir):
+        raise NotADirectoryError(
+            f"stream_chat_lines needs a landing directory, got file: {landing_dir}"
+        )
     return (
         spark.readStream.option("maxFilesPerTrigger", 64)
         .text(landing_dir)
