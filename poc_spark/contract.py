@@ -860,12 +860,16 @@ def q_user_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    # timestampdiff, not unix_micros: works for TIMESTAMP_NTZ (events.ts
+    # is NTZ so results are session-timezone-independent)
+    prev_ts = F.lag("ts").over(w)
+    gap_us = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
     new_sess = F.when(
-        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 1800 * 1_000_000), 1
+        prev_ts.isNull() | (gap_us > 1800 * 1_000_000), 1
     ).otherwise(0)
     return (
         _t(spark, sf_dir, "events")
+        .withColumn("_prev_ts", prev_ts)
         .withColumn("new_sess", new_sess)
         .groupBy("user_id")
         .agg(

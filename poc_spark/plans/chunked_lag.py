@@ -30,6 +30,23 @@ def _order_struct(order_cols: Sequence[str]):
     return F.struct(*[F.col(c) for c in order_cols])
 
 
+def _numeric_key(df: DataFrame, key: str):
+    """Numeric shadow of the leading order column for approxQuantile /
+    range bucketing. Timestamps (LTZ and NTZ — neither casts to double)
+    become epoch microseconds; µs fit a double's 53-bit mantissa."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    dt = df.schema[key].dataType
+    if isinstance(dt, TimestampNTZType):
+        return F.expr(
+            f"CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" `{key}`) AS DOUBLE)"
+        )
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(F.col(key)).cast("double")
+    return F.col(key).cast("double")
+
+
 def chunked_lag_pairs(
     df: DataFrame,
     value_col: str,
@@ -47,7 +64,7 @@ def chunked_lag_pairs(
     # epoch seconds (µs precision fits a double's 53-bit mantissa).
     # Bounds are deduped: a skewed key yields duplicate quantiles, which
     # would create guaranteed-empty chunks.
-    keyed = df.withColumn("_key_num", F.col(key).cast("double"))
+    keyed = df.withColumn("_key_num", _numeric_key(df, key))
     fractions = [i / num_chunks for i in range(1, num_chunks)]
     raw_bounds = (
         keyed.approxQuantile("_key_num", fractions, 0.001) if num_chunks > 1 else []
@@ -108,7 +125,7 @@ def chunked_ordered_limit(
     """
     if not n:
         return df
-    keyed = df.withColumn("_key_num", F.col(order_cols[0]).cast("double"))
+    keyed = df.withColumn("_key_num", _numeric_key(df, order_cols[0]))
     fractions = [i / num_chunks for i in range(1, num_chunks)]
     raw_bounds = (
         keyed.approxQuantile("_key_num", fractions, 0.001) if num_chunks > 1 else []

@@ -41,8 +41,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANO_TS_COLS.get(name, ()):
         field = df.schema[col]
         if isinstance(field.dataType, LongType):
+            # TIMESTAMP_NTZ, not timestamp_micros() (LTZ): naive
+            # semantics match DuckDB/parquet regardless of the session
+            # timezone — an LTZ column shifts literal comparisons when
+            # the driver's session isn't UTC.
             df = df.withColumn(
-                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+                col,
+                F.expr(
+                    f"timestampadd(MICROSECOND, `{col}` div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
             )
         elif not isinstance(field.dataType, TimestampType):
             raise TypeError(f"{name}.{col}: unexpected type {field.dataType}")

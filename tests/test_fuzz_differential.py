@@ -61,6 +61,40 @@ def _fuzz_lines(rng: random.Random, n: int) -> list[str]:
     return lines
 
 
+@pytest.mark.parametrize("seed", [55, 66, 77])
+def test_fuzz_etl_matches_reference(spark, seed):
+    """EP-2 (upload-chats) under the same hostile inputs: anchored-regex
+    parse + group-name exclusion must match the reference loop."""
+    import re
+
+    from poc_spark.operators.etl import parse_chat_table
+
+    def reference_etl(lines):
+        pattern = re.compile(r"\[([^\]]+)\]\s*([^:]+):\s*(.+)")
+        group_name, rows = None, []
+        for line in lines:
+            line = line.strip()
+            m = pattern.match(line)
+            if not m:
+                continue
+            if group_name is None:
+                group_name = m.group(2)
+                continue
+            if m.group(2) == group_name:
+                continue
+            rows.append((group_name, m.group(1), m.group(2), m.group(3)))
+        return rows
+
+    rng = random.Random(seed)
+    lines = _fuzz_lines(rng, 150)
+    raw = chat_lines_from_strings(spark, lines)
+    got = [
+        (r["group_name"], r["date_time"], r["sender"], r["message"])
+        for r in parse_chat_table(raw).orderBy("line_id").collect()
+    ]
+    assert got == reference_etl(lines), seed
+
+
 @pytest.mark.parametrize("seed", [11, 22, 33, 44])
 def test_fuzz_matches_reference(spark, seed):
     rng = random.Random(seed)
