@@ -6,18 +6,20 @@ decodes with errors="replace" and splitlines (backend/main.py:357-360).
 
 The file's line order is the single load-bearing order in the whole
 system (edge construction is lag-over-line-order), so the source must
-attach a stable 0-based `line_id`.
+attach a line_id whose ORDER equals file order. Contiguity is NOT
+load-bearing — only ordering is — and that distinction is the
+performance story:
 
-Scale notes:
-  - `zipWithIndex` is the order-exact path: it runs one lightweight count
-    job over partitions and then assigns globally contiguous ids without
-    collecting data. Partitions of a single text file are split-ordered,
-    so ids equal file line numbers.
-  - For a directory of many files (the 100 TB shape: one file per chat
-    group), pass per_file=True to number lines *within* each file via a
-    window over (file, partition, intra-partition position) — every
-    downstream window then partitions by file_path and nothing global
-    remains.
+  - default: line_id = monotonically_increasing_id(), computed JVM-side
+    with zero shuffles and zero Python serialization. Within one file,
+    partitions are split-ordered and mid is increasing within each
+    partition, so mid order == file order. (A Python rdd.zipWithIndex
+    formulation benches ~5x slower at 2M lines — every row crosses the
+    JVM/Python boundary twice.)
+  - contiguous=True: exact 0-based per-file line numbers via a
+    row_number window over mid, partitioned by file — one shuffle; use
+    only when the ids themselves are the product (e.g. exporting
+    line-numbered tables).
 """
 
 from __future__ import annotations
@@ -27,27 +29,27 @@ from pyspark.sql import functions as F
 
 
 def read_chat_lines(
-    spark: SparkSession, path: str, per_file: bool = False
+    spark: SparkSession,
+    path: str,
+    per_file: bool = False,
+    contiguous: bool = False,
 ) -> DataFrame:
-    """Return raw_chat(value, file_path, line_id) for a chat export."""
+    """Return raw_chat(value, file_path, line_id) for chat exports.
+
+    per_file is kept for API compatibility; ordering is always safe
+    per file (mid is only comparable WITHIN a file — downstream windows
+    over multiple files must partition by file_path, which
+    operators/network.py supports via partition_cols).
+    """
     raw = spark.read.text(path).select(
         F.col("value"),
         F.input_file_name().alias("file_path"),
+        F.monotonically_increasing_id().alias("line_id"),
     )
-    if not per_file:
-        # single-file (reference-parity) path: global contiguous ids.
-        rdd = raw.rdd.zipWithIndex().map(
-            lambda pair: (pair[0]["value"], pair[0]["file_path"], pair[1])
-        )
-        return spark.createDataFrame(rdd, "value string, file_path string, line_id long")
-
-    # many-files path: ids contiguous within each file, no global shuffle.
-    # monotonically_increasing_id is increasing within a partition and
-    # partitions of one file are split-ordered, so ordering by it within
-    # file_path reproduces file order.
-    with_mid = raw.withColumn("_mid", F.monotonically_increasing_id())
-    w = Window.partitionBy("file_path").orderBy("_mid")
-    return with_mid.select(
+    if not contiguous:
+        return raw
+    w = Window.partitionBy("file_path").orderBy("line_id")
+    return raw.select(
         "value",
         "file_path",
         (F.row_number().over(w) - F.lit(1)).alias("line_id"),
