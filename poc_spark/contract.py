@@ -53,6 +53,7 @@ from poc_spark.operators.text import top_k_words, word_freq
 from poc_spark.operators.textstats import (
     LANG_ORDER,
     LANG_STOPWORDS,
+    chunk_documents,
     doc_stats,
     fingerprints,
     lang_id,
@@ -1084,6 +1085,34 @@ REGISTRY["text_langid"] = QuerySpec(text_langid, _langid_sql())
 def text_fingerprint(spark, sf_dir):
     """Canonical md5 content fingerprint of normalized text."""
     return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> len(x) > 0) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1)::BIGINT, 80)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start / 80 AS BIGINT) AS chunk_id,
+           len(list_slice(toks, start + 1, start + 100))::BIGINT
+             AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 100), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Overlapping fixed-token document chunks (100 tokens, 20 overlap —
+    stride 80), the training-pipeline shaping step."""
+    return chunk_documents(_t(spark, sf_dir, "documents"), 100, 20)
 
 
 @register("text_winnowing", None)  # xxhash64-based: no DuckDB twin

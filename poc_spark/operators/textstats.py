@@ -113,6 +113,37 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_id, n_chunk_tokens, chunk_text) — overlapping
+    fixed-token windows, the standard pre-tokenization shaping step for
+    training pipelines. One narrow explode per document; no shuffle.
+    Stride = chunk_tokens - overlap; the final partial window is kept
+    (training pipelines pad, they don't drop)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    exploded = df.select(
+        F.col(id_col), toks.alias("_toks"), F.explode(starts).alias("_start")
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        (F.col("_start") / step).cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     k: int = 5,

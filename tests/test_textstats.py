@@ -95,3 +95,25 @@ def test_on_documents_table(spark, sf_dir):
     n_chars = {r["doc_id"]: r["n_chars"] for r in stats.collect()}
     truth = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
     assert n_chars == truth  # driver's n_chars column is length(text)
+
+
+def test_chunk_documents(spark):
+    import pytest as _pytest
+
+    from poc_spark.operators.textstats import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(25))
+    df = spark.createDataFrame([(0, toks), (1, "short doc"), (2, "")],
+                               "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_tokens=10, overlap=4)  # stride 6
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+           for r in chunks.collect()}
+    # doc 0: starts 0,6,12,18,24 -> 5 chunks; overlap visible
+    assert [k[1] for k in sorted(got) if k[0] == 0] == [0, 1, 2, 3, 4]
+    assert got[(0, 0)][1].split()[:2] == ["t0", "t1"]
+    assert got[(0, 1)][1].split()[0] == "t6"          # stride 6
+    assert got[(0, 4)][0] == 1                         # final partial kept
+    assert got[(1, 0)] == (2, "short doc")
+    assert got[(2, 0)] == (0, "")                      # empty doc: one empty chunk
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
