@@ -242,16 +242,25 @@ def op_join_semi(spark, sf_dir):
 @register(
     "op_parse_regex",
     """
-    SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+    SELECT TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
            count(*) AS n
     FROM events GROUP BY 1
     """,
 )
 def op_parse_regex(spark, sf_dir):
-    """OP-PARSE-REGEX: regex group extraction (backend/main.py:347)."""
+    """OP-PARSE-REGEX: regex group extraction (backend/main.py:347).
+
+    try_cast, not cast: under Spark 4 ANSI a non-matching row yields ''
+    and a plain cast would fail the whole job; malformed input degrades
+    to a NULL group instead (same null-tolerant posture as the try_*
+    parse functions elsewhere). TRY_CAST keeps the oracle identical."""
     return (
         _t(spark, sf_dir, "events")
-        .select(F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k"))
+        .select(
+            F.regexp_extract("props", r'"k": (\d+)', 1)
+            .try_cast("long")
+            .alias("k")
+        )
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1145,7 +1154,11 @@ def mm_payload_stats(spark, sf_dir):
 @register("mm_decode_stub", None)  # mapInPandas stub: no SQL form
 def mm_decode_stub(spark, sf_dir):
     """Arrow-batched decode plumbing over synthetic media built from the
-    documents table (deterministic fake decode — codecs are stubbed)."""
+    documents table (deterministic fake decode — codecs are stubbed).
+
+    The `feature array<float>` column is condensed to xxhash64 so every
+    output column is scalar: the driver's rows-only canonicalizer sorts
+    by value and can't hash python lists (round-1 err)."""
     media = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -1155,7 +1168,17 @@ def mm_decode_stub(spark, sf_dir):
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
-    return decode_media(media, fake=True)
+    decoded = decode_media(media, fake=True)
+    return decoded.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        F.xxhash64(F.concat_ws(",", F.col("feature").cast("array<string>"))).alias(
+            "feature_hash"
+        ),
+    )
 
 
 @register(

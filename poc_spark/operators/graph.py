@@ -94,13 +94,17 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     Converges in O(diameter) iterations; each iteration is one join +
     aggregate. The loop checkpoints lineage every 5 rounds and exits
     early on fixpoint (a count of changed labels — cheap, the label
-    table is one row per node)."""
+    table is one row per node). If max_iterations is exhausted before
+    the fixpoint (diameter > max_iterations — long chain graphs), the
+    labels are NOT final components: raise instead of returning silently
+    wrong ids."""
     directed = _directed(edges).select("src", "dst")
     labels = (
         directed.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    changed = 0
     for i in range(max_iterations):
         neighbor_min = (
             directed.join(labels, directed.dst == labels.id)
@@ -116,6 +120,22 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
                 ).alias("component"),
             )
         )
+        # pointer-jumping shortcut (the large-star/small-star idea):
+        # every node also adopts the label of its current label's node,
+        # halving label-chain depth each round — convergence drops from
+        # O(diameter) to O(log diameter), so long chain graphs fit the
+        # iteration budget.
+        lbl = new_labels.select(
+            F.col("id").alias("c_id"), F.col("component").alias("c_comp")
+        )
+        new_labels = new_labels.join(
+            lbl, new_labels.component == lbl.c_id, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("c_comp", F.col("component"))
+            ).alias("component"),
+        )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
@@ -126,6 +146,12 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); the graph's "
+            "diameter exceeds the budget — raise max_iterations"
+        )
     return labels
 
 

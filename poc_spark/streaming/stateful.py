@@ -28,6 +28,32 @@ DEDUP_OUT_SCHEMA = (
 )
 
 
+def emit_first_occurrence(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key state function: emit the min-ts row the first time the key
+    is ever seen, nothing afterwards.
+
+    A key's in-batch rows can span multiple Arrow chunks — keep the
+    running min-ts row across ALL chunks, not just the first non-empty
+    one, or the emitted "first occurrence" would depend on Arrow batch
+    boundaries. idxmin is first-occurrence-stable and the cross-chunk
+    comparison is strict (<), so equal timestamps resolve to stream
+    order deterministically."""
+    if state.exists:
+        return  # key seen in an earlier batch: drop everything
+    first: pd.DataFrame | None = None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        cand = pdf.loc[[pdf["ts"].idxmin()]]
+        if first is None or cand["ts"].iloc[0] < first["ts"].iloc[0]:
+            first = cand
+    if first is not None:
+        state.update((True,))
+        yield first[["text_sha", "file_path", "ts", "sender", "message"]]
+
+
 def dedup_stream(parsed: DataFrame) -> DataFrame:
     """Streaming exact dedup of parsed chat messages: the FIRST
     occurrence of each normalized message text (per sender) is emitted;
@@ -47,23 +73,8 @@ def dedup_stream(parsed: DataFrame) -> DataFrame:
         ),
     )
 
-    def emit_first(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            return  # key seen in an earlier batch: drop everything
-        first: pd.DataFrame | None = None
-        for pdf in pdfs:
-            if first is None and len(pdf):
-                first = pdf.sort_values("ts").iloc[[0]]
-        if first is not None:
-            state.update((True,))
-            yield first[
-                ["text_sha", "file_path", "ts", "sender", "message"]
-            ]
-
     return keyed.groupBy("text_sha").applyInPandasWithState(
-        emit_first,
+        emit_first_occurrence,
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType="seen boolean",
         outputMode="append",

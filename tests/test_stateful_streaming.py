@@ -59,3 +59,53 @@ def test_cross_batch_dedup(spark, tmp_path_repo):
     assert len(got2) == 4
     assert ("2023-10-02 09:01:00", "Alice", "brand new") in got2
     assert ("2023-10-02 09:00:00", "Alice", "hello world") not in got2
+
+
+def test_emit_first_spans_arrow_chunks():
+    """The min-ts row must win even when it arrives in a LATER pandas
+    chunk of the same group (Arrow chunking is an implementation detail,
+    not an ordering guarantee)."""
+    import pandas as pd
+
+    from poc_spark.streaming.stateful import emit_first_occurrence
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+
+    def row(ts, msg):
+        return {
+            "text_sha": "k",
+            "file_path": "f",
+            "ts": pd.Timestamp(ts),
+            "sender": "Alice",
+            "message": msg,
+        }
+
+    # chunk 1 holds later rows; the true first occurrence is in chunk 2
+    chunks = iter(
+        [
+            pd.DataFrame([row("2023-10-01 09:00:00", "late"),
+                          row("2023-10-01 09:05:00", "later")]),
+            pd.DataFrame([]),
+            pd.DataFrame([row("2023-10-01 08:00:00", "FIRST"),
+                          row("2023-10-01 08:30:00", "second")]),
+        ]
+    )
+    out = list(emit_first_occurrence(("k",), chunks, FakeState()))
+    assert len(out) == 1
+    assert out[0]["message"].iloc[0] == "FIRST"
+
+    # already-seen key: nothing emitted regardless of content
+    seen = FakeState()
+    seen.exists = True
+    assert (
+        list(
+            emit_first_occurrence(
+                ("k",), iter([pd.DataFrame([row("2023-10-01 07:00:00", "x")])]), seen
+            )
+        )
+        == []
+    )
