@@ -25,8 +25,13 @@ Scale design: the window that orders the chain is partitioned by
 `partition_cols` (default: file_path — one chat per file). A single
 chat is at most a few hundred MB, so per-partition windows keep the
 plan shuffle-light at any corpus size; nothing is global. For a single
-giant totally-ordered stream, `plans/chunked_lag.py` provides the
-range-chunked lag with boundary stitching (SURVEY.md §4.3).
+giant totally-ordered stream, the operators below SELF-DISPATCH: when
+no partition cols are given and Catalyst's size estimate crosses the
+threshold (plans/dispatch.py, default ≈1M rows), they route to the
+exactly-equal range-chunked plans in plans/chunked_lag.py (boundary
+stitching, SURVEY.md §4.3) instead of a single-partition window.
+Equality of the two paths is pinned by tests/test_chunked_lag.py and
+tests/test_dispatch.py.
 """
 
 from __future__ import annotations
@@ -36,6 +41,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from poc_spark.plans.dispatch import use_chunked
 
 
 def ordered_limit(
@@ -52,6 +59,10 @@ def ordered_limit(
     """
     if not n:
         return df
+    if not partition_cols and use_chunked(df):
+        from poc_spark.plans.chunked_lag import chunked_ordered_limit
+
+        return chunked_ordered_limit(df, n, order_cols)
     w = (
         Window.partitionBy(*partition_cols).orderBy(*order_cols)
         if partition_cols
@@ -76,6 +87,10 @@ def lag_edges(
     Self-transitions (same sender twice) emit nothing but still advance
     the chain — lag gives that for free.
     """
+    if not partition_cols and use_chunked(df):
+        from poc_spark.plans.chunked_lag import chunked_lag_edges
+
+        return chunked_lag_edges(df, sender_col, order_cols)
     w = (
         Window.partitionBy(*partition_cols).orderBy(*order_cols)
         if partition_cols
@@ -106,7 +121,23 @@ def lag_edges_limited(
     window spec, so Spark computes both in a single sort/exchange pass
     instead of two. Correct because the limit keeps a prefix of the
     order: each surviving row's predecessor is also in the prefix, so
-    lag-then-filter(rn <= n) equals filter-then-lag."""
+    lag-then-filter(rn <= n) equals filter-then-lag.
+
+    Above the scale threshold the fused single window would itself be
+    the bottleneck — dispatch to chunked limit-then-lag (equal by the
+    same prefix property; the chunked limit prunes whole chunks before
+    the lag ever runs)."""
+    if not partition_cols and use_chunked(df):
+        from poc_spark.plans.chunked_lag import (
+            chunked_lag_edges,
+            chunked_ordered_limit,
+        )
+
+        # cache: the chunked lag re-derives chunk boundaries over the
+        # prefix (an approxQuantile pass + the final job) — without a
+        # materialization barrier the limit plan would re-run per pass.
+        prefix = chunked_ordered_limit(df, limit, order_cols).cache()
+        return chunked_lag_edges(prefix, sender_col, order_cols)
     w = (
         Window.partitionBy(*partition_cols).orderBy(*order_cols)
         if partition_cols
@@ -153,6 +184,18 @@ def interaction_graph(
         df = df.filter(F.col(date_col).between(F.lit(start_date), F.lit(end_date)))
 
     if limit:
+        if not partition_cols and use_chunked(df):
+            # scale path: chunked ordered limit prunes chunks before the
+            # chunked lag; both per-chunk, never single-partition.
+            from poc_spark.plans.chunked_lag import (
+                chunked_lag_edges,
+                chunked_ordered_limit,
+            )
+
+            prefix = chunked_ordered_limit(df, limit, order_cols).cache()
+            nodes = prefix.select(F.col(sender_col).alias("id")).distinct()
+            edges = chunked_lag_edges(prefix, sender_col, order_cols)
+            return nodes, edges
         # fused single-window pass: row_number + lag share the window
         # spec, so the ordered limit and the edge chain cost ONE
         # sort/exchange instead of two.
