@@ -286,26 +286,44 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def token_hash(tok: Column, hash_fn: str = "xxhash64") -> Column:
+    """64-bit (or 60-bit) token hash.
+
+    'xxhash64' is the production default (fastest, pure JVM). 'md5_60'
+    takes the first 15 hex chars of md5 as a 60-bit long — slightly
+    slower but reproducible in DuckDB (('0x'||substr(md5(t),1,15))::
+    BIGINT), which makes simhash cross-engine verifiable."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(tok)
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    bits: int = 64,
 ) -> DataFrame:
-    """(id, simhash: long) — 64-bit SimHash: each distinct token votes
-    ±1 on every bit of xxhash64(token); bit set iff the vote is
-    positive."""
+    """(id, simhash: long) — SimHash over `bits` bits: each distinct
+    token votes ±1 on every bit of hash(token); bit set iff the vote is
+    positive. bits=60 pairs with hash_fn='md5_60' (15 hex chars)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(token_set(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash(F.col("tok"), hash_fn))
     votes = toks.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     sig = None
-    for i in range(64):
+    for i in range(bits):
         term = F.when(
             F.col(f"v{i}") > 0,
             F.shiftleft(F.lit(1).cast("long"), i),
@@ -320,16 +338,18 @@ def simhash_near_pairs(
     chunks: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    bits: int = 64,
 ) -> DataFrame:
     """Pairs (id_a < id_b, hamming ≤ max_hamming) on SimHash, via
-    pigeonhole chunk banding: with `chunks` 16-bit pieces, any pair
+    pigeonhole chunk banding: with `chunks` equal-width pieces, any pair
     within hamming distance < chunks shares at least one exact piece —
     recall is 100% (requires max_hamming < chunks), and the join is a
     bucket join, not all-pairs."""
     if max_hamming >= chunks:
         raise ValueError("pigeonhole completeness needs max_hamming < chunks")
-    width = 64 // chunks
-    sigs = simhash_signatures(df, text_col, id_col)
+    width = bits // chunks
+    sigs = simhash_signatures(df, text_col, id_col, hash_fn, bits)
     mask = (1 << width) - 1
     pieces = sigs.select(
         "id",
