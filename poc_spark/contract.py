@@ -1074,8 +1074,12 @@ def dedup_simhash(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs ≥ 0.4 (threshold chosen to be
-    non-empty on the synthetic embeddings; real dedup uses ~0.95)."""
-    return embedding_near_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    non-empty on the synthetic embeddings; real dedup uses ~0.95).
+    dim=64: every testdata embeddings table is 64-wide — unrolled
+    codegen dot product instead of interpreted HOFs."""
+    return embedding_near_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
+    )
 
 
 @register(
@@ -1520,6 +1524,48 @@ def graph_pagerank(spark, sf_dir):
     return pagerank(edges, iterations=10)
 
 
+@register(
+    "op_fn_hash",
+    """
+    SELECT c_custkey,
+           'sha256$a1b2c3d4e5f60718$'
+             || sha256('a1b2c3d4e5f60718:' || c_name) AS pw_digest
+    FROM customer
+    """,
+)
+def op_fn_hash(spark, sf_dir):
+    """OP-FN-HASH: salted credential digest, the engine counterpart of
+    the reference's bcrypt.hashpw (backend/main.py:135,148,181). Fixed
+    salt here so the oracle is deterministic; production uses
+    functions.security.new_salt per row (pytest-verified)."""
+    from poc_spark.functions.security import credential_digest
+
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        credential_digest(F.col("c_name"), F.lit("a1b2c3d4e5f60718")).alias(
+            "pw_digest"
+        ),
+    )
+
+
+@register("sim_ivf_kmeans", None)  # rows-only: KMeans floats, no SQL twin
+def sim_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with REAL pyspark.ml KMeans centroids (k-means|| init,
+    deterministic under the fixed seed): index every vector to its
+    nearest of 16 fitted centers, probe the 4 lists nearest the query.
+    Recall vs brute force pinned in tests/test_similarity.py."""
+    from poc_spark.operators.similarity import (
+        ivf_centroids_kmeans,
+        ivf_index,
+        ivf_query,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    cents = ivf_centroids_kmeans(emb, n_centroids=16)
+    return ivf_query(ivf_index(emb, cents), qv, cents, k=10, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -1535,6 +1581,8 @@ _TAIL = [
     "q_value_histogram",  # bucketing capability overlaps q_pivot_events
     "graph_pagerank",  # rows-only: float iteration order, pytest-pinned
     "text_winnowing",  # rows-only: xxhash64-based, pytest-pinned
+    "op_fn_hash",  # oracled; parity closure lives in functions/security
+    "sim_ivf_kmeans",  # rows-only: KMeans-centroid IVF, pytest-pinned
 ]
 
 
