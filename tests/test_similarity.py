@@ -74,3 +74,36 @@ def test_ivf_query_recall(spark, emb, query_vec):
     # partial probe still finds the query itself and most neighbors
     part = {r["id"] for r in ivf_query(idx, query_vec, cents, k=10, n_probe=4).collect()}
     assert 0 in part and len(exact & part) >= 4
+
+
+def test_ivf_kmeans_centroids(spark, emb, query_vec):
+    from poc_spark.operators.similarity import ivf_centroids_kmeans
+
+    cents = ivf_centroids_kmeans(emb, n_centroids=16)
+    assert len(cents) == 16 and len(cents[0][1]) == len(query_vec)
+    # deterministic: same data + seed -> bit-identical centers
+    assert cents == ivf_centroids_kmeans(emb, n_centroids=16)
+
+    idx = ivf_index(emb, cents).cache()
+    exact = {r["id"] for r in knn_brute(emb, query_vec, k=10).collect()}
+    # probing every list degenerates to brute force — recall exactly 1.0
+    full = {
+        r["id"] for r in ivf_query(idx, query_vec, cents, k=10, n_probe=16).collect()
+    }
+    assert full == exact
+    # partial probe: measured recall@10 with 4/16 lists scanned is 0.4
+    # at sf0.001 and 0.5 at sf0.01 — near-random embeddings don't
+    # cluster, so cell pruning honestly trades recall; pin the floor
+    part = {
+        r["id"] for r in ivf_query(idx, query_vec, cents, k=10, n_probe=4).collect()
+    }
+    assert len(exact & part) / 10 >= 0.4
+
+
+def test_ivf_kmeans_sampled_fit(spark, emb):
+    from poc_spark.operators.similarity import ivf_centroids_kmeans
+
+    # the scale path: fit on a sample; still k valid centers
+    cents = ivf_centroids_kmeans(emb, n_centroids=4, sample_fraction=0.5)
+    assert len(cents) == 4
+    assert all(len(c) > 0 for _, c in cents)
