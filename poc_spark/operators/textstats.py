@@ -180,3 +180,65 @@ def winnowing_fingerprints(
         ),
     ).otherwise(hashes)
     return df.select(F.col(id_col), F.array_sort(F.array_distinct(mins)).alias("fps"))
+
+
+def tf_idf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf) — classic TF-IDF over lowercased
+    whitespace tokens: tf = in-doc term count, df = docs containing the
+    term, tfidf = tf · ln(N/df), rounded to 6dp for cross-engine hash
+    stability.
+
+    Scale shape: one explode + two hash aggregates (term table shuffles
+    by term once for df); the corpus size N rides as a broadcast 1-row
+    aggregate, never a driver-side count, so the whole plan stays lazy
+    and distributed."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+def corpus_ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    top_k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(gram, freq) — corpus-wide word n-gram frequency table (the LM
+    data-prep primitive). Only documents with >= n tokens contribute
+    (no partial grams, unlike the shingling path where a short doc
+    still needs a fingerprint). Top-k is a TakeOrderedAndProject with
+    a deterministic gram tie-break."""
+    from poc_spark.operators.dedup import word_grams
+
+    toks = _tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n, word_grams(F.lower(F.col(text_col)), n)
+    ).otherwise(F.array().cast("array<string>"))
+    freq = (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if top_k:
+        freq = freq.orderBy(F.desc("freq"), "gram").limit(top_k)
+    return freq

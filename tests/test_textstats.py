@@ -117,3 +117,38 @@ def test_chunk_documents(spark):
     assert got[(2, 0)] == (0, "")                      # empty doc: one empty chunk
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_tf_idf_ground_truth(spark):
+    import math
+
+    from poc_spark.operators.textstats import tf_idf
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "d")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+        for r in tf_idf(docs).collect()
+    }
+    ln = lambda x: round(x, 6)
+    assert got[(1, "a")] == (2, 2, ln(2 * math.log(3 / 2)))
+    assert got[(1, "b")] == (1, 1, ln(1 * math.log(3 / 1)))
+    assert got[(2, "a")] == (1, 2, ln(1 * math.log(3 / 2)))
+    assert got[(2, "c")] == (1, 1, ln(math.log(3)))
+    assert got[(3, "d")] == (1, 1, ln(math.log(3)))
+    assert len(got) == 5
+
+
+def test_corpus_ngram_counts(spark):
+    from poc_spark.operators.textstats import corpus_ngram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["gram"]: r["freq"] for r in corpus_ngram_counts(docs, n=2).collect()}
+    # doc 3 (1 token) and doc 4 (0 tokens) contribute nothing
+    assert got == {"x y": 3, "y x": 1}
+    top1 = corpus_ngram_counts(docs, n=2, top_k=1).collect()
+    assert [(r["gram"], r["freq"]) for r in top1] == [("x y", 3)]
