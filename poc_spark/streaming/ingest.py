@@ -129,3 +129,36 @@ def edges_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_message_counts(
+    parsed: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, when `slide` is given) event-time window
+    counts per sender — the canonical watermarked streaming aggregate.
+
+    Append-mode semantics: a window emits exactly once, when the
+    watermark passes its end; events later than the watermark are
+    DROPPED (bounded state — the 100 TB posture: state size is
+    windows×senders inside the watermark horizon, never the stream).
+    tests/test_streaming.py pins the late-drop behavior across
+    checkpointed runs."""
+    w = (
+        F.window("ts", window, slide)
+        if slide is not None
+        else F.window("ts", window)
+    )
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), F.col("sender"))
+        .agg(F.count(F.lit(1)).alias("n_messages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sender",
+            "n_messages",
+        )
+    )

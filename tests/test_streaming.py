@@ -93,3 +93,56 @@ def test_streaming_edges_foreach_batch(spark, landing, tmp_path_repo):
     # A->B, B->A, A->B, B->C
     assert got[("Alice", "Bob")] == 3
     assert got[("Bob", "Carol")] == 1
+
+
+def test_windowed_counts_drop_late_data(spark, tmp_path_repo):
+    """Watermark semantics across checkpointed runs: a window emits once
+    when the watermark passes its end; an event older than the
+    watermark arriving in a later batch is dropped, not re-aggregated."""
+    from poc_spark.streaming.ingest import windowed_message_counts
+
+    landing = tmp_path_repo / "landing2"
+    landing.mkdir()
+    out, ckpt = str(tmp_path_repo / "wc"), str(tmp_path_repo / "wc_ckpt")
+
+    def run():
+        parsed = parse_chat_stream(stream_chat_lines(spark, str(landing)))
+        q = (
+            windowed_message_counts(parsed, window="10 minutes",
+                                    watermark="10 minutes")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (str(r["window_start"]), r["sender"]): r["n_messages"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # batch 1: two events in the 09:00 window, one at 10:00 that pushes
+    # the watermark to 09:50 — so the 09:00-09:10 window finalizes
+    (landing / "b1.txt").write_text(
+        "[1.10.2023, 09:00:00] Alice: a\n"
+        "[1.10.2023, 09:01:00] Alice: b\n"
+        "[1.10.2023, 10:00:00] Bob: advances watermark\n",
+        encoding="utf-8",
+    )
+    got1 = run()
+    assert got1[("2023-10-01 09:00:00", "Alice")] == 2
+
+    # batch 2: a LATE event for the already-final 09:00 window (dropped)
+    # plus one at 10:30 that closes Bob's 10:00 window
+    (landing / "b2.txt").write_text(
+        "[1.10.2023, 09:02:00] Alice: too late, window closed\n"
+        "[1.10.2023, 10:30:00] Carol: advances watermark again\n",
+        encoding="utf-8",
+    )
+    got2 = run()
+    # the late Alice row did NOT change the emitted window, and the
+    # window appears exactly once
+    assert got2[("2023-10-01 09:00:00", "Alice")] == 2
+    assert got2[("2023-10-01 10:00:00", "Bob")] == 1
