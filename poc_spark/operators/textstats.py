@@ -159,16 +159,22 @@ def winnowing_fingerprints(
 
     toks = _tokens(F.col(text_col))
     n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    hashes = F.when(
+    hash_expr = F.when(
         n_grams > 0,
         F.transform(word_grams(F.lower(F.col(text_col)), k), lambda g: F.xxhash64(g)),
     ).otherwise(F.array().cast("array<bigint>"))
+    # materialization barrier (the minhash shared-shingle-table lesson):
+    # the shifted slices below reference the hash array `window` times,
+    # and deterministic projections collapse — without the barrier the
+    # tokenize→gram→hash chain runs `window`× per row.
+    hashed = df.select(F.col(id_col), hash_expr.alias("h")).cache()
+    hashes = F.col("h")
     n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
     # sliding-window min via `window` shifted copies zipped element-wise
-    # (the word_grams trick): hashes is referenced `window` times total,
-    # O(window·n). A per-index slice(hashes, i+1, window) lambda would
-    # re-inline and re-evaluate the WHOLE hash array for every window —
-    # O(n²), measured 99 s over sf0.1 documents vs ~4 s for this shape.
+    # (the word_grams trick): O(window·n). A per-index
+    # slice(hashes, i+1, window) lambda would re-inline and re-evaluate
+    # the WHOLE hash array for every window — O(n²), measured 99 s over
+    # sf0.1 documents vs ~4 s for this shape.
     shifted = [hashes.alias("w0")] + [
         F.slice(hashes, j + 1, 1 << 30).alias(f"w{j}") for j in range(1, window)
     ]
@@ -179,7 +185,9 @@ def winnowing_fingerprints(
             z, lambda e: F.least(*[e[f"w{j}"] for j in range(window)])
         ),
     ).otherwise(hashes)
-    return df.select(F.col(id_col), F.array_sort(F.array_distinct(mins)).alias("fps"))
+    return hashed.select(
+        F.col(id_col), F.array_sort(F.array_distinct(mins)).alias("fps")
+    )
 
 
 def tf_idf(
