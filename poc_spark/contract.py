@@ -1616,6 +1616,141 @@ def sim_ivf_kmeans(spark, sf_dir):
     return ivf_query(ivf_index(emb, cents), qv, cents, k=10, n_probe=4)
 
 
+@register(
+    "dedup_minhash_clusters",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(a.s || b.s)), 6) >= 0.7
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_minhash_clusters(spark, sf_dir):
+    """Pairs → dedup GROUPS: connected components over the minhash-LSH
+    near-dup pair graph (cluster = min member id = the survivor).
+    Spark: pointer-jumping label propagation; oracle: recursive-CTE
+    transitive closure over the exact-Jaccard pair set (equal to the
+    LSH pair set on this corpus — see dedup_minhash_lsh)."""
+    from poc_spark.operators.dedup import dedup_clusters
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.7, num_hashes=64, bands=16
+    )
+    return dedup_clusters(pairs)
+
+
+# quality gate shared by the pipeline entry and its oracle: the three
+# doc_stats conditions that make quality_score exactly 1.0
+_QUALITY_SQL = """
+      SELECT d.doc_id, d.text FROM documents d
+      WHERE len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                            x -> len(x) > 0)) BETWEEN 10 AND 100000
+        AND (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+              ::DOUBLE / greatest(length(d.text), 1) <= 0.2
+        AND len(list_intersect(
+              list_sort(list_distinct(list_filter(
+                string_split_regex(lower(d.text), '\\s+'), x -> len(x) > 0))),
+              ['the','and','of','to','a','in','is','it'])) > 0
+"""
+
+
+@register(
+    "pipeline_training_prep",
+    f"""
+    WITH RECURSIVE quality AS ({_QUALITY_SQL}),
+    toksq AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> len(x) > 0) AS t,
+             text
+      FROM quality
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END AS s
+      FROM toksq
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(a.s || b.s)), 6) >= 0.7
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+    surv AS (
+      SELECT doc_id, text FROM quality
+      WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
+    ),
+    tq AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> len(x) > 0) AS toks
+      FROM surv
+    ),
+    st AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1)::BIGINT, 80)) AS start
+      FROM tq
+    )
+    SELECT doc_id,
+           CAST(start / 80 AS BIGINT) AS chunk_id,
+           len(list_slice(toks, start + 1, start + 100))::BIGINT
+             AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 100), ' ')
+             AS chunk_text
+    FROM st
+    """,
+)
+def pipeline_training_prep(spark, sf_dir):
+    """END-TO-END training-data prep, one composed plan: quality gate
+    (doc_stats score = 1.0) → near-dup removal (minhash-LSH pairs →
+    clusters → keep min member) → overlapping token chunking. The
+    operators compose as DataFrames — one pipeline, no materialization
+    between stages except the documented LSH-internal caches."""
+    from poc_spark.operators.dedup import dedup_clusters
+    from poc_spark.operators.textstats import chunk_documents, doc_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    quality_ids = (
+        doc_stats(docs).filter(F.col("quality_score") >= 1.0).select("doc_id")
+    )
+    qdocs = docs.join(F.broadcast(quality_ids), "doc_id", "leftsemi")
+    pairs = minhash_lsh_pairs(qdocs, threshold=0.7, num_hashes=64, bands=16)
+    drop = (
+        dedup_clusters(pairs)
+        .filter(F.col("id") != F.col("cluster"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    survivors = qdocs.join(F.broadcast(drop), "doc_id", "left_anti")
+    return chunk_documents(survivors, 100, 20)
+
+
 # ---------------------------------------------------------------------------
 # Round-2 TPC-H-shape extensions (Q4/Q10/Q14/Q18/Q19 adapted to the
 # synthetic schema — no shipmode/commitdate/container/partsupp columns,
@@ -1841,6 +1976,8 @@ _TAIL = [
     "sim_ivf_kmeans",  # rows-only: KMeans-centroid IVF, pytest-pinned
     "text_tfidf",  # oracled; round-2 extension beyond the window
     "text_bigrams",  # oracled; round-2 extension beyond the window
+    "dedup_minhash_clusters",  # oracled; round-2 extension
+    "pipeline_training_prep",  # oracled; round-2 end-to-end composition
     "q4_late_ship_priority",  # oracled; round-2 TPC-H extension
     "q10_returned_items",  # oracled; round-2 TPC-H extension
     "q14_promo_revenue",  # oracled; round-2 TPC-H extension

@@ -464,3 +464,31 @@ def embedding_near_pairs(
         F.col("b.id").alias("id_b"),
         cos.alias("cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster formation: pairs → dedup groups
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, cluster) — connected components over the near-dup pair
+    graph: the step that turns pairwise matches into dedup GROUPS.
+    cluster = smallest member id (the deterministic survivor), so
+    "drop every id where id != cluster" is the dedup action. Reuses
+    the pointer-jumping component operator (O(log diameter) rounds)."""
+    from poc_spark.operators.graph import connected_components
+
+    edges = pairs.select(
+        F.col(id_a).alias("source"),
+        F.col(id_b).alias("target"),
+        F.lit(1).alias("weight"),
+    )
+    return connected_components(edges, max_iterations).select(
+        "id", F.col("component").alias("cluster")
+    )

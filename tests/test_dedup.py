@@ -107,3 +107,35 @@ def test_minhash_lsh_on_documents_table(spark, sf_dir):
     pairs = minhash_lsh_pairs(docs, threshold=0.7, num_hashes=64, bands=16)
     rows = pairs.limit(20).collect()
     assert all(r["jaccard"] >= 0.7 and r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_dedup_clusters_ground_truth(spark):
+    from poc_spark.operators.dedup import dedup_clusters
+
+    # pair graph: {1,2,3} chained, {7,9} direct, 5 appears only as id_b
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 5)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 4: 4, 5: 4}
+    # dedup action: survivors are exactly the cluster minima
+    survivors = {i for i, c in got.items() if i == c}
+    assert survivors == {1, 7, 4}
+
+
+def test_pipeline_training_prep_sanity(spark, sf_dir):
+    from poc_spark.contract import REGISTRY
+
+    out = REGISTRY["pipeline_training_prep"].spark(spark, sf_dir).cache()
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # quality gate + dedup only ever REMOVE documents
+    assert out.select("doc_id").distinct().count() < raw.count()
+    rows = out.collect()
+    assert all(1 <= r["n_chunk_tokens"] <= 100 for r in rows)
+    # chunk ids are dense from 0 per surviving doc
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r["chunk_id"])
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
