@@ -50,6 +50,14 @@ from poc_spark.operators.similarity import (
     random_hyperplanes,
 )
 from poc_spark.operators.text import top_k_words, word_freq
+from poc_spark.operators.textclean import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    pii_scrub,
+    split_sentences,
+    strip_boilerplate,
+)
 from poc_spark.operators.textstats import (
     LANG_ORDER,
     LANG_STOPWORDS,
@@ -1752,6 +1760,149 @@ def pipeline_training_prep(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Text cleaning (PII scrub / sentence split / boilerplate strip).
+# The synthetic corpus contains no PII, punctuation, or newlines, so
+# each entry SYNTHESIZES the structure deterministically (same concat /
+# replace expression in both dialects) before applying the operator —
+# the oracle then exercises the full count/redact/split/strip logic.
+# ---------------------------------------------------------------------------
+
+_PII_SYNTH_SQL = """
+      SELECT doc_id,
+             text || ' contact u' || doc_id::VARCHAR || '@example.com'
+                  || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+                  || ' tel +1-555-' || (doc_id % 9000 + 1000)::VARCHAR
+                  || '-33' AS text
+      FROM documents
+"""
+
+
+@register(
+    "text_pii_scrub",
+    """
+    WITH p AS ({synth})
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{email}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text, '{ip}'))::BIGINT    AS n_ips,
+           len(regexp_extract_all(text, '{phone}'))::BIGINT AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{email}', '<EMAIL>', 'g'),
+               '{ip}', '<IP>', 'g'),
+               '{phone}', '<PHONE>', 'g') AS clean_text
+    FROM p
+    """.format(
+        synth=_PII_SYNTH_SQL,
+        email=EMAIL_RE,
+        ip=IPV4_RE,
+        phone=PHONE_RE,
+    ),
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII pass over the corpus with synthesized email/IP/phone per doc.
+    Patterns live in poc_spark/operators/textclean.py (Java/RE2 common
+    subset) so the oracle runs the literally-identical regex."""
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1-555-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+            F.lit("-33"),
+        ).alias("text"),
+    )
+    return pii_scrub(synth)
+
+
+@register(
+    "text_sentences",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(regexp_replace(text, ' table ', '. ', 'g'),
+                              ' value ', '! ', 'g'),
+               '([.!?])\\s+', '\\1' || chr(30), 'g') AS marked
+      FROM documents
+    ),
+    s AS (SELECT doc_id, string_split(marked, chr(30)) AS parts FROM m),
+    e AS (
+      SELECT doc_id, unnest(range(1, len(parts) + 1)) AS p, parts FROM s
+    )
+    SELECT doc_id, (p - 1)::BIGINT AS sentence_id, trim(parts[p]) AS sentence
+    FROM e
+    WHERE length(trim(parts[p])) > 0
+    """,
+)
+def text_sentences(spark, sf_dir):
+    """Sentence segmentation; terminators synthesized by rewriting two
+    corpus words into '.'/'!' (replace-all is left-to-right
+    non-overlapping in both engines, so the synthesis is exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), " table ", ". "), " value ", "! "
+        ).alias("text"),
+    )
+    return split_sentences(marked)
+
+
+@register(
+    "text_boilerplate",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             text || chr(10) || 'subscribe to our newsletter' || chr(10)
+                  || '(c) 2026 example corp' || chr(10)
+                  || 'ref ' || doc_id::VARCHAR AS text
+      FROM documents
+    ),
+    ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+    lx AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos, arr FROM ls),
+    lines AS (SELECT doc_id, pos, arr[pos] AS line FROM lx),
+    bp AS (
+      SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM lines
+      WHERE line NOT IN (SELECT line FROM bp)
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+    reb AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+    FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+    """,
+)
+def text_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate-line removal; two shared footer lines
+    (present in every doc) are synthesized plus one unique ref line —
+    the strip must drop exactly the shared ones, order-preserving."""
+    docs = _t(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("subscribe to our newsletter"),
+            F.lit("(c) 2026 example corp"),
+            F.concat(F.lit("ref "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return strip_boilerplate(multi, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
 # Round-2 TPC-H-shape extensions (Q4/Q10/Q14/Q18/Q19 adapted to the
 # synthetic schema — no shipmode/commitdate/container/partsupp columns,
 # so the predicates use what exists: priorities, returnflags, p_type,
@@ -1978,6 +2129,9 @@ _TAIL = [
     "text_bigrams",  # oracled; round-2 extension beyond the window
     "dedup_minhash_clusters",  # oracled; round-2 extension
     "pipeline_training_prep",  # oracled; round-2 end-to-end composition
+    "text_pii_scrub",  # oracled; round-2 text-cleaning extension
+    "text_sentences",  # oracled; round-2 text-cleaning extension
+    "text_boilerplate",  # oracled; round-2 text-cleaning extension
     "q4_late_ship_priority",  # oracled; round-2 TPC-H extension
     "q10_returned_items",  # oracled; round-2 TPC-H extension
     "q14_promo_revenue",  # oracled; round-2 TPC-H extension

@@ -1,0 +1,128 @@
+"""Text-cleaning operators for training-data pipelines: PII scrubbing,
+sentence splitting, boilerplate-line stripping. All built-in JVM
+expressions (regexp_replace / split / posexplode / broadcast anti-join)
+— no Python in the hot path, every ratio-free output exactly
+reproducible in any engine with the same regex semantics.
+
+Regex dialect note: patterns here are restricted to the Java-regex /
+RE2 common subset (no lookaround, no backreferences in the MATCH) so
+the DuckDB oracles in poc_spark/contract.py run the very same pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Java-regex / RE2 common-subset PII patterns. Deliberately simple and
+# literal (like textstats.LANG_STOPWORDS) so the identical string embeds
+# in the SQL oracle; swap for a curated ruleset in production — the
+# Spark shape (sequential narrow regexp projections) is what matters.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,3}(-\d{2,4}){2,4}"
+
+# ASCII record separator: a safe in-band sentence delimiter (RE2 has no
+# lookbehind, so "split after terminator" is expressed as
+# replace-with-sentinel + split — identical plan in both engines).
+_SENT_SEP = "\x1e"  # chr(30)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_emails, n_ips, n_phones, clean_text) — count then redact
+    emails / IPv4s / phone numbers with typed placeholders, the standard
+    pre-training PII pass. Counts are measured on the ORIGINAL text;
+    redaction applies email -> ip -> phone in that fixed order (the
+    patterns are mutually non-overlapping by construction: '@' / dotted
+    quad / leading '+').
+
+    Scale shape: one narrow projection, no shuffle, no UDF — regexp
+    runs in whole-stage codegen and pipelines with the parquet scan.
+    """
+    text = F.col(text_col)
+    clean = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+def split_sentences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sentence_id, sentence) — split on sentence terminators
+    ([.!?] followed by whitespace), trim, drop empties. sentence_id is
+    the pre-filter split position (stable, monotone per doc; gaps mark
+    dropped empty segments).
+
+    One narrow regexp projection + one explode — no shuffle; document
+    order inside a partition is irrelevant because the id is computed
+    per row."""
+    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1" + _SENT_SEP)
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(marked, _SENT_SEP)).alias("sentence_id", "raw"),
+    )
+    sent = F.trim(F.col("raw"))
+    return ex.select(
+        F.col(id_col),
+        F.col("sentence_id").cast("long"),
+        sent.alias("sentence"),
+    ).filter(F.length(sent) > 0)
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, clean_text, n_removed) — remove every LINE that occurs in
+    >= min_docs distinct documents (the classic corpus-level
+    boilerplate filter: nav bars, cookie banners, footers). Documents
+    whose every line is boilerplate survive with clean_text = ''.
+
+    Scale shape: the boilerplate line set is tiny by definition (only
+    lines repeated across >= min_docs docs survive the HAVING), so the
+    removal join is a broadcast LEFT ANTI — no shuffle of the corpus.
+    The per-doc reassembly groups by id and sorts each doc's surviving
+    (pos, line) structs in-memory (bounded by doc size, not corpus
+    size). Line-frequency counting is one count-distinct aggregate
+    shuffled by line — at 100 TB, cap candidate lines first with a
+    length/frequency prefilter if the line domain explodes."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_lines"))
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+        (F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -1,0 +1,101 @@
+"""Ground-truth tests for the text-cleaning operators (PII scrub,
+sentence split, boilerplate strip)."""
+
+from __future__ import annotations
+
+from poc_spark.operators.textclean import (
+    pii_scrub,
+    split_sentences,
+    strip_boilerplate,
+)
+
+
+def test_pii_scrub_ground_truth(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and eve@sub.example.org now"),
+            (2, "server 10.0.3.7 fell over, call +1-555-0187-33"),
+            (3, "nothing sensitive here"),
+            (4, "edge: a@b.co +44-20-7946-0958 192.168.1.1"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (2, 0, 0)
+    assert got[1]["clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 1, 1)
+    assert got[2]["clean_text"] == "server <IP> fell over, call <PHONE>"
+    assert got[3]["clean_text"] == "nothing sensitive here"
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (1, 1, 1)
+    assert got[4]["clean_text"] == "edge: <EMAIL> <PHONE> <IP>"
+
+
+def test_split_sentences_ground_truth(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Second!  Third thing? trailing"),
+            (2, "no terminator at all"),
+            (3, "Ends hard."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = split_sentences(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["sentence_id"], r["sentence"]))
+    assert sorted(by_doc[1]) == [
+        (0, "First one."),
+        (1, "Second!"),
+        (2, "Third thing?"),
+        (3, "trailing"),
+    ]
+    assert by_doc[2] == [(0, "no terminator at all")]
+    # terminator at end of string: no trailing whitespace -> one sentence
+    assert by_doc[3] == [(0, "Ends hard.")]
+
+
+def test_split_sentences_drops_empty_segments(spark):
+    df = spark.createDataFrame([(1, "A. ! B.")], "doc_id long, text string")
+    rows = sorted(
+        (r["sentence_id"], r["sentence"]) for r in split_sentences(df).collect()
+    )
+    # "!" alone survives as a sentence (it is non-empty after trim)
+    assert rows == [(0, "A."), (1, "!"), (2, "B.")]
+
+
+def test_strip_boilerplate_ground_truth(spark):
+    footer = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique alpha\n{footer}\ncookie banner"),
+            (2, f"unique beta\n{footer}\ncookie banner"),
+            (3, f"unique gamma\n{footer}"),
+            (4, footer),  # every line is boilerplate
+            (5, "totally unique doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in strip_boilerplate(df, min_docs=2).collect()}
+    assert got[1]["clean_text"] == "unique alpha"
+    assert got[1]["n_removed"] == 2
+    assert got[2]["clean_text"] == "unique beta"
+    assert got[3]["clean_text"] == "unique gamma"
+    assert got[3]["n_removed"] == 1
+    # all-boilerplate doc survives as an empty shell, not a lost row
+    assert got[4]["clean_text"] == ""
+    assert got[4]["n_removed"] == 1
+    assert got[5]["clean_text"] == "totally unique doc"
+    assert got[5]["n_removed"] == 0
+
+
+def test_strip_boilerplate_preserves_line_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "z last\ncommon\na first\ncommon\nm middle"),
+            (2, "common\nother doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in strip_boilerplate(df, min_docs=2).collect()}
+    assert got[1]["clean_text"] == "z last\na first\nm middle"
+    assert got[1]["n_removed"] == 2
