@@ -44,6 +44,10 @@ from poc_spark.operators.network import (
     lag_edges_limited,
     ordered_limit,
 )
+from poc_spark.operators.sketches import (
+    approx_distinct_by,
+    hll_union_estimate,
+)
 from poc_spark.operators.similarity import (
     ann_hyperplane,
     knn_brute,
@@ -1903,6 +1907,95 @@ def text_boilerplate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sketches (HLL cardinality, mergeable unions, approx quantiles).
+# Sketch binaries/estimates are implementation-defined, so these
+# entries oracle the accuracy CONTRACT: exact values hash-match
+# exactly, and each engine asserts its own sketch sits within the
+# published error bound (a boolean both sides must agree is true).
+# Raw rel-err numbers are pinned in tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_distinct_bounds",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_exact,
+           (abs(approx_count_distinct(l_orderkey)
+                - count(DISTINCT l_orderkey))::DOUBLE
+              / greatest(count(DISTINCT l_orderkey), 1)) <= 0.15
+             AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sketch_distinct_bounds(spark, sf_dir):
+    """Grouped HLL++ approx distinct vs exact, 3-sigma bound check.
+    At 100 TB the exact column disappears and the approx runs alone —
+    partial sketches merge map-side, no shuffle of raw values."""
+    return approx_distinct_by(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_orderkey", rsd=0.05
+    ).select("l_returnflag", "n_exact", "within_bound")
+
+
+@register(
+    "sketch_hll_union",
+    """
+    SELECT count(DISTINCT l_orderkey) AS n_exact,
+           (abs(approx_count_distinct(l_orderkey)
+                - count(DISTINCT l_orderkey))::DOUBLE
+              / count(DISTINCT l_orderkey)) <= 0.05 AS union_within_bound
+    FROM lineitem
+    """,
+)
+def sketch_hll_union(spark, sf_dir):
+    """Mergeability contract: per-returnflag DataSketches-HLL sketches
+    are UNIONED (hll_union_agg) and the merged estimate must match the
+    global distinct count within 5% — groups overlap in orderkeys, so a
+    per-group sum would overcount ~4x; only a true sketch union passes."""
+    li = _t(spark, sf_dir, "lineitem")
+    est = hll_union_estimate(li, ["l_returnflag"], "l_orderkey")
+    exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
+    return exact.crossJoin(est).select(
+        F.col("n_exact"),
+        (
+            F.abs(F.col("estimate") - F.col("n_exact")) / F.col("n_exact")
+            <= 0.05
+        ).alias("union_within_bound"),
+    )
+
+
+@register(
+    "sketch_quantile_bounds",
+    """
+    SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS exact_median,
+           (approx_quantile(o_totalprice, 0.5)
+              BETWEEN quantile_cont(o_totalprice, 0.49)
+                  AND quantile_cont(o_totalprice, 0.51))
+             AS median_within_bound
+    FROM orders
+    """,
+)
+def sketch_quantile_bounds(spark, sf_dir):
+    """Mergeable approx median (percentile_approx, rank error n/acc)
+    pinned inside the exact [p49, p51] envelope; the exact median
+    itself hash-matches (Spark percentile == DuckDB quantile_cont,
+    both linear interpolation)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 6).alias(
+            "exact_median"
+        ),
+        F.percentile_approx(F.col("o_totalprice"), F.lit(0.5), F.lit(10000))
+        .between(
+            F.percentile(F.col("o_totalprice"), F.lit(0.49)),
+            F.percentile(F.col("o_totalprice"), F.lit(0.51)),
+        )
+        .alias("median_within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round-2 TPC-H-shape extensions (Q4/Q10/Q14/Q18/Q19 adapted to the
 # synthetic schema — no shipmode/commitdate/container/partsupp columns,
 # so the predicates use what exists: priorities, returnflags, p_type,
@@ -2132,6 +2225,9 @@ _TAIL = [
     "text_pii_scrub",  # oracled; round-2 text-cleaning extension
     "text_sentences",  # oracled; round-2 text-cleaning extension
     "text_boilerplate",  # oracled; round-2 text-cleaning extension
+    "sketch_distinct_bounds",  # oracled (bound booleans); round-2 extension
+    "sketch_hll_union",  # oracled (bound booleans); round-2 extension
+    "sketch_quantile_bounds",  # oracled (bound booleans); round-2 extension
     "q4_late_ship_priority",  # oracled; round-2 TPC-H extension
     "q10_returned_items",  # oracled; round-2 TPC-H extension
     "q14_promo_revenue",  # oracled; round-2 TPC-H extension
