@@ -1,0 +1,117 @@
+"""Deterministic sampling, splitting, source mixing, and sequence
+packing — the data-mixing layer of a training pipeline.
+
+Everything here is CONTENT-ADDRESSED (hash of a stable key), never
+RNG-state-addressed: re-running on appended data keeps every prior
+keep/drop/split decision, any engine reproduces the same sample, and
+there is no driver-coordinated seed. The hash is the md5-60bit bucket
+(poc_spark/operators/dedup.py token_hash 'md5_60'), reproducible in
+DuckDB as ('0x'||substr(md5(k),1,15))::BIGINT, so every operator in
+this module is exactly oracle-able.
+
+Scale shape: sampling/splitting/mixing are stateless narrow filters
+(pipeline with the scan, no shuffle). Packing windows are PARTITIONED
+by a hash shard — no global window, each shard packs independently
+(exactly how distributed training pipelines pack: per-worker bins,
+never a cluster-wide sequential scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from poc_spark.operators.dedup import token_hash
+
+# bucket resolution: fractions are exact multiples of 1e-6
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, n_buckets: int = _BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, n_buckets) from the md5-60bit
+    of the key's string form."""
+    return F.pmod(
+        token_hash(key.cast("string"), "md5_60"), F.lit(n_buckets)
+    ).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame, frac: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Bernoulli-style sample keeping rows whose hash bucket falls below
+    frac — stable across runs, engines, and cluster layouts (unlike
+    df.sample, whose output depends on partitioning + seed)."""
+    return df.filter(hash_bucket(F.col(key_col)) < int(round(frac * _BUCKETS)))
+
+
+def split_train_val_test(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> DataFrame:
+    """Adds a 'split' column ('train'/'val'/'test') by hash bucket:
+    disjoint, exhaustive, append-stable (a doc never migrates between
+    splits when the corpus grows)."""
+    b = hash_bucket(F.col(key_col))
+    n_test = int(round(test_frac * _BUCKETS))
+    n_val = int(round(val_frac * _BUCKETS))
+    split = (
+        F.when(b < n_test, F.lit("test"))
+        .when(b < n_test + n_val, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-source downsampling to a target mixture: each
+    source keeps its own fraction (sources absent from `weights` keep
+    0.0 — an explicit mixture is a whitelist). The weight map rides as
+    a literal when-chain (tiny, known at plan time) — no join."""
+    thr: Column = F.lit(0)
+    for src, frac in sorted(weights.items()):
+        thr = F.when(
+            F.col(source_col) == src, F.lit(int(round(frac * _BUCKETS)))
+        ).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key_col)) < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, shard, seq_bin) — contiguous token-budget packing:
+    within each hash shard, docs are taken in id order and a doc joins
+    bin floor(prefix_tokens_before_it / budget). This is the streaming
+    prefix-sum approximation of greedy bin packing (a doc may straddle
+    a budget boundary; trainers truncate/pad at the seam).
+
+    The window is PARTITIONED by shard — n_shards independent packers,
+    no global sort. At 1000 executors raise n_shards to ~4x the
+    parallelism; determinism is unaffected because shard assignment is
+    content-addressed."""
+    shard = hash_bucket(F.col(id_col), n_shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_shard = df.select(
+        F.col(id_col), F.col(token_col), shard.alias("shard")
+    )
+    prefix_before = F.sum(token_col).over(w) - F.col(token_col)
+    return with_shard.select(
+        id_col,
+        token_col,
+        "shard",
+        F.floor(prefix_before / budget).cast("long").alias("seq_bin"),
+    )

@@ -1,0 +1,120 @@
+"""Determinism, partition, and packing invariants for the sampling /
+mixing / packing operators."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from poc_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    mix_sources,
+    pack_sequences,
+    split_train_val_test,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_sample_is_deterministic_and_close_to_frac(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r["doc_id"] for r in deterministic_sample(docs, 0.25).select("doc_id").collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs, 0.25).select("doc_id").collect()}
+    assert a == b  # no RNG state anywhere
+    n = docs.count()
+    assert 0.15 * n <= len(a) <= 0.35 * n  # binomial tolerance at n=500
+
+
+def test_sample_is_monotone_in_frac(spark, sf_dir):
+    """A row kept at frac f stays kept at every f' > f (bucket filter
+    is a prefix of the bucket space) — lets you grow a sample without
+    resampling what's already processed."""
+    docs = _docs(spark, sf_dir)
+    small = {r["doc_id"] for r in deterministic_sample(docs, 0.1).select("doc_id").collect()}
+    big = {r["doc_id"] for r in deterministic_sample(docs, 0.3).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_split_disjoint_exhaustive_stable(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    rows = split_train_val_test(docs, val_frac=0.2, test_frac=0.2).select(
+        "doc_id", "split"
+    ).collect()
+    assert len(rows) == docs.count()
+    by_split = defaultdict(set)
+    for r in rows:
+        by_split[r["split"]].add(r["doc_id"])
+    assert set(by_split) == {"train", "val", "test"}
+    assert not (by_split["train"] & by_split["val"])
+    assert not (by_split["val"] & by_split["test"])
+    assert not (by_split["train"] & by_split["test"])
+    # append-stability: splitting a SUBSET assigns identical labels
+    sub = split_train_val_test(
+        docs.filter(F.col("doc_id") % 2 == 0), val_frac=0.2, test_frac=0.2
+    ).select("doc_id", "split").collect()
+    full = {r["doc_id"]: r["split"] for r in rows}
+    assert all(full[r["doc_id"]] == r["split"] for r in sub)
+
+
+def test_mix_sources_respects_weights(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = mix_sources(docs, {"src0": 1.0, "src1": 0.5})
+    per_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(per_src) <= {"src0", "src1"}  # unlisted sources dropped
+    assert per_src["src0"] == 25  # frac 1.0 keeps everything
+    assert 5 <= per_src.get("src1", 0) <= 20  # frac 0.5 of 25
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    from poc_spark.operators.textstats import token_count
+
+    sized = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    packed = pack_sequences(sized, budget=200, n_shards=8).collect()
+    assert len(packed) == docs.count()
+    by_shard = defaultdict(list)
+    for r in packed:
+        by_shard[r["shard"]].append(r)
+    assert set(r["shard"] for r in packed) <= set(range(8))
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        prefix = 0
+        for r in rows:
+            assert r["seq_bin"] == prefix // 200, (shard, r)
+            prefix += r["n_tokens"]
+        # bins are dense from 0
+        bins = sorted({r["seq_bin"] for r in rows})
+        assert bins == list(range(len(bins)))
+
+
+def test_hash_bucket_matches_duckdb(spark, sf_dir):
+    """The bucket function is the cross-engine contract — pin it
+    directly against DuckDB's md5-60bit expression."""
+    import duckdb
+
+    docs = _docs(spark, sf_dir).limit(50)
+    got = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", hash_bucket(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"""
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000000 AS b
+            FROM read_parquet('{sf_dir}/documents.parquet')
+            """
+        ).fetchall()
+    )
+    assert all(want[k] == v for k, v in got.items())
