@@ -27,8 +27,8 @@ from poc_spark.functions.chat_parse import normalize_sender
 from poc_spark.operators.dedup import (
     embedding_near_pairs,
     exact_duplicates,
+    jaccard_prefix_pairs,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
     simhash_near_pairs,
 )
 from poc_spark.operators.graph import (
@@ -1021,10 +1021,14 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact token-set Jaccard pairs ≥ 0.95 (all-pairs verification form;
-    the LSH form below is the scale path). Jaccard is int/int — division
-    is bit-identical across engines."""
-    return ngram_jaccard_pairs(
+    """Exact token-set Jaccard pairs ≥ 0.95 via prefix filtering
+    (PPJoin-style: rare-first token prefixes as bucket-join keys, exact
+    verify on candidates — identical pair set to the all-pairs form,
+    O(docs × prefix) not O(docs²); equality and plan shape pinned in
+    tests/test_dedup.py). The oracle stays the quadratic SQL — DuckDB
+    is the verification engine, this plan is the scale path. Jaccard is
+    int/int — division is bit-identical across engines."""
+    return jaccard_prefix_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.95
     )
 

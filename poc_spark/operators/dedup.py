@@ -108,7 +108,10 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
-    return (inter / union).cast("double")
+    # try_divide: two EMPTY token sets give 0/0 — null (not a near-dup
+    # pair; byte-identical empties are exact_duplicates' business), and
+    # under Spark 4 ANSI a plain `/` would crash the whole job on them.
+    return F.try_divide(inter, union).cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -151,6 +154,89 @@ def ngram_jaccard_pairs(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         jac.alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via prefix filtering (exact, scale path)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT token-set Jaccard pairs ≥ threshold — same output as
+    ngram_jaccard_pairs, but O(docs × prefix) instead of O(docs²)
+    (prefix filtering à la SSJoin/PPJoin, Chaudhuri'06 / Xiao'08).
+
+    Principle: order every document's tokens by a single global total
+    order (ascending document frequency, rarest first — ties broken by
+    the token itself). If J(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and
+    any two sets with overlap ≥ α must share a token within the first
+    |x| − α + 1 tokens of that global order (else the smallest common
+    token would leave fewer than α positions for the intersection).
+    So: emit only each doc's first |x| − ⌈t·|x|⌉ + 1 tokens as join
+    keys, bucket-join on the token, verify candidates exactly. Identical
+    pair set, and the rare-first ordering keeps buckets tiny — frequent
+    tokens almost never appear in a prefix.
+
+    Shuffle cost: 3 token-row shuffles (df-count, order, prefix) +
+    candidate verify — all linear in corpus tokens; no quadratic join
+    anywhere (pinned by tests/test_dedup.py plan assertions).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), token_set(F.col(text_col)).alias("toks")
+    ).withColumn("sz", F.size("toks"))
+
+    tok_rows = toks.select("id", "sz", F.explode("toks").alias("tok"))
+    dfreq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # rare-first global order per doc: array_sort of (df, tok) structs
+    ordered = (
+        tok_rows.join(dfreq, "tok")
+        .groupBy("id", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord"))
+    )
+    # α = ⌈t·sz⌉, computed with a 1e-9 nudge so binary-float overshoot
+    # (0.95*20 = 19.0000…4) can't round the ceiling UP — an α too large
+    # would shorten the prefix and break recall; the nudge only ever
+    # lengthens it (extra candidates, never missed ones).
+    alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    prefix_len = (F.col("sz") - alpha + 1).cast("int")
+    pref = ordered.select(
+        "id",
+        "sz",
+        F.explode(
+            F.transform(
+                F.slice(F.col("ord"), F.lit(1), prefix_len), lambda s: s["tok"]
+            )
+        ).alias("tok"),
+    )
+
+    a, b = pref.alias("a"), pref.alias("b")
+    sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            # size-compatibility prune (sound): J ≥ t ⇒ min ≥ t·max
+            & (F.least(sz_a, sz_b) >= F.lit(threshold) * F.greatest(sz_a, sz_b)),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    va = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    vb = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    jac = F.round(_jaccard(F.col("t_a"), F.col("t_b")), 6)
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from poc_spark.operators.dedup import (
     embedding_near_pairs,
     exact_duplicates,
+    jaccard_prefix_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
@@ -51,6 +52,51 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
     assert (0, 3) in pairs and 0.8 < pairs[(0, 3)] < 1.0
     assert (4, 5) not in pairs
+
+
+@pytest.mark.parametrize("threshold", [0.95, 0.7, 0.5])
+def test_prefix_filter_equals_all_pairs(spark, sf_dir, threshold):
+    """Prefix-filtered Jaccard must produce the IDENTICAL pair set to the
+    quadratic all-pairs oracle at every threshold — prefix filtering is
+    exact (recall 1.0 by the overlap-prefix lemma), not approximate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ap = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in ngram_jaccard_pairs(docs, threshold=threshold).collect()}
+    pf = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in jaccard_prefix_pairs(docs, threshold=threshold).collect()}
+    assert pf == ap and len(pf) > 0
+
+
+def test_prefix_filter_plan_has_no_quadratic_join(spark, docs):
+    """The scale property itself: the prefix-filtered plan joins on an
+    equi-key (token), never a nested-loop/cartesian pair enumeration."""
+    plan = jaccard_prefix_pairs(docs, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the all-pairs form IS the nested loop — the contrast pins the claim
+    quad = ngram_jaccard_pairs(docs, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoopJoin" in quad or "CartesianProduct" in quad
+
+
+def test_prefix_filter_edge_cases(spark):
+    """Empty docs, single-token docs, docs shorter than the prefix."""
+    rows = [
+        (0, ""),                      # empty token set
+        (1, "   "),                   # whitespace only
+        (2, "solo"),                  # single token
+        (3, "solo"),                  # identical single token
+        (4, "alpha beta gamma"),
+        (5, "alpha beta gamma"),
+        (6, "alpha beta delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_prefix_pairs(df, threshold=0.5).collect()}
+    exp = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert got == exp
+    assert (2, 3) in got and got[(2, 3)] == 1.0
+    assert (4, 5) in got and (4, 6) in got
 
 
 def test_minhash_lsh_finds_planted_near_dups(spark, docs):
