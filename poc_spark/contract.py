@@ -37,6 +37,12 @@ from poc_spark.operators.graph import (
     pagerank,
     triangle_count,
 )
+from poc_spark.operators.sampling import (
+    deterministic_sample,
+    mix_sources,
+    pack_sequences,
+    split_train_val_test,
+)
 from poc_spark.operators.multimodal import decode_media, payload_stats
 from poc_spark.operators.network import (
     induced_subgraph,
@@ -2362,6 +2368,108 @@ def q22_idle_balances(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sampling / splitting / mixing / packing layer (operators/sampling.py)
+# ---------------------------------------------------------------------------
+# Every decision is content-addressed via the purpose-salted md5-60bit
+# bucket, so each operator is EXACTLY oracle-able:
+#   ('0x'||substr(md5(key::VARCHAR || '<purpose>'),1,15))::BIGINT % N
+
+
+def _b60(key_sql: str, purpose: str, n: int) -> str:
+    return (
+        f"(('0x'||substr(md5(CAST({key_sql} AS VARCHAR) || '{purpose}'),1,15))"
+        f"::BIGINT % {n})"
+    )
+
+
+@register(
+    "sample_deterministic",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_b60("doc_id", ":sample", 1_000_000)} < 250000
+    """,
+)
+def sample_deterministic(spark, sf_dir):
+    """Content-addressed 25% Bernoulli sample (operators/sampling.py:38):
+    stable across runs, engines, and cluster layouts — no RNG state,
+    no partition dependence; a narrow filter fused into the scan."""
+    return deterministic_sample(_t(spark, sf_dir, "documents"), 0.25).select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "sample_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN b < 100000 THEN 'test'
+                WHEN b < 200000 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (SELECT doc_id, {_b60("doc_id", ":split", 1_000_000)} AS b
+          FROM documents)
+    """,
+)
+def sample_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) — disjoint,
+    exhaustive, append-stable; independent of the :sample decision by
+    purpose salting (sampling.py:30)."""
+    return split_train_val_test(
+        _t(spark, sf_dir, "documents"), val_frac=0.1, test_frac=0.1
+    ).select("doc_id", "split")
+
+
+@register(
+    "sample_mix",
+    f"""
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source, {_b60("doc_id", ":mix", 1_000_000)} AS b
+          FROM documents)
+    WHERE (source = 'src1' AND b < 1000000)
+       OR (source = 'src3' AND b <  500000)
+       OR (source = 'src5' AND b <  250000)
+    """,
+)
+def sample_mix(spark, sf_dir):
+    """Deterministic source mixture (whitelist semantics: absent sources
+    keep 0.0): src1 at 1.0, src3 at 0.5, src5 at 0.25 — the weight map
+    rides as a literal when-chain, no join (sampling.py:67)."""
+    return mix_sources(
+        _t(spark, sf_dir, "documents"),
+        {"src1": 1.0, "src3": 0.5, "src5": 0.25},
+    ).select("doc_id", "source")
+
+
+@register(
+    "sample_pack",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> len(x) > 0))::BIGINT AS n_tokens,
+             {_b60("doc_id", ":shard", 8)} AS shard
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST((CAST(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) - n_tokens) // 200 AS BIGINT) AS seq_bin
+    FROM t
+    """,
+)
+def sample_pack(spark, sf_dir):
+    """Sequence packing: per-shard prefix-sum token budgeting (200
+    tokens/bin, 8 hash shards — sampling.py:85). The window is
+    PARTITIONED by the content-addressed shard: n_shards independent
+    packers, no global sort, exactly how distributed trainers pack."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(sized, budget=200, n_shards=8)
+
+
+# ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
 # The round-1 driver recorded exactly the first 50 of 53 registry
@@ -2373,6 +2481,11 @@ def q22_idle_balances(spark, sf_dir):
 # last. tests/test_contract_registry.py pins the invariant.
 
 _TAIL = [
+    # r2 driver-green; simple capabilities evidenced by other head rows
+    "op_src_doc_scan",  # ordered scan+limit; evidenced by op_limit_n
+    "op_proj_users",  # projection+rename; evidenced by op_src_doc_scan shape
+    "op_fn_sqrt",  # scalar math fn; evidenced by op_fil_substr/q1 exprs
+    "op_join_point",  # keyed point lookup; evidenced by op_src_doc_scan
     "q_value_histogram",  # bucketing capability overlaps q_pivot_events
     "graph_pagerank",  # rows-only: float iteration order, pytest-pinned
     "text_winnowing",  # rows-only: xxhash64-based, pytest-pinned

@@ -27,12 +27,24 @@ from poc_spark.operators.dedup import token_hash
 _BUCKETS = 1_000_000
 
 
-def hash_bucket(key: Column, n_buckets: int = _BUCKETS) -> Column:
+def hash_bucket(
+    key: Column, n_buckets: int = _BUCKETS, purpose: str = ""
+) -> Column:
     """Uniform deterministic bucket in [0, n_buckets) from the md5-60bit
-    of the key's string form."""
-    return F.pmod(
-        token_hash(key.cast("string"), "md5_60"), F.lit(n_buckets)
-    ).cast("long")
+    of the key's string form, salted by `purpose`.
+
+    The purpose salt makes independent decisions INDEPENDENT: without
+    it, sample/split/mix all rank rows by the same hash, so a 10%
+    sample keeps exactly the rows a 10% test split labels 'test' and a
+    composed pipeline yields a catastrophically skewed split. Each
+    operator passes its own salt; DuckDB twin:
+    ('0x'||substr(md5(k::VARCHAR || '<purpose>'),1,15))::BIGINT % n."""
+    salted = (
+        F.concat(key.cast("string"), F.lit(purpose))
+        if purpose
+        else key.cast("string")
+    )
+    return F.pmod(token_hash(salted, "md5_60"), F.lit(n_buckets)).cast("long")
 
 
 def deterministic_sample(
@@ -41,7 +53,9 @@ def deterministic_sample(
     """Bernoulli-style sample keeping rows whose hash bucket falls below
     frac — stable across runs, engines, and cluster layouts (unlike
     df.sample, whose output depends on partitioning + seed)."""
-    return df.filter(hash_bucket(F.col(key_col)) < int(round(frac * _BUCKETS)))
+    return df.filter(
+        hash_bucket(F.col(key_col), purpose=":sample") < int(round(frac * _BUCKETS))
+    )
 
 
 def split_train_val_test(
@@ -53,7 +67,7 @@ def split_train_val_test(
     """Adds a 'split' column ('train'/'val'/'test') by hash bucket:
     disjoint, exhaustive, append-stable (a doc never migrates between
     splits when the corpus grows)."""
-    b = hash_bucket(F.col(key_col))
+    b = hash_bucket(F.col(key_col), purpose=":split")
     n_test = int(round(test_frac * _BUCKETS))
     n_val = int(round(val_frac * _BUCKETS))
     split = (
@@ -79,7 +93,7 @@ def mix_sources(
         thr = F.when(
             F.col(source_col) == src, F.lit(int(round(frac * _BUCKETS)))
         ).otherwise(thr)
-    return df.filter(hash_bucket(F.col(key_col)) < thr)
+    return df.filter(hash_bucket(F.col(key_col), purpose=":mix") < thr)
 
 
 def pack_sequences(
@@ -99,7 +113,7 @@ def pack_sequences(
     no global sort. At 1000 executors raise n_shards to ~4x the
     parallelism; determinism is unaffected because shard assignment is
     content-addressed."""
-    shard = hash_bucket(F.col(id_col), n_shards)
+    shard = hash_bucket(F.col(id_col), n_shards, purpose=":shard")
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)

@@ -96,25 +96,54 @@ def test_pack_sequences_invariants(spark, sf_dir):
 
 def test_hash_bucket_matches_duckdb(spark, sf_dir):
     """The bucket function is the cross-engine contract — pin it
-    directly against DuckDB's md5-60bit expression."""
+    directly against DuckDB's md5-60bit expression, salted and not."""
     import duckdb
 
     docs = _docs(spark, sf_dir).limit(50)
-    got = {
-        r["doc_id"]: r["b"]
-        for r in docs.select(
-            "doc_id", hash_bucket(F.col("doc_id")).alias("b")
-        ).collect()
+    for purpose in ("", ":split"):
+        got = {
+            r["doc_id"]: r["b"]
+            for r in docs.select(
+                "doc_id", hash_bucket(F.col("doc_id"), purpose=purpose).alias("b")
+            ).collect()
+        }
+        con = duckdb.connect()
+        want = dict(
+            con.execute(
+                f"""
+                SELECT doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{purpose}'),
+                                       1, 15))::BIGINT % 1000000 AS b
+                FROM read_parquet('{sf_dir}/documents.parquet')
+                """
+            ).fetchall()
+        )
+        assert all(want[k] == v for k, v in got.items())
+
+
+def test_sample_and_split_are_independent(spark, sf_dir):
+    """Purpose salts decorrelate the layers: within a 50% sample the
+    train/val/test proportions must match the configured fractions.
+    (Unsalted, a 0.2 sample kept EXACTLY the buckets a 0.2 test split
+    labels 'test' — a composed pipeline shipped test data as train.)"""
+    docs = _docs(spark, sf_dir)
+    sampled = deterministic_sample(docs, 0.5)
+    rows = split_train_val_test(sampled, val_frac=0.2, test_frac=0.2).collect()
+    n = len(rows)
+    counts = defaultdict(int)
+    for r in rows:
+        counts[r["split"]] += 1
+    # binomial 3-sigma bands at n≈250
+    assert 0.45 * n <= counts["train"] <= 0.75 * n
+    assert 0.10 * n <= counts["val"] <= 0.32 * n
+    assert 0.10 * n <= counts["test"] <= 0.32 * n
+    # and the worst case of the old bug: a 0.2 sample must NOT equal
+    # the 'test' split of a 0.2-test split
+    s02 = {r["doc_id"] for r in deterministic_sample(docs, 0.2).select("doc_id").collect()}
+    t02 = {
+        r["doc_id"]
+        for r in split_train_val_test(docs, val_frac=0.1, test_frac=0.2)
+        .filter(F.col("split") == "test").select("doc_id").collect()
     }
-    con = duckdb.connect()
-    want = dict(
-        con.execute(
-            f"""
-            SELECT doc_id,
-                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                     % 1000000 AS b
-            FROM read_parquet('{sf_dir}/documents.parquet')
-            """
-        ).fetchall()
-    )
-    assert all(want[k] == v for k, v in got.items())
+    overlap = len(s02 & t02) / max(len(s02 | t02), 1)
+    assert overlap < 0.5  # independent draws overlap ~ Jaccard 0.11
