@@ -1641,20 +1641,28 @@ def text_bigrams(spark, sf_dir):
 
 @register("sim_ivf_kmeans", None)  # rows-only: KMeans floats, no SQL twin
 def sim_ivf_kmeans(spark, sf_dir):
-    """IVF ANN with REAL pyspark.ml KMeans centroids (k-means|| init,
-    deterministic under the fixed seed): index every vector to its
-    nearest of 16 fitted centers, probe the 4 lists nearest the query.
-    Recall vs brute force pinned in tests/test_similarity.py."""
+    """IVF ANN against a PERSISTED index (fit-once / query-many): on
+    first use the index is built under .tmp/ivf/<sf> — real pyspark.ml
+    KMeans centroids (k-means|| init, deterministic seed), vectors
+    written partitionBy(centroid) so probing 4 of 16 lists is literal
+    parquet partition pruning. The query plan contains NO KMeans fit —
+    it reads the stored centroids (16 rows) and the pruned vector
+    partitions. Recall vs brute force pinned in tests/test_similarity.py."""
+    import os
+
     from poc_spark.operators.similarity import (
-        ivf_centroids_kmeans,
-        ivf_index,
+        build_ivf_index,
         ivf_query,
+        load_ivf_index,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    path = f".tmp/ivf/{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(f"{path}/centroids"):
+        build_ivf_index(emb, path, n_centroids=16)
+    index_df, cents = load_ivf_index(spark, path)
     qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
-    cents = ivf_centroids_kmeans(emb, n_centroids=16)
-    return ivf_query(ivf_index(emb, cents), qv, cents, k=10, n_probe=4)
+    return ivf_query(index_df, qv, cents, k=10, n_probe=4)
 
 
 @register(

@@ -219,6 +219,60 @@ def ivf_index(
     return df.withColumn("centroid", _nearest_centroid(F.col(vec_col), centroids))
 
 
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> None:
+    """Fit-once / query-many IVF: fits KMeans, writes
+    `<path>/centroids` (centroid_id, center array<double>) and
+    `<path>/vectors` PARTITIONED BY centroid — so a query's list
+    pruning is literal parquet partition pruning on disk; an n_probe=4
+    probe of a 1000-list index reads 0.4% of the bytes. At scale this
+    is the whole point: the fit is paid once, queries touch only their
+    probe lists."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    cents = ivf_centroids_kmeans(
+        df, n_centroids, vec_col, seed=seed, sample_fraction=sample_fraction
+    )
+    schema = StructType(
+        [
+            StructField("centroid_id", IntegerType(), False),
+            StructField("center", ArrayType(DoubleType()), False),
+        ]
+    )
+    spark.createDataFrame(cents, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    ivf_index(df, cents, vec_col).write.mode("overwrite").partitionBy(
+        "centroid"
+    ).parquet(f"{path}/vectors")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """(vectors_df, centroids) from a build_ivf_index layout. The
+    centroid list is tiny (k rows) — collected for broadcast into query
+    plans; the vector table stays lazy and partition-pruned."""
+    cents = [
+        (int(r["centroid_id"]), [float(x) for x in r["center"]])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    cents.sort(key=lambda t: t[0])
+    return spark.read.parquet(f"{path}/vectors"), cents
+
+
 def ivf_query(
     index_df: DataFrame,
     query_vec: list[float],

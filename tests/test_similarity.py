@@ -100,6 +100,36 @@ def test_ivf_kmeans_centroids(spark, emb, query_vec):
     assert len(exact & part) / 10 >= 0.4
 
 
+def test_ivf_persisted_index_roundtrip(spark, emb, query_vec, tmp_path):
+    """build_ivf_index → load_ivf_index → query must equal the
+    in-memory fit-and-query exactly, and the on-disk vector layout must
+    be hive-partitioned by centroid (query-time list pruning = parquet
+    partition pruning)."""
+    import os
+
+    from poc_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_centroids_kmeans,
+        load_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    index_df, cents = load_ivf_index(spark, path)
+    # stored centroids == a fresh deterministic fit
+    assert cents == ivf_centroids_kmeans(emb, n_centroids=8)
+    mem = ivf_query(ivf_index(emb, cents), query_vec, cents, k=10, n_probe=4)
+    disk = ivf_query(index_df, query_vec, cents, k=10, n_probe=4)
+    assert [tuple(r) for r in disk.collect()] == [tuple(r) for r in mem.collect()]
+    # hive partition dirs on disk — the physical pruning surface
+    parts = {d for d in os.listdir(f"{path}/vectors") if d.startswith("centroid=")}
+    assert len(parts) >= 2
+    # and the probe plan actually prunes: the isin(probe-lists) lands in
+    # the scan's PartitionFilters (disk pruning), not a post-scan filter
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid" in plan
+
+
 def test_ivf_kmeans_sampled_fit(spark, emb):
     from poc_spark.operators.similarity import ivf_centroids_kmeans
 
