@@ -43,7 +43,7 @@ from poc_spark.operators.sampling import (
     pack_sequences,
     split_train_val_test,
 )
-from poc_spark.operators.multimodal import decode_media, payload_stats
+from poc_spark.operators.multimodal import payload_stats
 from poc_spark.operators.network import (
     induced_subgraph,
     lag_edges,
@@ -1310,34 +1310,42 @@ def mm_payload_stats(spark, sf_dir):
     return payload_stats(media).select("doc_id", "n_bytes", "sha256")
 
 
-@register("mm_decode_stub", None)  # mapInPandas stub: no SQL form
-def mm_decode_stub(spark, sf_dir):
-    """Arrow-batched decode plumbing over synthetic media built from the
-    documents table (deterministic fake decode — codecs are stubbed).
+@register(
+    "mm_decode",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'video'
+                  ELSE 'audio' END AS kind,
+             (4 + doc_id % 13)::INT AS width,
+             (3 + doc_id % 7)::INT  AS height,
+             (CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 30 ELSE 1 END)::INT
+               AS n_frames,
+             substr(repeat(md5(text), 41), 1,
+                    ((4 + doc_id % 13) * (3 + doc_id % 7) * 3)::INT) AS px
+      FROM documents
+    )
+    SELECT media_id, kind, width, height, n_frames,
+           length(px)::BIGINT AS n_pixel_bytes,
+           sha256(px) AS pixel_sha
+    FROM m
+    """,
+)
+def mm_decode(spark, sf_dir):
+    """REAL media decode, fully oracled (closes the round-2 rows-only
+    stub): documents synthesize valid binary PPM (P6) payloads whose
+    dimensions/frame-count derive from the id by header arithmetic
+    (multimodal.py synthesize_ppm_media); decode_ppm then PARSES the
+    header bytes back — whitespace/comment-tolerant tokenizer, frames
+    comment, pixel-block sha — over Arrow-batched mapInPandas. The
+    oracle reconstructs the same payload algebraically in SQL, so
+    dimensions AND the pixel checksum hash-match cross-engine. The
+    codec-library stub (decode_media) remains for real formats."""
+    from poc_spark.operators.multimodal import decode_ppm, synthesize_ppm_media
 
-    The `feature array<float>` column is condensed to xxhash64 so every
-    output column is scalar: the driver's rows-only canonicalizer sorts
-    by value and can't hash python lists (round-1 err)."""
-    media = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "video")
-        .otherwise("audio")
-        .alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
-    )
-    decoded = decode_media(media, fake=True)
-    return decoded.select(
-        "media_id",
-        "kind",
-        "width",
-        "height",
-        "n_frames",
-        F.xxhash64(F.concat_ws(",", F.col("feature").cast("array<string>"))).alias(
-            "feature_hash"
-        ),
-    )
+    media = synthesize_ppm_media(_t(spark, sf_dir, "documents"))
+    return decode_ppm(media)
 
 
 @register(

@@ -78,6 +78,131 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real deterministic decode: PPM (P6) — header math, no codec libs
+# ---------------------------------------------------------------------------
+
+PPM_DECODED_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_frames int, "
+    "n_pixel_bytes long, pixel_sha string"
+)
+
+
+def synthesize_ppm_media(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(media_id, kind, payload) — a REAL binary media table synthesized
+    from documents: each payload is a valid binary PPM (P6) whose
+    dimensions derive from the id by arithmetic and whose pixel bytes
+    are content-derived (md5 hex of the text, repeated). Video payloads
+    carry a `# frames=N` header comment (comment lines are legal PPM).
+    Pure JVM expressions — the payload is constructible bit-for-bit in
+    SQL, which is what makes the decode step oracle-able end-to-end."""
+    did = F.col(id_col)
+    w = (F.lit(4) + did % 13).cast("int")
+    h = (F.lit(3) + did % 7).cast("int")
+    npix = (w * h * F.lit(3)).cast("int")
+    kind = (
+        F.when(did % 3 == 0, "image")
+        .when(did % 3 == 1, "video")
+        .otherwise("audio")
+    )
+    frames_comment = F.when(
+        did % 3 == 1,
+        F.concat(F.lit("# frames="), (F.lit(1) + did % 30).cast("string"), F.lit("\n")),
+    ).otherwise(F.lit(""))
+    header = F.concat(
+        F.lit("P6\n"),
+        frames_comment,
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    # 41 repeats of the 32-char md5 hex ≥ the 432-byte max pixel block
+    pixels = F.repeat(F.md5(F.col(text_col)), 41).substr(F.lit(1), npix)
+    return df.select(
+        did.alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.concat(header, pixels), "utf-8").alias("payload"),
+    )
+
+
+def _parse_ppm(buf: bytes) -> tuple:
+    """A real (minimal) P6 parser: magic, whitespace/comment-tolerant
+    header tokens, `# frames=N` comment honored, pixel block after the
+    single whitespace following maxval. Malformed input → all-null row
+    (degrade, never fail the job)."""
+    import hashlib
+    import re
+
+    try:
+        if not buf.startswith(b"P6"):
+            raise ValueError("bad magic")
+        pos, n_frames, tokens = 2, 1, []
+        while len(tokens) < 3:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if pos >= len(buf):
+                raise ValueError("truncated header")
+            if buf[pos : pos + 1] == b"#":
+                nl = buf.index(b"\n", pos)
+                m = re.match(rb"#\s*frames=(\d+)", buf[pos:nl])
+                if m:
+                    n_frames = int(m.group(1))
+                pos = nl + 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(buf[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        width, height, maxval = tokens
+        if not (0 < maxval < 65536):
+            raise ValueError("bad maxval")
+        pixels = buf[pos:]
+        return (
+            width,
+            height,
+            n_frames,
+            len(pixels),
+            hashlib.sha256(pixels).hexdigest(),
+        )
+    except Exception:
+        return (None, None, None, None, None)
+
+
+def decode_ppm(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode over mapInPandas: parses every payload's
+    PPM header bytes (dimensions + frame-count comment) and checksums
+    the pixel block. Same batch shape/partitioning story as decode_media
+    — this is the working proof of the multimodal plumbing, with the
+    codec swapped for one that needs no native library."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (mid, kind, *_parse_ppm(bytes(payload)))
+                for mid, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]
+                )
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "n_pixel_bytes",
+                    "pixel_sha",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=PPM_DECODED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling *plan* for video payloads: one output row per
     sampled frame index, computed from metadata only (no decode) —

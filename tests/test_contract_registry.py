@@ -22,7 +22,7 @@ def test_every_oracled_entry_inside_driver_window():
 def test_must_be_green_rows_only_entries_inside_window():
     names = list(REGISTRY)
     window = set(names[:WINDOW])
-    assert "mm_decode_stub" in window  # round-1 red row — must be checked
+    assert "mm_decode" in window  # round-1 red row's successor — now oracled
 
 
 def test_overflow_is_exactly_the_declared_tail():

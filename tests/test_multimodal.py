@@ -55,6 +55,52 @@ def test_fake_decode_schema_and_determinism(spark, media):
     assert rows1[1]["n_frames"] > 1           # video
 
 
+def test_ppm_synthesize_decode_roundtrip(spark, sf_dir):
+    """decode_ppm must recover exactly the dimensions / frame counts /
+    pixel block the synthesizer encoded — parsed from the BYTES, not
+    carried through columns."""
+    import hashlib
+
+    from poc_spark.operators.multimodal import decode_ppm, synthesize_ppm_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    media = synthesize_ppm_media(docs)
+    got = {r["media_id"]: r for r in decode_ppm(media).collect()}
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in docs.select("doc_id").collect():
+        did = r["doc_id"]
+        w, h = 4 + did % 13, 3 + did % 7
+        row = got[did]
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["n_frames"] == (1 + did % 30 if did % 3 == 1 else 1)
+        assert row["n_pixel_bytes"] == w * h * 3
+        # checksum matches an independent parse of the payload tail
+        assert row["pixel_sha"] == hashlib.sha256(
+            raw[did][-(w * h * 3):]
+        ).hexdigest()
+
+
+def test_ppm_decoder_handles_malformed_payloads(spark):
+    from poc_spark.operators.multimodal import decode_ppm
+
+    rows = [
+        (0, "image", b"P6\n4 3\n255\n" + b"x" * 36),        # valid
+        (1, "image", b"P5\n4 3\n255\n" + b"x" * 12),        # wrong magic
+        (2, "image", b"P6\n4"),                             # truncated header
+        (3, "image", b""),                                  # empty
+        (4, "video", b"P6\n# frames=7\n2 2\n255\n" + b"y" * 12),  # comment
+        (5, "image", b"P6\n# just a comment\n2 2\n255\n" + b"z" * 12),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in decode_ppm(df).collect()}
+    assert (got[0]["width"], got[0]["height"], got[0]["n_frames"]) == (4, 3, 1)
+    assert got[1]["width"] is None and got[2]["width"] is None
+    assert got[3]["width"] is None
+    assert (got[4]["width"], got[4]["n_frames"]) == (2, 7)   # frames comment
+    assert (got[5]["width"], got[5]["n_frames"]) == (2, 1)   # plain comment
+    assert got[5]["pixel_sha"] is not None
+
+
 def test_frame_sample_plan(spark, media):
     decoded = decode_media(media, fake=True)
     plan = frame_sample_plan(decoded, every_n=10)
