@@ -230,6 +230,41 @@ def op_graph_flagship(spark, sf_dir):
 
 
 @register(
+    "op_graph_partitioned",
+    """
+    WITH chain AS (
+      SELECT event_type,
+             user_id AS cur,
+             LAG(user_id) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT event_type,
+           LEAST(prev, cur)    AS source,
+           GREATEST(prev, cur) AS target,
+           count(*)            AS weight
+    FROM chain
+    WHERE prev IS NOT NULL AND prev <> cur
+    GROUP BY 1, 2, 3
+    """,
+)
+def op_graph_partitioned(spark, sf_dir):
+    """Partitioned (multi-group) flagship: one interaction graph PER
+    event_type — per-group chain windows (no cross-group edges) and a
+    group-keyed aggregate. This is the production shape at 100 TB: the
+    reference processes one chat file per request (network.py:25-29,
+    partition_cols='file_path'); here every window and the final
+    groupBy shuffle on the group key, nothing global anywhere."""
+    return lag_edges(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        EVENT_ORDER,
+        partition_cols=("event_type",),
+        group_output=True,
+    )
+
+
+@register(
     "op_join_semi",
     """
     WITH chain AS (
@@ -2502,6 +2537,7 @@ _TAIL = [
     "op_proj_users",  # projection+rename; evidenced by op_src_doc_scan shape
     "op_fn_sqrt",  # scalar math fn; evidenced by op_fil_substr/q1 exprs
     "op_join_point",  # keyed point lookup; evidenced by op_src_doc_scan
+    "q_union_except",  # set ops; simple capability, r2 driver-green
     "q_value_histogram",  # bucketing capability overlaps q_pivot_events
     "graph_pagerank",  # rows-only: float iteration order, pytest-pinned
     "text_winnowing",  # rows-only: xxhash64-based, pytest-pinned

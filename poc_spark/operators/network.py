@@ -80,13 +80,21 @@ def lag_edges(
     sender_col: str,
     order_cols: Sequence[str],
     partition_cols: Sequence[str] = (),
+    group_output: bool = False,
 ) -> DataFrame:
     """OP-LAG-EDGE + OP-AGG-EDGEW: consecutive-sender transitions over the
     surviving rows → undirected weighted edges (source <= target).
 
     Self-transitions (same sender twice) emit nothing but still advance
     the chain — lag gives that for free.
-    """
+
+    `partition_cols` bounds the chain windows (per-file / per-group —
+    no cross-group edge ever forms); by default the weights still
+    aggregate into ONE corpus-wide graph (the reference's one-graph-
+    per-request shape). `group_output=True` instead keeps the group
+    columns in the result — one graph PER group, the true production
+    shape at scale: every window and the final aggregate shuffle on
+    the group key, nothing is global."""
     if not partition_cols and use_chunked(df):
         from poc_spark.plans.chunked_lag import chunked_lag_edges
 
@@ -96,16 +104,18 @@ def lag_edges(
         if partition_cols
         else Window.orderBy(*order_cols)
     )
+    keep = list(partition_cols) if group_output else []
     s = F.col(sender_col)
     prev = F.lag(sender_col).over(w)
     return (
-        df.select(prev.alias("_prev"), s.alias("_cur"))
+        df.select(*keep, prev.alias("_prev"), s.alias("_cur"))
         .filter(F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_cur")))
         .select(
+            *keep,
             F.least("_prev", "_cur").alias("source"),
             F.greatest("_prev", "_cur").alias("target"),
         )
-        .groupBy("source", "target")
+        .groupBy(*keep, "source", "target")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
 

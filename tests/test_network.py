@@ -153,6 +153,36 @@ def test_append_filtered_lines_is_invariant(spark):
     assert _graph(spark, noisy) == base
 
 
+def test_lag_edges_grouped_output_no_cross_group_edges(spark):
+    """group_output=True: one graph per group — chains never cross the
+    partition boundary, and the group key survives into the result."""
+    from poc_spark.operators.network import lag_edges
+
+    rows = [
+        # group g1: A B A  -> edges (A,B):2
+        ("g1", 1, "A"), ("g1", 2, "B"), ("g1", 3, "A"),
+        # group g2: C D   -> edge (C,D):1 ; B->C must NOT form
+        ("g2", 4, "C"), ("g2", 5, "D"),
+    ]
+    df = spark.createDataFrame(rows, "grp string, seq long, sender string")
+    got = {
+        (r["grp"], r["source"], r["target"]): r["weight"]
+        for r in lag_edges(
+            df, "sender", ("seq",), partition_cols=("grp",), group_output=True
+        ).collect()
+    }
+    assert got == {("g1", "A", "B"): 2, ("g2", "C", "D"): 1}
+    # default (corpus-wide) output for the same input merges weights
+    # but still never crosses groups
+    merged = {
+        (r["source"], r["target"]): r["weight"]
+        for r in lag_edges(
+            df, "sender", ("seq",), partition_cols=("grp",)
+        ).collect()
+    }
+    assert merged == {("A", "B"): 2, ("C", "D"): 1}
+
+
 def test_search_and_induced_subgraph(spark):
     raw = chat_lines_from_strings(spark, GOLDEN_LINES)
     msgs = parse_chat_lines(raw)
