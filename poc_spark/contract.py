@@ -2100,20 +2100,24 @@ def q4_late_ship_priority(spark, sf_dir):
     """TPC-H Q4 shape: correlated EXISTS (late-shipping orders per
     priority) expressed in SQL so Catalyst's subquery decorrelation is
     exercised — it rewrites to the same left-semi hash join the
-    DataFrame API builds by hand in q_semi_orders_with_items."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    DataFrame API builds by hand in q_semi_orders_with_items.
+
+    DataFrames ride in as spark.sql template args — no
+    createOrReplaceTempView side effect on the shared session catalog
+    (a leaked view could shadow table resolution for later queries)."""
     return spark.sql(
         """
         SELECT o_orderpriority, count(*) AS order_count
-        FROM orders
+        FROM {orders}
         WHERE EXISTS (
-          SELECT 1 FROM lineitem
+          SELECT 1 FROM {lineitem}
           WHERE l_orderkey = o_orderkey
             AND l_shipdate > o_orderdate + INTERVAL 30 DAY
         )
         GROUP BY o_orderpriority
-        """
+        """,
+        orders=_t(spark, sf_dir, "orders"),
+        lineitem=_t(spark, sf_dir, "lineitem"),
     )
 
 

@@ -318,18 +318,22 @@ def minhash_lsh_pairs(
     join — never all-pairs.
     """
     r = num_hashes // bands
-    # one shared, cached shingle table feeds both the signatures and the
-    # exact-jaccard verification — shingling runs once, not twice.
+    # one shared, materialized shingle table feeds both the signatures
+    # and the exact-jaccard verification — shingling runs once, not
+    # twice. localCheckpoint, not .cache(): cached plans register in the
+    # session CacheManager until explicitly unpersisted, so repeated
+    # operator calls in a long session accumulate storage; checkpointed
+    # blocks free themselves when the DataFrame is garbage-collected.
     shing = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).cache()
-    # cache: the signature table is tiny (one row per doc) but its
+    ).localCheckpoint(eager=True)
+    # barrier: the signature table is tiny (one row per doc) but its
     # expression tree is huge — without a materialization barrier,
     # projection collapse would inline it into every band projection.
     sigs = minhash_signatures(
         df, num_hashes, shingle_n, text_col, id_col, shingles_df=shing
-    ).cache()
+    ).localCheckpoint(eager=True)
     band_rows = sigs.select(
         "id",
         F.explode(

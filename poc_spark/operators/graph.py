@@ -54,12 +54,18 @@ def pagerank(
     """
     directed = _directed(edges)
     out_w = directed.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # localCheckpoint (not .cache): reused every iteration, but cached
+    # plans pin CacheManager entries for the session's lifetime —
+    # checkpointed blocks drop on GC, and lineage truncation is a
+    # bonus for the iteration loop.
     links = (
         directed.join(out_w, "src")
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("share"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    nodes = links.select(F.col("src").alias("id")).distinct().cache()
+    nodes = links.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
     n = nodes.count()
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
 

@@ -143,10 +143,17 @@ def lag_edges_limited(
             chunked_ordered_limit,
         )
 
-        # cache: the chunked lag re-derives chunk boundaries over the
-        # prefix (an approxQuantile pass + the final job) — without a
-        # materialization barrier the limit plan would re-run per pass.
-        prefix = chunked_ordered_limit(df, limit, order_cols).cache()
+        # localCheckpoint (NOT .cache): the chunked lag re-derives chunk
+        # boundaries over the prefix (an approxQuantile pass + the final
+        # job), so a materialization barrier is required — but .cache()
+        # registers in the session CacheManager forever; checkpointed
+        # blocks are dropped when the DataFrame is garbage-collected, so
+        # repeated calls in a long session can't accumulate storage.
+        # (Lineage is truncated: on executor loss the block recomputes
+        # from the checkpoint's parent, acceptable for a derived prefix.)
+        prefix = chunked_ordered_limit(df, limit, order_cols).localCheckpoint(
+            eager=True
+        )
         return chunked_lag_edges(prefix, sender_col, order_cols)
     w = (
         Window.partitionBy(*partition_cols).orderBy(*order_cols)
@@ -197,12 +204,15 @@ def interaction_graph(
         if not partition_cols and use_chunked(df):
             # scale path: chunked ordered limit prunes chunks before the
             # chunked lag; both per-chunk, never single-partition.
+            # localCheckpoint, not cache — see lag_edges_limited.
             from poc_spark.plans.chunked_lag import (
                 chunked_lag_edges,
                 chunked_ordered_limit,
             )
 
-            prefix = chunked_ordered_limit(df, limit, order_cols).cache()
+            prefix = chunked_ordered_limit(df, limit, order_cols).localCheckpoint(
+            eager=True
+        )
             nodes = prefix.select(F.col(sender_col).alias("id")).distinct()
             edges = chunked_lag_edges(prefix, sender_col, order_cols)
             return nodes, edges

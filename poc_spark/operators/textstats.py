@@ -166,8 +166,12 @@ def winnowing_fingerprints(
     # materialization barrier (the minhash shared-shingle-table lesson):
     # the shifted slices below reference the hash array `window` times,
     # and deterministic projections collapse — without the barrier the
-    # tokenize→gram→hash chain runs `window`× per row.
-    hashed = df.select(F.col(id_col), hash_expr.alias("h")).cache()
+    # tokenize→gram→hash chain runs `window`× per row. localCheckpoint,
+    # not .cache(): cached plans stay registered in the CacheManager
+    # forever, checkpointed blocks free themselves on GC.
+    hashed = df.select(F.col(id_col), hash_expr.alias("h")).localCheckpoint(
+        eager=True
+    )
     hashes = F.col("h")
     n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
     # sliding-window min via `window` shifted copies zipped element-wise
