@@ -2536,38 +2536,39 @@ def sample_pack(spark, sf_dir):
 # last. tests/test_contract_registry.py pins the invariant.
 
 _TAIL = [
-    # r2 driver-green; simple capabilities evidenced by other head rows
-    "op_src_doc_scan",  # ordered scan+limit; evidenced by op_limit_n
+    # --- kept from earlier rounds: driver-green already (r01/r02), simple
+    # capabilities evidenced by retained head rows ---
+    "op_src_doc_scan",  # ordered scan+limit; evidenced by q3_top_revenue
     "op_proj_users",  # projection+rename; evidenced by op_src_doc_scan shape
     "op_fn_sqrt",  # scalar math fn; evidenced by op_fil_substr/q1 exprs
-    "op_join_point",  # keyed point lookup; evidenced by op_src_doc_scan
-    "q_union_except",  # set ops; simple capability, r2 driver-green
+    "op_join_point",  # keyed point lookup; evidenced by op_join_semi
+    "q_union_except",  # set ops; r2 driver-green
     "q_value_histogram",  # bucketing capability overlaps q_pivot_events
-    "graph_pagerank",  # rows-only: float iteration order, pytest-pinned
-    "text_winnowing",  # rows-only: xxhash64-based, pytest-pinned
-    "op_fn_hash",  # oracled; parity closure lives in functions/security
-    "sim_ivf_kmeans",  # rows-only: KMeans-centroid IVF, pytest-pinned
-    "text_tfidf",  # oracled; round-2 extension beyond the window
-    "text_bigrams",  # oracled; round-2 extension beyond the window
-    # deliberate window swaps: each demoted entry's capability is
-    # evidenced by another green head entry (noted), freeing slots for
-    # three NEW capability classes (composition / text-clean / sketch)
-    "q_events_by_type",  # plain groupBy-count; evidenced by q1/rollup/pivot
+    "text_winnowing",  # rows-only: xxhash64-based, pytest-pinned; r1-witnessed
+    "q_events_by_type",  # plain groupBy-count; evidenced by q1
     "q_semi_orders_with_items",  # leftsemi; evidenced by op_join_semi
     "q_percentiles",  # exact percentile; evidenced by sketch_quantile_bounds
-    "dedup_minhash_clusters",  # oracled; round-2 extension
-    "text_sentences",  # oracled; round-2 text-cleaning extension
-    "text_boilerplate",  # oracled; round-2 text-cleaning extension
-    "sketch_distinct_bounds",  # oracled (bound booleans); round-2 extension
-    "sketch_quantile_bounds",  # oracled (bound booleans); round-2 extension
-    "q4_late_ship_priority",  # oracled; round-2 TPC-H extension
-    "q10_returned_items",  # oracled; round-2 TPC-H extension
-    "q14_promo_revenue",  # oracled; round-2 TPC-H extension
-    "q18_large_orders",  # oracled; round-2 TPC-H extension
-    "q19_disjunctive_revenue",  # oracled; round-2 TPC-H extension
-    "q7_volume_shipping",  # oracled; round-2 TPC-H extension
-    "q13_customer_distribution",  # oracled; round-2 TPC-H extension
-    "q22_idle_balances",  # oracled; round-2 TPC-H extension
+    # --- round-4 rotation: each entry below is double-green (r01 AND r02
+    # driver rows), demoted to free window slots for the 18 oracled entries
+    # the driver has never recorded. Capability witnesses noted. ---
+    "op_limit_n",  # ordered limit; evidenced by q3_top_revenue
+    "op_fil_daterange",  # range filter; inside op_graph_flagship's plan
+    "op_parse_regex",  # chat parse; inside op_graph_flagship's pipeline
+    "op_norm_sender",  # chat normalize; inside op_graph_flagship's pipeline
+    "op_agg_wordfreq",  # text agg; evidenced by op_topk
+    "q_customers_per_region",  # join+count; evidenced by q5_revenue_by_region
+    "q_anti_customers_no_orders",  # anti join; evidenced by q22_idle_balances
+    "q6_selective_revenue",  # selective filter agg; evidenced by q14/q19
+    "q_rollup_lineitem",  # grouping sets; evidenced by q_pivot_events family
+    "q_outer_join_order_fill",  # left outer; evidenced by q13_customer_distribution
+    "q_rank_top3_per_segment",  # window rank; evidenced by q_user_sessions
+    "sim_knn_brute",  # brute top-k; evidenced by sim_ann_lsh + sim_ivf_kmeans
+    "text_doc_stats",  # narrow projections; evidenced by text_token_count
+    "text_langid",  # n-gram heuristic; evidenced by text_fingerprint
+    "q_profile_orders",  # describe-style agg; evidenced by sketch bounds
+    "graph_degrees",  # degree agg; evidenced by graph_triangles/components
+    "mm_payload_stats",  # binary metadata agg; evidenced by mm_decode
+    "q_running_sum",  # window sum; evidenced by q_user_sessions
 ]
 
 

@@ -2,11 +2,16 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
 sf0.01, compare row count + column names + order-insensitive values.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+With ``--json`` the per-entry outcomes are also written in the driver's
+CORRECTNESS_r{N}.json shape, so a full-registry run can be committed as
+round evidence for entries outside the driver's ~50-entry window.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -66,8 +71,13 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from poc_spark.session import get_spark
@@ -81,6 +91,7 @@ def main() -> int:
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -89,18 +100,36 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": f"spark: {exc}"[:300]}
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ROWS {name}: rows={len(got)} (no oracle — rows-only check)")
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(got),
+                             "oracle_rows": None, "err": None,
+                             "no_oracle": True}
             continue
         try:
             exp = con.execute(sql).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {exc}")
             failures += 1
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(got),
+                             "oracle_rows": None, "err": f"oracle: {exc}"[:300]}
             continue
         problems = compare(name, got, exp)
+        records[name] = {
+            "rows_match": len(got) == len(exp),
+            "schema_match": sorted(got.columns) == sorted(exp.columns),
+            "hash_match": not problems,
+            "spark_rows": len(got),
+            "oracle_rows": len(exp),
+            "err": "; ".join(problems)[:300] or None,
+        }
         if problems:
             failures += 1
             print(f"FAIL {name}:")
@@ -109,6 +138,10 @@ def main() -> int:
         else:
             print(f"OK   {name}: rows={len(got)}")
     spark.stop()
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(records, fh, indent=2)
+        print(f"wrote {json_out} ({len(records)} entries)")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
