@@ -2524,6 +2524,12 @@ def sample_pack(spark, sf_dir):
     return pack_sequences(sized, budget=200, n_shards=8)
 
 
+# TPC-H shapes 2/8/9/11/12/15/16/17/20/21 and the text-quality gates
+# register themselves on import (bottom-of-module imports: the helpers
+# above must already exist).
+from poc_spark import contract_tpch  # noqa: E402,F401  isort: skip
+from poc_spark import contract_quality  # noqa: E402,F401  isort: skip
+
 # ---------------------------------------------------------------------------
 # registry priority order
 # ---------------------------------------------------------------------------
@@ -2569,6 +2575,21 @@ _TAIL = [
     "graph_degrees",  # degree agg; evidenced by graph_triangles/components
     "mm_payload_stats",  # binary metadata agg; evidenced by mm_decode
     "q_running_sum",  # window sum; evidenced by q_user_sessions
+    # --- round-4 demotions: double-green (r01 AND r02), freeing window
+    # slots for the ten new TPC-H shapes (q2/q8/q9/q11/q12/q15/q16/q17/
+    # q20/q21). Capability witnesses still in the head noted. ---
+    "op_agg_nodes",  # distinct projection; inside op_graph_flagship's nodes
+    "op_join_semi",  # leftsemi; evidenced by q4_late_ship_priority (EXISTS)
+    "op_topk",  # ordered top-k; evidenced by q18_large_orders
+    "q3_top_revenue",  # join+topk revenue; evidenced by q10_returned_items
+    "op_fil_substr",  # substring filter; evidenced by q9_profit_by_nation LIKE
+    "q5_revenue_by_region",  # region star join; evidenced by q7/q8
+    "dedup_exact",  # sha2 groupBy; inside pipeline_training_prep
+    "text_token_count",  # tokenization agg; evidenced by text_tfidf
+    "text_chunking",  # token-window explode; inside pipeline_training_prep
+    "q_user_sessions",  # lag/cumsum windows; evidenced by op_lag_edge
+    "op_lag_edge",  # lag edges; inside op_graph_flagship/op_graph_partitioned
+    "q_pivot_events",  # manual pivot; evidenced by q12_late_priority CASE aggs
 ]
 
 

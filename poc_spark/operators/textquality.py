@@ -1,0 +1,138 @@
+"""Repetition-based quality rules + benchmark decontamination.
+
+The two pre-training gates doc_stats (textstats.py) doesn't cover:
+
+- Gopher-style REPETITION rules (Rae et al. 2021, §A1.1): a document
+  dominated by one repeated n-gram, or with a collapsed vocabulary, is
+  boilerplate/spam regardless of its length or punctuation profile.
+  Signals here are token-level (the corpus is whitespace-tokenizable):
+  `dup_token_frac` (1 - vocabulary/total) and `top_bigram_frac`
+  (share of bigram slots taken by the single most frequent bigram).
+
+- DECONTAMINATION (GPT-3 paper §C / PaLM §7): drop training docs that
+  share any n-gram with an evaluation benchmark. Expressed as
+  explode-to-ngrams → distinct benchmark grams (small, broadcast) →
+  LEFT SEMI join — at 100 TB the benchmark side is a few MB of hashed
+  grams, so the probe is a map-side broadcast-hash-join; the fact
+  table shuffles nothing.
+
+All arithmetic is exact (int counts, one final double division), so
+every output is DuckDB-oracle-able bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text: F.Column) -> F.Column:
+    """Whitespace tokens, empties dropped (split on runs of whitespace)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def _bigrams(toks: F.Column) -> F.Column:
+    """Adjacent-token bigrams: size-1 slots (empty array below 2 tokens)."""
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition profile:
+    (id, n_tokens, dup_token_frac, top_bigram_frac, repetitive).
+
+    `repetitive` applies Gopher-flavored thresholds: >60 % duplicate
+    tokens, or one bigram filling >18 % of bigram slots — the bigram
+    rule only for docs of ≥20 tokens (on shorter docs the most frequent
+    bigram trivially exceeds any fraction). One explode +
+    one two-level aggregate; group keys are (doc_id, gram) — uniform,
+    shuffle-safe at any corpus size."""
+    toks = _tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("_n_vocab"),
+    )
+    grams = base.select(
+        id_col,
+        "n_tokens",
+        "_n_vocab",
+        F.explode_outer(_bigrams(F.col("_toks"))).alias("_g"),
+    )
+    per_gram = grams.groupBy(id_col, "n_tokens", "_n_vocab", "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_doc = per_gram.groupBy(id_col, "n_tokens", "_n_vocab").agg(
+        F.max(F.when(F.col("_g").isNotNull(), F.col("_c"))).alias("_max_c"),
+        F.sum(F.when(F.col("_g").isNotNull(), F.col("_c")).otherwise(0)).alias(
+            "_n_grams"
+        ),
+    )
+    dup_frac = (
+        (F.col("n_tokens") - F.col("_n_vocab"))
+        / F.greatest(F.col("n_tokens"), F.lit(1))
+    ).cast("double")
+    top_frac = (
+        F.coalesce(F.col("_max_c"), F.lit(0))
+        / F.greatest(F.col("_n_grams"), F.lit(1))
+    ).cast("double")
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        dup_frac.alias("dup_token_frac"),
+        top_frac.alias("top_bigram_frac"),
+        (
+            (dup_frac > 0.6) | ((top_frac > 0.18) & (F.col("n_tokens") >= 20))
+        ).alias("repetitive"),
+    )
+
+
+def ngrams(df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, gram) pairs of adjacent word n-grams, distinct per doc."""
+    toks = _tokens(F.col(text_col))
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("gram")).distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training docs sharing any word n-gram with the benchmark:
+    (id, contaminated). The benchmark gram set is distinct-ed and
+    BROADCAST (benchmarks are small by construction); the training side
+    explodes to grams once and semi-joins map-side — no fact shuffle."""
+    train_grams = ngrams(train, n, text_col, id_col)
+    bench_grams = ngrams(benchmark, n, text_col, id_col).select("gram").distinct()
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram", "leftsemi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+        )
+    )
