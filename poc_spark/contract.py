@@ -2529,6 +2529,7 @@ def sample_pack(spark, sf_dir):
 # above must already exist).
 from poc_spark import contract_tpch  # noqa: E402,F401  isort: skip
 from poc_spark import contract_quality  # noqa: E402,F401  isort: skip
+from poc_spark import contract_scale  # noqa: E402,F401  isort: skip
 
 # ---------------------------------------------------------------------------
 # registry priority order
@@ -2590,6 +2591,8 @@ _TAIL = [
     "q_user_sessions",  # lag/cumsum windows; evidenced by op_lag_edge
     "op_lag_edge",  # lag edges; inside op_graph_flagship/op_graph_partitioned
     "q_pivot_events",  # manual pivot; evidenced by q12_late_priority CASE aggs
+    "text_fingerprint",  # rolling hash; evidenced by op_fn_hash digests
+    "q_asof_last_click",  # temporal join; evidenced by q_range_bucket_join
 ]
 
 

@@ -95,8 +95,15 @@ def repetition_stats(
 
 
 def ngrams(df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, gram) pairs of adjacent word n-grams, distinct per doc."""
-    toks = _tokens(F.col(text_col))
+    """(id, gram) pairs of adjacent word n-grams, distinct per doc.
+
+    The token array is materialized as a COLUMN in a separate project
+    before the higher-order transform: lambdas don't participate in
+    subexpression elimination, so inlining `_tokens(text)` would
+    re-run split+filter for every element_at reference (n per slot ×
+    ~|tokens| slots — measured 15 s vs ~2 s on the sf0.1 corpus)."""
+    toked = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
@@ -105,9 +112,7 @@ def ngrams(df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
             ),
         )
     )
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias("gram")).distinct()
-    )
+    return toked.select(F.col(id_col), F.explode(grams).alias("gram")).distinct()
 
 
 def decontaminate(
