@@ -2593,6 +2593,10 @@ _TAIL = [
     "q_pivot_events",  # manual pivot; evidenced by q12_late_priority CASE aggs
     "text_fingerprint",  # rolling hash; evidenced by op_fn_hash digests
     "q_asof_last_click",  # temporal join; evidenced by q_range_bucket_join
+    # --- r4 additions queued for the r5 window rotation (window is at
+    # 50; local full-registry evidence in CORRECTNESS_local_r04.json) ---
+    "q_json_extract",
+    "q_resample_gapfill",
 ]
 
 

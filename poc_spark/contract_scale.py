@@ -1,4 +1,5 @@
-"""Scale-pattern contract entries: bucketized range join + window zoo.
+"""Scale-pattern contract entries: bucketized range join, window zoo,
+semi-structured JSON flattening, time-series resample with gap-fill.
 
 `q_range_bucket_join` exercises plans/range_join.py — the equi-join
 rewrite of a point-in-interval join. The oracle states the SEMANTICS
@@ -92,4 +93,82 @@ def q_window_zoo(spark, sf_dir):
             F.lag("o_totalprice", 1).over(w).alias("prev_price"),
             F.first("o_orderkey").over(w).alias("cheapest_key"),
         )
+    )
+
+
+@register(
+    "q_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           min(value) AS v_min,
+           max(value) AS v_max
+    FROM events
+    GROUP BY k_bucket
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """Semi-structured flattening: events.props is a JSON string;
+    from_json with an explicit schema (JVM-side, codegen — never a
+    Python UDF) extracts k, bucketed and aggregated. min/max of the
+    double column are order-insensitive (exact); the int sum is exact;
+    DuckDB's HUGEINT sum is cast back to BIGINT for dtype parity."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k long").alias("p"), F.col("value")
+    )
+    return parsed.groupBy((F.col("p.k") % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p.k").alias("k_sum"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+@register(
+    "q_resample_gapfill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    bins AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bin FROM bounds
+    ),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS bin, count(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT b.bin, COALESCE(c.n_events, 0) AS n_events
+    FROM bins b LEFT JOIN counts c USING (bin)
+    """,
+)
+def q_resample_gapfill(spark, sf_dir):
+    """Time-series resample to hourly bins INCLUDING empty bins: the
+    bin spine is a sequence() exploded from a 1-row min/max aggregate
+    (broadcast — no driver collect), left-joined to the per-bin counts.
+    The spine side is tiny, so the join broadcasts; the fact aggregates
+    map-side first. Gap-filling this way scales to any corpus: spine
+    size is (time span / bin width), independent of row count."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(F.date_trunc("hour", "ts").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bin")
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(counts, "bin", "left")
+        .select("bin", F.coalesce("n_events", F.lit(0)).alias("n_events"))
     )
