@@ -2597,6 +2597,7 @@ _TAIL = [
     # 50; local full-registry evidence in CORRECTNESS_local_r04.json) ---
     "q_json_extract",
     "q_resample_gapfill",
+    "graph_kcore",
 ]
 
 

@@ -17,7 +17,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from poc_spark.contract import _t, register
+from poc_spark.contract import EVENT_ORDER, _t, register
+from poc_spark.operators.graph import k_core
+from poc_spark.operators.network import lag_edges
 from poc_spark.plans.range_join import bucketized_range_join
 
 _EPOCH = "1970-01-01"
@@ -172,3 +174,17 @@ def q_resample_gapfill(spark, sf_dir):
         .join(counts, "bin", "left")
         .select("bin", F.coalesce("n_events", F.lit(0)).alias("n_events"))
     )
+
+
+@register("graph_kcore", None)  # rows-only: iterative peel, no SQL twin
+def graph_kcore(spark, sf_dir):
+    """2-core of the strong interaction graph (weight >= 4): nodes
+    surviving iterative min-degree peeling, with their in-core degree.
+    Deterministic (the k-core is unique); ground truth is the pure-
+    Python differential peel in tests/test_kcore.py, following the
+    pagerank precedent for iterative operators DuckDB SQL can't state.
+    At sf0.01 this peels 150 nodes down to 78."""
+    edges = lag_edges(
+        _t(spark, sf_dir, "events"), "user_id", EVENT_ORDER
+    ).filter(F.col("weight") >= 4)
+    return k_core(edges, k=2)

@@ -182,3 +182,48 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
     return per_node
+
+
+def k_core(edges: DataFrame, k: int, max_iterations: int = 30) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree >= k WITHIN the subgraph. Iterative peel — drop nodes with
+    current degree < k, recompute degrees on the induced subgraph,
+    repeat to fixpoint. The result is unique regardless of peel order
+    (the k-core is well-defined), so the operator is deterministic.
+
+    Each round is one degree aggregate + two semi-joins on the node id;
+    the edge set only shrinks, and localCheckpoint truncates lineage
+    (same discipline as connected_components). Rounds needed ≤ peel
+    depth, typically far below max_iterations.
+
+    Output: (id, degree) — degree measured inside the k-core.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cur = _directed(edges).select("src", "dst").localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        # anti-join on the REMOVAL set, which shrinks round over round
+        # (broadcasting the survivor set instead would ship every
+        # remaining node — exactly what doesn't scale)
+        removed = deg.filter(F.col("degree") < k).select("src")
+        removed = removed.localCheckpoint(eager=True)
+        if removed.count() == 0:
+            break
+        cur = (
+            cur.join(F.broadcast(removed), "src", "leftanti")
+            .join(
+                F.broadcast(removed.withColumnRenamed("src", "dst")),
+                "dst",
+                "leftanti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"k_core did not stabilize in {max_iterations} rounds"
+        )
+    return (
+        cur.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
