@@ -150,10 +150,12 @@ def q_json_extract(spark, sf_dir):
 def q_resample_gapfill(spark, sf_dir):
     """Time-series resample to hourly bins INCLUDING empty bins: the
     bin spine is a sequence() exploded from a 1-row min/max aggregate
-    (broadcast — no driver collect), left-joined to the per-bin counts.
-    The spine side is tiny, so the join broadcasts; the fact aggregates
-    map-side first. Gap-filling this way scales to any corpus: spine
-    size is (time span / bin width), independent of row count."""
+    (no driver collect), left-joined to the per-bin counts. The BUILD
+    side of the left join is `counts` — post-aggregate it has at most
+    one row per bin, so it broadcasts no matter how large the fact was
+    (broadcasting the spine would be illegal: a left join can't build
+    its preserved side). Spine size is (time span / bin width),
+    independent of row count."""
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy(F.date_trunc("hour", "ts").alias("bin")).agg(
         F.count(F.lit(1)).alias("n_events")
@@ -169,10 +171,8 @@ def q_resample_gapfill(spark, sf_dir):
             ).alias("bin")
         )
     )
-    return (
-        F.broadcast(spine)
-        .join(counts, "bin", "left")
-        .select("bin", F.coalesce("n_events", F.lit(0)).alias("n_events"))
+    return spine.join(F.broadcast(counts), "bin", "left").select(
+        "bin", F.coalesce("n_events", F.lit(0)).alias("n_events")
     )
 
 
