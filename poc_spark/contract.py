@@ -2598,6 +2598,8 @@ _TAIL = [
     "q_json_extract",
     "q_resample_gapfill",
     "graph_kcore",
+    "q_cube_events",
+    "q_group_ols",
 ]
 
 

@@ -188,3 +188,77 @@ def graph_kcore(spark, sf_dir):
         _t(spark, sf_dir, "events"), "user_id", EVENT_ORDER
     ).filter(F.col("weight") >= 4)
     return k_core(edges, k=2)
+
+
+@register(
+    "q_cube_events",
+    """
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(month(ts), -1)::BIGINT AS mth,
+           count(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum
+    FROM events
+    GROUP BY CUBE (event_type, month(ts))
+    """,
+)
+def q_cube_events(spark, sf_dir):
+    """CUBE over (event_type, month): all four grouping sets in one
+    pass (completes the grouping-sets surface next to ROLLUP and the
+    pivot entries). Subtotal NULLs coalesced ('ALL' / -1) so both
+    engines hash identically; month cast long for dtype parity."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.month("ts").cast("long").alias("mth_raw"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        ev.cube("event_type", "mth_raw")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("mth_raw", F.lit(-1)).alias("mth"),
+            "n",
+            "k_sum",
+        )
+    )
+
+
+@register(
+    "q_group_ols",
+    """
+    WITH base AS (
+      SELECT event_type, event_id AS x,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN (n*sxx - sx*sx) <> 0
+                THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                     / CAST(n*sxx - sx*sx AS DOUBLE)
+           END AS slope
+    FROM s
+    """,
+)
+def q_group_ols(spark, sf_dir):
+    """Per-event-type OLS slope of k over event_id, through the
+    applyInPandas path (operators/grouped.py) — the grouped-Pandas-UDF
+    escape hatch demonstrated WITH an exact oracle: integer power sums
+    are exact in both engines, one IEEE division at the end.
+    tests/test_grouped.py pins pandas == builtin; the builtin (JVM
+    codegen, map-side partials) is the form to run at scale — and
+    above ~sf1 x must be translated per group first so n·Σx² stays in
+    int64 (slope is translation-invariant)."""
+    from poc_spark.operators.grouped import ols_slope_pandas
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").alias("x"),
+        F.get_json_object("props", "$.k").cast("long").alias("y"),
+    )
+    return ols_slope_pandas(ev, "x", "y", ["event_type"])
