@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -29,9 +29,11 @@ TABLES = (
 )
 
 
-# columns written as parquet TIMESTAMP(NANOS), which Spark has no native
-# type for: read as long (legacy conf) and truncate ns → µs exactly like
-# DuckDB/Arrow do, so oracle comparisons see identical values.
+# columns historically written as parquet TIMESTAMP(NANOS), which Spark
+# has no native type for: read as long (legacy conf) and truncate ns → µs
+# exactly like DuckDB/Arrow do, so oracle comparisons see identical
+# values. Newer testdata drops write them as timestamp[us] NTZ directly —
+# that case passes through untouched.
 _NANO_TS_COLS = {"events": ("ts",)}
 
 
@@ -52,7 +54,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
-        elif not isinstance(field.dataType, TimestampType):
+        elif not isinstance(field.dataType, (TimestampType, TimestampNTZType)):
             raise TypeError(f"{name}.{col}: unexpected type {field.dataType}")
     return df
 
