@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from poc_spark.functions.chat_parse import normalize_sender
 from poc_spark.operators.dedup import (
+    duplicated_ngram_spans,
     embedding_near_pairs,
     exact_duplicates,
     jaccard_prefix_pairs,
@@ -1075,6 +1076,54 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_ngram_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(CASE
+               WHEN len(t) >= 13 THEN
+                 list_transform(range(1, len(t) - 11), i ->
+                   array_to_string(t[i:i+12], ' '))
+               WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+               ELSE [''] END) AS gram
+      FROM toks
+    ), gh AS (
+      SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM g
+    ), dup AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM gh GROUP BY h
+      ) WHERE nd >= 2
+    )
+    SELECT gh.doc_id,
+           count(*)::BIGINT AS n_grams,
+           count(dup.h)::BIGINT AS n_dup_grams,
+           count(dup.h)::DOUBLE / count(*)::DOUBLE AS dup_frac
+    FROM gh LEFT JOIN dup ON gh.h = dup.h
+    GROUP BY gh.doc_id
+    """,
+)
+def dedup_ngram_spans(spark, sf_dir):
+    """Substring-level duplication profile: per doc, the fraction of
+    13-gram slots whose gram also occurs in another document (Lee et
+    al. 2022 exact-substring dedup, at Gopher's 13-token granularity).
+    Linear in corpus tokens — explode, distinct-count on the uniform
+    60-bit gram hash, join against the small duplicated-hash set, per-
+    doc agg. dup_frac is one long/long division — bit-identical across
+    engines. md5-60bit hash so DuckDB reproduces the exact gram hashes
+    (production default is xxhash64)."""
+    return duplicated_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=13, hash_fn="md5_60"
+    ).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_dup_grams", "dup_frac"
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     f"""
     WITH sh AS ({_SHINGLES_SQL})
@@ -1318,13 +1367,43 @@ def text_chunking(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), 100, 20)
 
 
-@register("text_winnowing", None)  # xxhash64-based: no DuckDB twin
-def text_winnowing(spark, sf_dir):
-    """Winnowing fingerprints (rows-only; overlap-detection pinned in
-    pytest). Output exploded so the rows-only count is meaningful."""
-    return winnowing_fingerprints(_t(spark, sf_dir, "documents")).select(
-        "doc_id", F.explode("fps").alias("fp")
+@register(
+    "text_winnowing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5 THEN
+               list_transform(range(1, len(t) - 3), i ->
+                 ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 || ' ' || t[i+3] || ' ' || t[i+4]),
+                                 1, 15))::BIGINT)
+             ELSE []::BIGINT[] END AS hs
+      FROM toks
+    ), m AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4 THEN
+               list_transform(range(1, len(hs) - 2), i ->
+                 least(hs[i], hs[i+1], hs[i+2], hs[i+3]))
+             ELSE hs END AS mins
+      FROM h
     )
+    SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
+    """,
+)
+def text_winnowing(spark, sf_dir):
+    """Winnowing fingerprints, md5-60bit so DuckDB reproduces the exact
+    hash values (same cross-engine trick as dedup_simhash; production
+    callers keep the faster xxhash64 default — overlap-detection for
+    that path stays pinned in pytest). k=5-gram hashes, min of each
+    4-window, distinct, exploded to (doc_id, fp) rows."""
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), hash_fn="md5_60"
+    ).select("doc_id", F.explode("fps").alias("fp"))
 
 
 @register(
@@ -2551,7 +2630,7 @@ _TAIL = [
     "op_join_point",  # keyed point lookup; evidenced by op_join_semi
     "q_union_except",  # set ops; r2 driver-green
     "q_value_histogram",  # bucketing capability overlaps q_pivot_events
-    "text_winnowing",  # rows-only: xxhash64-based, pytest-pinned; r1-witnessed
+    "text_winnowing",  # md5-60 oracled since r4; r1-witnessed rows-only
     "q_events_by_type",  # plain groupBy-count; evidenced by q1
     "q_semi_orders_with_items",  # leftsemi; evidenced by op_join_semi
     "q_percentiles",  # exact percentile; evidenced by sketch_quantile_bounds
@@ -2600,6 +2679,7 @@ _TAIL = [
     "graph_kcore",
     "q_cube_events",
     "q_group_ols",
+    "dedup_ngram_spans",
 ]
 
 

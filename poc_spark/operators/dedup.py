@@ -240,6 +240,51 @@ def jaccard_prefix_pairs(
     )
 
 
+def duplicated_ngram_spans(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document duplicated-span profile at token n-gram granularity:
+    (id, n_grams, n_dup_grams, dup_frac), where a gram is "duplicated"
+    if its hash occurs in ≥2 DISTINCT documents — the substring-level
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), at the 13-gram granularity the Gopher /
+    GPT-3 decontamination pipelines standardized.
+
+    Shape at 100 TB: one explode (≈ tokens-per-doc rows), a two-phase
+    distinct-count agg on the 60-bit gram hash (uniform shuffle key), a
+    hash-join of gram rows against the (much smaller) duplicated-hash
+    set, and a per-doc agg. Everything linear in corpus tokens; no
+    quadratic pairs anywhere. Docs shorter than n follow word_grams'
+    one-gram-of-all-tokens convention so every doc gets a row.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_grams(F.lower(F.col(text_col)), n)).alias("gram"),
+    ).select("id", token_hash(F.col("gram"), hash_fn).alias("h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("dup"))
+    )
+    return (
+        grams.join(dup, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("dup").alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH (the scale path for near-dup)
 # ---------------------------------------------------------------------------

@@ -150,18 +150,26 @@ def winnowing_fingerprints(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, fps: array<long>) — winnowing (Schleimer et al., SIGMOD'03):
     hash every k-gram of tokens, keep the min hash of each sliding
     window, dedupe. Robust partial-overlap fingerprints; pure array
-    expressions, no UDF."""
-    from poc_spark.operators.dedup import word_grams
+    expressions, no UDF.
+
+    hash_fn: 'xxhash64' (production default, pure JVM) or 'md5_60'
+    (first 15 md5 hex chars as a 60-bit long — reproducible in DuckDB,
+    used by the oracled contract entry)."""
+    from poc_spark.operators.dedup import token_hash, word_grams
 
     toks = _tokens(F.col(text_col))
     n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     hash_expr = F.when(
         n_grams > 0,
-        F.transform(word_grams(F.lower(F.col(text_col)), k), lambda g: F.xxhash64(g)),
+        F.transform(
+            word_grams(F.lower(F.col(text_col)), k),
+            lambda g: token_hash(g, hash_fn),
+        ),
     ).otherwise(F.array().cast("array<bigint>"))
     # materialization barrier (the minhash shared-shingle-table lesson):
     # the shifted slices below reference the hash array `window` times,

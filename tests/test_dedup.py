@@ -185,3 +185,32 @@ def test_pipeline_training_prep_sanity(spark, sf_dir):
     for r in rows:
         per_doc[r["doc_id"]].append(r["chunk_id"])
     assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+
+
+def test_duplicated_ngram_spans_ground_truth(spark):
+    from poc_spark.operators.dedup import duplicated_ngram_spans
+
+    shared = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    docs = spark.createDataFrame(
+        [
+            # docs 0 and 1 share their first 13 tokens, then diverge
+            (0, shared + " apple banana cherry date elderberry fig grape"),
+            (1, shared + " xylophone yak zebra walrus vulture toucan swan"),
+            (2, "totally distinct words nothing here repeats across any "
+                "other document in this tiny corpus of ours today ok"),
+            (3, "short doc"),  # < 13 tokens → one gram of all tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r
+        for r in duplicated_ngram_spans(docs, n=13).collect()
+    }
+    # doc 0/1: 20 tokens → 8 grams each; only gram[0] (the shared prefix)
+    # is cross-doc duplicated
+    for i in (0, 1):
+        assert got[i]["n_grams"] == 8
+        assert got[i]["n_dup_grams"] == 1
+        assert abs(got[i]["dup_frac"] - 1 / 8) < 1e-12
+    assert got[2]["n_dup_grams"] == 0
+    assert got[3]["n_grams"] == 1 and got[3]["n_dup_grams"] == 0
