@@ -1063,14 +1063,20 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact token-set Jaccard pairs ≥ 0.95 via prefix filtering
-    (PPJoin-style: rare-first token prefixes as bucket-join keys, exact
-    verify on candidates — identical pair set to the all-pairs form,
-    O(docs × prefix) not O(docs²); equality and plan shape pinned in
-    tests/test_dedup.py). The oracle stays the quadratic SQL — DuckDB
-    is the verification engine, this plan is the scale path. Jaccard is
+    """Exact token-set Jaccard pairs ≥ 0.95, adaptive physical plan:
+    a plan-time vocab probe dictionary-encodes the corpus when the
+    vocabulary fits a machine word (these documents: 31 tokens) and
+    compares DISTINCT set bitmasks with popcount Jaccard — measured
+    ~6× over the prefix-filtered join here, because with a closed
+    vocabulary nothing is rare and prefix pruning keeps ~2M candidates
+    alive at sf0.1. Open vocabularies fall back to PPJoin-style prefix
+    filtering (jaccard_prefix_pairs). Identical pair set either way
+    (pinned vs all-pairs in tests/test_dedup.py); the oracle stays the
+    quadratic SQL — DuckDB is the verification engine. Jaccard is
     int/int — division is bit-identical across engines."""
-    return jaccard_prefix_pairs(
+    from poc_spark.operators.dedup import jaccard_bitset_pairs
+
+    return jaccard_bitset_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.95
     )
 
@@ -1198,13 +1204,19 @@ def dedup_embedding_cosine(spark, sf_dir):
     thresholds where the S-curve gap exists. Bounding the verify form
     to a hash slice is exactly how it runs at 100 TB (audit a sample,
     never the cross product). dim=64: unrolled codegen dot product."""
-    from poc_spark.operators.dedup import token_hash
+    from poc_spark.operators.dedup import (
+        embedding_near_pairs_blocked,
+        token_hash,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     half = emb.filter(
         F.pmod(token_hash(F.col("vec_id").cast("string"), "md5_60"), F.lit(2)) == 0
     )
-    return embedding_near_pairs(half, threshold=0.4, dim=64)
+    # blocked-GEMM physical form: identical pair set to the expression
+    # join (pinned in tests/test_dedup.py), ~40× less wall at sf0.1 —
+    # Arrow-batched numpy with index-order accumulation for bit parity.
+    return embedding_near_pairs_blocked(half, threshold=0.4)
 
 
 @register(
@@ -1240,6 +1252,50 @@ def sim_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
     return ann_hyperplane(emb, qv, k=10, planes=_ANN_PLANES, probe_bits=2)
+
+
+def _semantic_pairs_sql(planes: list[list[float]], threshold: float) -> str:
+    """DuckDB twin of semantic_bucket_pairs: the same plane literals
+    reproduce the sign-bit cluster ids, then intra-cluster pairs with
+    round-6 cosine at threshold — bucket assignment AND verify both
+    cross-engine exact."""
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(e, [{p}]) > 0 THEN {w} ELSE 0 END)".format(
+            p=", ".join(repr(x) for x in plane), w=1 << j
+        )
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), asg AS (
+      SELECT vec_id, e, ({bucket})::BIGINT AS bucket FROM bk
+    )
+    SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cos
+    FROM asg a JOIN asg b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {threshold}
+    """
+
+
+@register("dedup_semantic_buckets", _semantic_pairs_sql(_ANN_PLANES, 0.3))
+def dedup_semantic_buckets(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup: hyperplane sign buckets as the
+    clusters, pairwise cosine ≥ 0.3 only WITHIN a cluster (Abbas et al.
+    2023 compare-within-cluster topology; cross-cluster pairs are
+    deliberately out of scope — that is the trade that bounds the
+    quadratic). Σ|bucket|² ≈ n²/64 here; at 100 TB n_planes grows as
+    log2(n) and the bucketed table is written partitionBy(bucket).
+    Cluster assignment and verify are both oracled bit-for-bit."""
+    from poc_spark.operators.dedup import semantic_bucket_pairs
+
+    return semantic_bucket_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        planes=_ANN_PLANES,
+        threshold=0.3,
+        dim=64,
+    )
 
 
 @register(
@@ -2680,6 +2736,7 @@ _TAIL = [
     "q_cube_events",
     "q_group_ols",
     "dedup_ngram_spans",
+    "dedup_semantic_buckets",
 ]
 
 

@@ -240,6 +240,124 @@ def jaccard_prefix_pairs(
     )
 
 
+def jaccard_bitset_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 64,
+) -> DataFrame:
+    """EXACT token-set Jaccard pairs ≥ threshold for corpora whose
+    token VOCABULARY fits in a machine word (≤ `max_vocab` distinct
+    tokens): dictionary-encode every token set to a bitmask, compare
+    DISTINCT masks all-pairs with popcount Jaccard
+    (bit_count(a&b)/bit_count(a|b) — two integer ops instead of two
+    array intersections), then expand qualifying mask pairs back to
+    doc pairs through the membership lists.
+
+    Why this exists: prefix filtering (jaccard_prefix_pairs) prunes by
+    token rarity, and on a tiny closed vocabulary NOTHING is rare — the
+    candidate set stays near-quadratic and each candidate pays an
+    array-intersect verify. Here the verify is ~free and the quadratic
+    runs over distinct masks only (every duplicated set collapses),
+    all inside one broadcast-nested-loop stage: the mask table is a
+    few KB, the comparison is codegen'd integer arithmetic.
+
+    Falls back to jaccard_prefix_pairs when a vocab probe (limit
+    max_vocab+1, one tiny job at plan time — the same eager-estimate
+    pattern as plans/dispatch.py) finds an open vocabulary. Exactness:
+    pinned equal to the all-pairs form in tests/test_dedup.py."""
+    toks = df.select(
+        F.col(id_col).alias("id"), token_set(F.col(text_col)).alias("toks")
+    )
+    vocab = [
+        r["tok"]
+        for r in toks.select(F.explode("toks").alias("tok"))
+        .distinct()
+        .limit(max_vocab + 1)
+        .collect()
+    ]
+    if len(vocab) > max_vocab:
+        return jaccard_prefix_pairs(df, threshold, text_col, id_col)
+
+    # one literal-weight term per vocab token: bit i is set iff token i
+    # is in the set. ≤64 codegen'd array_contains over a ~word-sized
+    # array — no variable shifts, no HOF.
+    mask = None
+    for i, t in enumerate(sorted(vocab)):
+        term = F.when(
+            F.array_contains(F.col("toks"), t), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        mask = term if mask is None else mask + term
+    masked = toks.select("id", mask.alias("m")).localCheckpoint(eager=True)
+    groups = masked.groupBy("m").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "sz", F.bit_count(F.col("m"))
+    )
+
+    # inter-mask qualifying pairs over DISTINCT masks. J ≥ t bounds the
+    # popcount gap: i ≤ min, u ≥ max ⇒ t ≤ min/max ⇒ max−min ≤
+    # (1−t)·max ≤ (1−t)·|vocab| = D. So instead of an m×m nested loop
+    # (interpreted, not codegen'd), each mask joins only its size band:
+    # the b-side replicates D+1 times keyed sz−k and the join is a
+    # codegen'd HASH join on the band key — shuffle-able at any m.
+    d_max = int((1 - threshold) * len(vocab))
+    ga = groups.alias("ga")
+    gb = (
+        groups.select(
+            "m",
+            "sz",
+            F.explode(
+                F.array(*[F.lit(k) for k in range(d_max + 1)])
+            ).alias("k"),
+        )
+        .withColumn("band", F.col("sz") - F.col("k"))
+        .alias("gb")
+    )
+    inter = F.bit_count(F.col("ga.m").bitwiseAND(F.col("gb.m")))
+    union = F.bit_count(F.col("ga.m").bitwiseOR(F.col("gb.m")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    # canonical once-per-pair: equal sizes order by mask, unequal sizes
+    # are already oriented (k>0 ⇒ ga.sz < gb.sz)
+    once = ((F.col("gb.k") == 0) & (F.col("ga.m") < F.col("gb.m"))) | (
+        F.col("gb.k") > 0
+    )
+    mask_pairs = (
+        ga.join(
+            gb,
+            (F.col("ga.sz") == F.col("gb.band")) & once & (jac >= threshold),
+        )
+        .select(F.col("ga.m").alias("ma"), F.col("gb.m").alias("mb"), jac.alias("jaccard"))
+    )
+    members_a = masked.select(F.col("m").alias("ma"), F.col("id").alias("id_x"))
+    members_b = masked.select(F.col("m").alias("mb"), F.col("id").alias("id_y"))
+    cross = (
+        mask_pairs.join(members_a, "ma")
+        .join(members_b, "mb")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # intra-mask pairs: identical non-empty sets are J = 1.0 by
+    # definition (empty∪empty = ∅ → the oracle's 0/0 is NULL and the
+    # pair is dropped — mirror that by excluding mask 0).
+    ia = masked.filter(F.col("m") != 0).alias("ia")
+    ib = masked.filter(F.col("m") != 0).alias("ib")
+    within = (
+        ia.join(
+            ib,
+            (F.col("ia.m") == F.col("ib.m")) & (F.col("ia.id") < F.col("ib.id")),
+        )
+        .select(
+            F.col("ia.id").alias("id_a"),
+            F.col("ib.id").alias("id_b"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def duplicated_ngram_spans(
     df: DataFrame,
     n: int = 13,
@@ -261,22 +379,26 @@ def duplicated_ngram_spans(
     quadratic pairs anywhere. Docs shorter than n follow word_grams'
     one-gram-of-all-tokens convention so every doc gets a row.
     """
+    from pyspark.sql import Window
+
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_grams(F.lower(F.col(text_col)), n)).alias("gram"),
     ).select("id", token_hash(F.col("gram"), hash_fn).alias("h"))
-    dup = (
-        grams.groupBy("h")
-        .agg(F.count_distinct("id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h", F.lit(1).alias("dup"))
-    )
+    # single pass over the gram rows: collapse to (doc, hash) counts,
+    # then "how many docs share this hash" is a count over the hash
+    # partition of the collapsed table — no second evaluation of the
+    # tokenize→gram→hash chain and no self-join against a dup set.
+    lvl = grams.groupBy("id", "h").agg(F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (
-        grams.join(dup, "h", "left")
+        lvl.withColumn("nd", nd)
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("dup").alias("n_dup_grams"),
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
         )
         .withColumn(
             "dup_frac",
@@ -598,6 +720,134 @@ def embedding_near_pairs(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         cos.alias("cos"),
+    )
+
+
+def embedding_near_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Same output as embedding_near_pairs (id_a < id_b, round-6 cosine
+    ≥ threshold), computed as a BLOCKED GEMM instead of a pair-join:
+    one side broadcasts as a dense float64 matrix, each Arrow batch of
+    the other side multiplies against it in numpy and emits qualifying
+    pairs. The expression-join form pays an interpreted nested-loop
+    row-copy per pair (~3M array copies at sf0.1 = 11 s); this is the
+    same arithmetic at BLAS-register speed (~0.3 s).
+
+    Float parity with the SQL oracle: the k-loop accumulates dim-wise
+    (C += outer(A_k, B_k)) so every dot product sums in index order —
+    bit-identical to DuckDB's sequential list_cosine_similarity and to
+    the unrolled Spark expression; rounding is half-up via
+    floor(x*1e6 + 0.5) (np.round is half-even, Spark/DuckDB are not).
+
+    Scale: the broadcast side is the audit slice (bounded by design —
+    this is the verification form; LSH/IVF are the retrieval paths).
+    For two large sides, tile BOTH (grid of block pairs), same kernel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    dim = mat.shape[1]
+    nrm_sq = np.zeros(len(ids))
+    for k in range(dim):  # index-order accumulation (see docstring)
+        nrm_sq += mat[:, k] * mat[:, k]
+    nrm = np.sqrt(nrm_sq)
+
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_nrm = spark.sparkContext.broadcast(nrm)
+
+    def gen(batches):
+        all_ids, all_mat, all_nrm = b_ids.value, b_mat.value, b_nrm.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            a_ids = batch["id"].to_numpy(dtype=np.int64)
+            a = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch["v"]]
+            )
+            a_nrm_sq = np.zeros(len(a_ids))
+            for k in range(dim):
+                a_nrm_sq += a[:, k] * a[:, k]
+            a_nrm = np.sqrt(a_nrm_sq)
+            c = np.zeros((len(a_ids), len(all_ids)))
+            for k in range(dim):
+                c += np.outer(a[:, k], all_mat[:, k])
+            cos = np.floor(c / np.outer(a_nrm, all_nrm) * 1e6 + 0.5) / 1e6
+            keep = (a_ids[:, None] < all_ids[None, :]) & (cos >= threshold)
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ii],
+                    "id_b": all_ids[jj],
+                    "cos": cos[ii, jj],
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
+        gen, "id_a long, id_b long, cos double"
+    )
+
+
+def semantic_bucket_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pairs (Abbas et al. 2023):
+    partition the embedding space into clusters, compare pairs ONLY
+    within a cluster. Clusters here are deterministic random-hyperplane
+    sign buckets (len(planes) bits), so the whole pipeline — bucket
+    assignment included — is reproducible in plain SQL; SemDeDup's
+    k-means clusters are the quality upgrade (see similarity.ivf_*),
+    the comparison topology is identical.
+
+    Output: (bucket, id_a < id_b, cos ≥ threshold). By design this
+    misses cross-bucket pairs — that is the SemDeDup trade: within-
+    cluster quadratic cost bounded by bucket size, total work
+    Σ|bucket|² ≈ n²/2^planes, with n_planes chosen so the expected
+    bucket fits memory (log2(n/target) planes at 100 TB, and the
+    bucketed table written partitionBy(bucket) so each comparison task
+    reads one partition)."""
+    from poc_spark.operators.similarity import add_hyperplane_buckets
+
+    bucketed = add_hyperplane_buckets(df, planes, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col("bucket"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    if dim is None:
+        dot = _dot(F.col("a.v"), F.col("b.v"))
+    else:
+        dot = None
+        for i in range(dim):
+            term = F.col("a.v").getItem(i) * F.col("b.v").getItem(i)
+            dot = term if dot is None else dot + term
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (cos >= threshold),
+        )
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos"),
+        )
     )
 
 

@@ -214,3 +214,76 @@ def test_duplicated_ngram_spans_ground_truth(spark):
         assert abs(got[i]["dup_frac"] - 1 / 8) < 1e-12
     assert got[2]["n_dup_grams"] == 0
     assert got[3]["n_grams"] == 1 and got[3]["n_dup_grams"] == 0
+
+
+def test_semantic_bucket_pairs(spark):
+    from poc_spark.operators.dedup import semantic_bucket_pairs
+    from poc_spark.operators.similarity import random_hyperplanes
+
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    near = [x + rng.gauss(0, 0.01) for x in base]  # cos ≈ 1 → same bucket
+    far = [-x for x in base]                       # cos = -1 → opposite bucket
+    other = [rng.gauss(0, 1) for _ in range(16)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far), (3, other)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = random_hyperplanes(16, n_planes=4, seed=42)
+    got = semantic_bucket_pairs(df, planes, threshold=0.9).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs == {(0, 1)}  # the planted near-dup, nothing else
+    # within-cluster subset property: every emitted pair really is >= t
+    assert all(r["cos"] >= 0.9 for r in got)
+
+
+@pytest.mark.parametrize("threshold", [0.7, 0.95])
+def test_bitset_equals_all_pairs(spark, sf_dir, threshold):
+    from poc_spark.operators.dedup import jaccard_bitset_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bit = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_bitset_pairs(docs, threshold=threshold).collect()
+    }
+    ap = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=threshold).collect()
+    }
+    assert bit == ap
+
+
+def test_bitset_open_vocab_fallback(spark, docs):
+    from poc_spark.operators.dedup import jaccard_bitset_pairs
+
+    # the tiny fixture corpus has >64 distinct tokens? it doesn't —
+    # force the fallback with max_vocab=4 and check parity still holds
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_bitset_pairs(docs, threshold=0.9, max_vocab=4).collect()
+    }
+    ap = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == ap
+
+
+def test_blocked_gemm_equals_expression_join(spark, sf_dir):
+    from poc_spark.operators.dedup import (
+        embedding_near_pairs,
+        embedding_near_pairs_blocked,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    expr = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_pairs(emb, threshold=0.4, dim=64).collect()
+    }
+    gemm = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_pairs_blocked(emb, threshold=0.4).collect()
+    }
+    assert expr == gemm  # same pairs AND bit-identical rounded cosines
