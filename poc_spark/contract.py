@@ -943,6 +943,61 @@ def q_user_sessions(spark, sf_dir):
     )
 
 
+@register(
+    "q_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), labeled AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+
+    SELECT user_id,
+           min(ts) AS sess_start,
+           max(ts) + INTERVAL 30 MINUTE AS sess_end,
+           count(*) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM labeled GROUP BY user_id, sess_id
+    """,
+)
+def q_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation in batch mode — the
+    same operator Structured Streaming uses for stateful session aggs
+    (streaming/ingest.py), here oracled against a gaps-and-islands SQL
+    labeling. Boundary semantics pinned: a gap of EXACTLY the timeout
+    starts a new session (sessions merge only when next.ts < prev end,
+    so the oracle flags new_sess on diff >= 30 min). min/max stats
+    only — order-independent, so float-exact cross-engine; the shuffle
+    is by user_id, never global."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: dedup / similarity / text analysis / multimodal
 # (SURVEY §2.8; operators live in poc_spark/operators/{dedup,similarity,
@@ -1734,13 +1789,68 @@ def graph_components(spark, sf_dir):
     return connected_components(edges.filter(F.col("weight") >= 4))
 
 
-@register("graph_pagerank", None)  # iterative float sums: no exact oracle
+def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """DuckDB twin of pagerank(ordered_sum=True): 10 unrolled
+    iterations, each summing contributions with list_reduce over a
+    src-ordered list prepended with 0.0 — the exact left fold the Spark
+    aggregate HOF performs, so every intermediate double is
+    bit-identical. Integer weights keep out-weights exact. Trap: DuckDB
+    parses numeric literals as DECIMAL, so (1.0 - 0.85) constant-folds
+    EXACTLY to 0.15 while Python/Spark get the IEEE 0.15000000000000002
+    — the constants are computed in Python and injected as DOUBLE
+    literals so both engines run the identical float."""
+    steps = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        cur = f"pr{i}"
+        steps.append(
+            f"""
+    , {cur} AS (
+      SELECT n.id,
+             CAST({(1.0 - damping)!r} AS DOUBLE) / nn.n
+               + CAST({damping!r} AS DOUBLE)
+                 * COALESCE(r.received, 0.0) AS "rank"
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT l.dst,
+               list_reduce(
+                 list_prepend(0.0, list(l.share * p."rank" ORDER BY l.src)),
+                 (a, b) -> a + b) AS received
+        FROM links l JOIN {prev} p ON l.src = p.id
+        GROUP BY l.dst
+      ) r ON n.id = r.dst
+    )"""
+        )
+        prev = cur
+    return (
+        _EDGES_CTE
+        + f"""
+    , out_w AS (
+      SELECT src, CAST(SUM(weight) AS BIGINT) AS out_w
+      FROM directed GROUP BY src
+    ), links AS (
+      SELECT d.src, d.dst, d.weight / o.out_w AS share
+      FROM directed d JOIN out_w o ON d.src = o.src
+    ), nodes AS (SELECT DISTINCT src AS id FROM links),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS "rank"
+            FROM nodes CROSS JOIN nn)
+    {"".join(steps)}
+    SELECT id, "rank" FROM pr{iterations}
+    """
+    )
+
+
+@register("graph_pagerank", _pagerank_sql(iterations=10, damping=0.85))
 def graph_pagerank(spark, sf_dir):
-    """Weighted PageRank, 10 iterations (rows-only: float summation
-    order across engines makes exact hashing meaningless; convergence
-    properties pinned in tests/test_graph.py)."""
+    """Weighted PageRank, 10 iterations, EXACTLY oracled: contributions
+    fold in src order on both engines (ordered_sum=True ↔ the oracle's
+    list_reduce), so the final double ranks hash-match bit-for-bit —
+    was rows-only through r3. Convergence pinned in tests/test_graph.py;
+    production calls keep the partial-agg sum (same values up to float
+    reassociation, ~no collect_list cost)."""
     edges = lag_edges(_t(spark, sf_dir, "events"), "user_id", EVENT_ORDER)
-    return pagerank(edges, iterations=10)
+    return pagerank(edges, iterations=10, ordered_sum=True)
 
 
 @register(
@@ -2659,6 +2769,32 @@ def sample_pack(spark, sf_dir):
     return pack_sequences(sized, budget=200, n_shards=8)
 
 
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_b60("doc_id", ":kper", 1_000_000)}, doc_id
+             ) AS rn
+      FROM documents)
+    WHERE rn <= 50
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Exact-count stratified sample: 50 docs per language, ranked by
+    the content-addressed hash bucket (sampling.py sample_k_per_stratum)
+    — the class-balancing op (count per stratum, vs mix_sources' rate
+    per source). Deterministic across engines and layouts; one shuffle
+    by the low-cardinality stratum."""
+    from poc_spark.operators.sampling import sample_k_per_stratum
+
+    return sample_k_per_stratum(
+        _t(spark, sf_dir, "documents"), k=50, stratum_col="lang"
+    ).select("doc_id", "lang")
+
+
 # TPC-H shapes 2/8/9/11/12/15/16/17/20/21 and the text-quality gates
 # register themselves on import (bottom-of-module imports: the helpers
 # above must already exist).
@@ -2737,6 +2873,8 @@ _TAIL = [
     "q_group_ols",
     "dedup_ngram_spans",
     "dedup_semantic_buckets",
+    "q_session_window",
+    "sample_stratified",
 ]
 
 

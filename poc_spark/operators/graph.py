@@ -42,6 +42,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
+    ordered_sum: bool = False,
 ) -> DataFrame:
     """(id, rank) — weighted PageRank on the undirected graph.
 
@@ -70,12 +71,24 @@ def pagerank(
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
 
     for i in range(iterations):
-        contribs = (
-            links.join(ranks, links.src == ranks.id)
-            .select("dst", (F.col("share") * F.col("rank")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("received"))
+        joined = links.join(ranks, links.src == ranks.id).select(
+            "dst", "src", (F.col("share") * F.col("rank")).alias("c")
         )
+        if ordered_sum:
+            # fold contributions in src order: bit-reproducible doubles
+            # (any engine folding the same order gets the same ranks —
+            # the contract oracle's list_reduce does exactly this).
+            # Costs a per-dst collect_list: bounded by max degree, so
+            # reserve for verification graphs; production keeps the
+            # partial-agg sum.
+            received = F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            )
+            contribs = joined.groupBy("dst").agg(received.alias("received"))
+        else:
+            contribs = joined.groupBy("dst").agg(F.sum("c").alias("received"))
         ranks = nodes.join(
             contribs, nodes.id == contribs.dst, "left"
         ).select(

@@ -129,3 +129,29 @@ def pack_sequences(
         "shard",
         F.floor(prefix_before / budget).cast("long").alias("seq_bin"),
     )
+
+
+def sample_k_per_stratum(
+    df: DataFrame,
+    k: int,
+    stratum_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum — the class-balancing
+    counterpart of the fraction-based ops above (mix_sources keeps a
+    RATE per source; this keeps a COUNT, e.g. "500 docs per language
+    for the eval set"). Rows rank within their stratum by
+    (hash_bucket, key): content-addressed like everything here, so the
+    picked set is engine- and layout-independent, and ties in the
+    bucket break on the key. One shuffle by stratum; strata are
+    low-cardinality columns (lang, source), so at 100 TB add the bucket
+    as a secondary partition key only if a single stratum outgrows an
+    executor — the rank only needs per-stratum ordering.
+    """
+    h = hash_bucket(F.col(key_col), purpose=":kper")
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -147,3 +147,18 @@ def test_sample_and_split_are_independent(spark, sf_dir):
     }
     overlap = len(s02 & t02) / max(len(s02 | t02), 1)
     assert overlap < 0.5  # independent draws overlap ~ Jaccard 0.11
+
+
+def test_sample_k_per_stratum(spark, sf_dir):
+    from poc_spark.operators.sampling import sample_k_per_stratum
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sample_k_per_stratum(docs, k=10, stratum_col="lang")
+    per = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {lang: min(10, n) for lang, n in sizes.items()}
+    # deterministic: same picks on re-run
+    again = sample_k_per_stratum(docs, k=10, stratum_col="lang")
+    assert {tuple(r) for r in got.select("doc_id").collect()} == {
+        tuple(r) for r in again.select("doc_id").collect()
+    }
