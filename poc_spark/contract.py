@@ -1574,6 +1574,33 @@ def mm_decode(spark, sf_dir):
 
 
 @register(
+    "mm_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, 1 + doc_id % 30, 10)) AS BIGINT) AS frame_idx
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling PLAN: synthesize → REAL header decode →
+    explode one row per every-10th frame index, all from metadata (the
+    downstream heavy decode then fetches exactly those frames — size
+    the fan-out BEFORE the expensive stage). The oracle recomputes the
+    frame grid algebraically, so this checks the full decode→explode
+    path end-to-end."""
+    from poc_spark.operators.multimodal import (
+        decode_ppm,
+        frame_sample_plan,
+        synthesize_ppm_media,
+    )
+
+    media = synthesize_ppm_media(_t(spark, sf_dir, "documents"))
+    return frame_sample_plan(decode_ppm(media), every_n=10).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+@register(
     "q_running_sum",
     """
     SELECT user_id, event_id,
@@ -1927,7 +1954,30 @@ def text_bigrams(spark, sf_dir):
     return corpus_ngram_counts(_t(spark, sf_dir, "documents"), n=2, top_k=20)
 
 
-@register("sim_ivf_kmeans", None)  # rows-only: KMeans floats, no SQL twin
+@register(
+    "sim_ivf_kmeans",
+    """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), cents AS (
+      SELECT centroid_id, center
+      FROM read_parquet('.tmp/ivf/sf0.01/centroids/*.parquet')
+    ), probe AS (
+      SELECT centroid_id FROM cents, q
+      ORDER BY list_cosine_similarity(center, qv) DESC, centroid_id
+      LIMIT 4
+    ), vecs AS (
+      SELECT vec_id, embedding, centroid
+      FROM read_parquet('.tmp/ivf/sf0.01/vectors/*/*.parquet',
+                        hive_partitioning = true)
+    )
+    SELECT vec_id AS id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos
+    FROM vecs, q
+    WHERE centroid IN (SELECT centroid_id FROM probe)
+    ORDER BY cos DESC, id LIMIT 10
+    """,
+)
 def sim_ivf_kmeans(spark, sf_dir):
     """IVF ANN against a PERSISTED index (fit-once / query-many): on
     first use the index is built under .tmp/ivf/<sf> — real pyspark.ml
@@ -1935,7 +1985,15 @@ def sim_ivf_kmeans(spark, sf_dir):
     written partitionBy(centroid) so probing 4 of 16 lists is literal
     parquet partition pruning. The query plan contains NO KMeans fit —
     it reads the stored centroids (16 rows) and the pruned vector
-    partitions. Recall vs brute force pinned in tests/test_similarity.py."""
+    partitions. Recall vs brute force pinned in tests/test_similarity.py.
+
+    Oracled since r4 (was rows-only): the SQL reads the SAME persisted
+    index artifacts (relative .tmp path at sf0.01 — the correctness
+    gate's config; the Spark side builds them on first use, and the
+    gate runs Spark before the oracle), re-derives the 4 probe lists
+    from the stored centroids, and computes the same round-6 cosine
+    top-10 — probe selection, partition pruning, and scoring all
+    cross-checked."""
     import os
 
     from poc_spark.operators.similarity import (
@@ -2875,6 +2933,7 @@ _TAIL = [
     "dedup_semantic_buckets",
     "q_session_window",
     "sample_stratified",
+    "mm_frame_sample",
 ]
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from poc_spark.contract import EVENT_ORDER, _t, register
+from poc_spark.contract import _EDGES_CTE, EVENT_ORDER, _t, register
 from poc_spark.operators.graph import k_core
 from poc_spark.operators.network import lag_edges
 from poc_spark.plans.range_join import bucketized_range_join
@@ -176,13 +176,42 @@ def q_resample_gapfill(spark, sf_dir):
     )
 
 
-@register("graph_kcore", None)  # rows-only: iterative peel, no SQL twin
+@register(
+    "graph_kcore",
+    _EDGES_CTE.replace("WITH chain", "WITH RECURSIVE chain", 1)
+    + """
+    , strong AS (
+      SELECT source AS src, target AS dst FROM edges WHERE weight >= 4
+      UNION ALL
+      SELECT target, source FROM edges WHERE weight >= 4
+    ), alive(iter, id) AS (
+        SELECT 0, src FROM (SELECT DISTINCT src FROM strong) t
+      UNION ALL
+        SELECT a.iter + 1, s.src
+        FROM strong s
+        JOIN alive a ON s.src = a.id
+        JOIN alive b ON s.dst = b.id
+        WHERE a.iter < 200
+        GROUP BY a.iter, s.src
+        HAVING count(*) >= 2
+    ), core AS (SELECT id FROM alive WHERE iter = 200)
+    SELECT s.src AS id, count(*) AS degree
+    FROM strong s
+    JOIN core c1 ON s.src = c1.id
+    JOIN core c2 ON s.dst = c2.id
+    GROUP BY s.src
+    """,
+)
 def graph_kcore(spark, sf_dir):
     """2-core of the strong interaction graph (weight >= 4): nodes
     surviving iterative min-degree peeling, with their in-core degree.
-    Deterministic (the k-core is unique); ground truth is the pure-
-    Python differential peel in tests/test_kcore.py, following the
-    pagerank precedent for iterative operators DuckDB SQL can't state.
+    Deterministic (the k-core is unique). Oracled since r4 (was
+    rows-only): DuckDB 1.0 allows aggregates in the recursive term, so
+    the peel IS a recursive CTE — each step keeps nodes with degree
+    >= 2 inside the previous survivor set, capped at 200 rounds (peel
+    depth <= node count; the fixpoint then self-reproduces to the cap,
+    and selecting exactly iter=200 keeps the empty-core case honest).
+    Differential Python peel stays pinned in tests/test_kcore.py.
     At sf0.01 this peels 150 nodes down to 78."""
     edges = lag_edges(
         _t(spark, sf_dir, "events"), "user_id", EVENT_ORDER
