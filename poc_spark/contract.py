@@ -1601,6 +1601,45 @@ def mm_frame_sample(spark, sf_dir):
 
 
 @register(
+    "mm_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (4 + doc_id % 13)::INT AS w,
+             (3 + doc_id % 7)::INT AS h,
+             substr(repeat(md5(text), 41), 1,
+                    ((4 + doc_id % 13) * (3 + doc_id % 7) * 3)::INT) AS px
+      FROM documents
+    )
+    SELECT media_id, w AS width, h AS height,
+           8::INT AS out_w, 6::INT AS out_h,
+           sha256(array_to_string(
+             list_transform(range(0, 6 * 8 * 3), i ->
+               substr(px,
+                      3 * ((((i // 3) // 8) * h // 6) * w
+                           + (((i // 3) % 8) * w // 8))
+                        + (i % 3) + 1,
+                      1)),
+             '')) AS resized_sha
+    FROM m
+    """,
+)
+def mm_resize(spark, sf_dir):
+    """REAL nearest-neighbor image resize on raw PPM pixel bytes
+    (multimodal.resize_ppm): numpy gather over the H×W×3 plane per
+    Arrow batch, down to 8×6. The oracle replays the exact gather as
+    substring index arithmetic over the algebraically-reconstructed
+    pixel string and hashes the same bytes — so the resize KERNEL
+    (row/col mapping included) is cross-engine verified, not just the
+    plumbing. Completes the decode / feature / resize / frame-sample
+    multimodal quartet."""
+    from poc_spark.operators.multimodal import resize_ppm, synthesize_ppm_media
+
+    media = synthesize_ppm_media(_t(spark, sf_dir, "documents"))
+    return resize_ppm(media, out_w=8, out_h=6)
+
+
+@register(
     "q_running_sum",
     """
     SELECT user_id, event_id,
@@ -2934,6 +2973,7 @@ _TAIL = [
     "q_session_window",
     "sample_stratified",
     "mm_frame_sample",
+    "mm_resize",
 ]
 
 

@@ -215,3 +215,63 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, out_w int, out_h int, "
+    "resized_sha string"
+)
+
+
+def resize_ppm(df: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
+    """REAL nearest-neighbor resize on the raw pixel bytes (no codec
+    libs): parse the P6 header, index the H×W×3 pixel block with
+    src_row = floor(r·H/out_h), src_col = floor(c·W/out_w), checksum
+    the resized block. numpy fancy-indexing over the Arrow batch — the
+    whole image plane resizes as one gather, no per-pixel Python.
+
+    Output keeps only dims + sha of the resized bytes so the operator
+    is exactly oracle-able: the synthetic payloads' pixel block is a
+    repeated md5 hex string, so SQL can reconstruct the same gather by
+    substring index arithmetic and hash the same bytes."""
+    import hashlib
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _, n_bytes, _ = _parse_ppm(bytes(payload))
+                if w is None or n_bytes != w * h * 3:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                px = np.frombuffer(
+                    bytes(payload)[-n_bytes:], dtype=np.uint8
+                ).reshape(h, w, 3)
+                rr = (np.arange(out_h) * h) // out_h
+                cc = (np.arange(out_w) * w) // out_w
+                resized = px[rr][:, cc, :]
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        out_w,
+                        out_h,
+                        hashlib.sha256(resized.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "out_w",
+                    "out_h",
+                    "resized_sha",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)

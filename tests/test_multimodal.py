@@ -109,3 +109,42 @@ def test_frame_sample_plan(spark, media):
     vid = decoded.filter("kind = 'video'").collect()[0]
     expect = len(range(0, vid["n_frames"], 10))
     assert len([r for r in rows if r["media_id"] == 1]) == expect
+
+
+def test_resize_ppm_kernel(spark):
+    import hashlib
+
+    import numpy as np
+
+    from poc_spark.operators.multimodal import resize_ppm
+
+    # 2x2 RGB image with distinct pixels; 1x1 nearest-neighbor resize
+    # must pick the top-left pixel exactly
+    px = bytes([10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42])
+    payload = b"P6\n2 2\n255\n" + px
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, kind string, payload binary",
+    )
+    row = resize_ppm(df, out_w=1, out_h=1).collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+    assert row["resized_sha"] == hashlib.sha256(bytes([10, 11, 12])).hexdigest()
+
+    # 4x2 -> 2x2: rows map to {0,1}, cols to {0,2}
+    arr = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    payload2 = b"P6\n4 2\n255\n" + arr.tobytes()
+    df2 = spark.createDataFrame(
+        [(2, "image", bytearray(payload2))],
+        "media_id long, kind string, payload binary",
+    )
+    row2 = resize_ppm(df2, out_w=2, out_h=2).collect()[0]
+    expect = arr[[0, 1]][:, [0, 2], :]
+    assert row2["resized_sha"] == hashlib.sha256(expect.tobytes()).hexdigest()
+
+    # malformed payload degrades to nulls, never fails the job
+    bad = spark.createDataFrame(
+        [(3, "image", bytearray(b"NOTPPM"))],
+        "media_id long, kind string, payload binary",
+    )
+    row3 = resize_ppm(bad).collect()[0]
+    assert row3["resized_sha"] is None
