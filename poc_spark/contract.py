@@ -2919,13 +2919,28 @@ _TAIL = [
     "op_join_point",  # keyed point lookup; evidenced by op_join_semi
     "q_union_except",  # set ops; r2 driver-green
     "q_value_histogram",  # bucketing capability overlaps q_pivot_events
-    "text_winnowing",  # md5-60 oracled since r4; r1-witnessed rows-only
     "q_events_by_type",  # plain groupBy-count; evidenced by q1
     "q_semi_orders_with_items",  # leftsemi; evidenced by op_join_semi
     "q_percentiles",  # exact percentile; evidenced by sketch_quantile_bounds
     # --- round-4 rotation: each entry below is double-green (r01 AND r02
     # driver rows), demoted to free window slots for the 18 oracled entries
     # the driver has never recorded. Capability witnesses noted. ---
+    # --- r5 rotation: first driver-green earned in r03, demoted so the
+    # twelve r4-new/newly-oracled entries fit the window; the TPC-H
+    # capability stays witnessed in-head by q2/q8/q9/q11/q12/q15/q16/
+    # q17/q20/q21 ---
+    "q4_late_ship_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_balances",
+    "sketch_hll_union",  # double-green r02+r03
+    "text_pii_scrub",  # double-green r02+r03
+    "text_tfidf",  # r03-green; tfidf shape evidenced by text_bigrams agg
+    "text_bigrams",  # r03-green; swap with text_tfidf next rotation
     "op_limit_n",  # ordered limit; evidenced by q3_top_revenue
     "op_fil_daterange",  # range filter; inside op_graph_flagship's plan
     "op_parse_regex",  # chat parse; inside op_graph_flagship's pipeline
@@ -2961,19 +2976,6 @@ _TAIL = [
     "q_pivot_events",  # manual pivot; evidenced by q12_late_priority CASE aggs
     "text_fingerprint",  # rolling hash; evidenced by op_fn_hash digests
     "q_asof_last_click",  # temporal join; evidenced by q_range_bucket_join
-    # --- r4 additions queued for the r5 window rotation (window is at
-    # 50; local full-registry evidence in CORRECTNESS_local_r04.json) ---
-    "q_json_extract",
-    "q_resample_gapfill",
-    "graph_kcore",
-    "q_cube_events",
-    "q_group_ols",
-    "dedup_ngram_spans",
-    "dedup_semantic_buckets",
-    "q_session_window",
-    "sample_stratified",
-    "mm_frame_sample",
-    "mm_resize",
 ]
 
 
