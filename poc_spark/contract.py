@@ -1309,6 +1309,37 @@ def sim_ann_lsh(spark, sf_dir):
     return ann_hyperplane(emb, qv, k=10, planes=_ANN_PLANES, probe_bits=2)
 
 
+@register(
+    "sim_knn_join",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.e, b.e), 6) AS cos
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), r AS (
+      SELECT id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY cos DESC, neighbor_id) AS "rank"
+      FROM p
+    )
+    SELECT id, neighbor_id, cos, "rank" FROM r WHERE "rank" <= 5
+    """,
+)
+def sim_knn_join(spark, sf_dir):
+    """Batch k-NN JOIN — top-5 cosine neighbors for EVERY vector at
+    once (the all-queries form of sim_knn_brute; batch semantic
+    retrieval's workhorse). Blocked-GEMM mapInPandas with index-order
+    accumulation and lexsort tie-break, so ranks match the oracle's
+    window exactly. The oracle is the quadratic window over all pairs —
+    DuckDB verifies, the blocked kernel is the scale path (tile the
+    block grid and merge per-row top-k for corpora beyond one
+    broadcast)."""
+    from poc_spark.operators.similarity import knn_join_blocked
+
+    return knn_join_blocked(_t(spark, sf_dir, "embeddings"), k=5)
+
+
 def _semantic_pairs_sql(planes: list[list[float]], threshold: float) -> str:
     """DuckDB twin of semantic_bucket_pairs: the same plane literals
     reproduce the sign-bit cluster ids, then intra-cluster pairs with
@@ -2941,6 +2972,7 @@ _TAIL = [
     "text_pii_scrub",  # double-green r02+r03
     "text_tfidf",  # r03-green; tfidf shape evidenced by text_bigrams agg
     "text_bigrams",  # r03-green; swap with text_tfidf next rotation
+    "text_sentences",  # r03-green; makes room for sim_knn_join (new in r4)
     "op_limit_n",  # ordered limit; evidenced by q3_top_revenue
     "op_fil_daterange",  # range filter; inside op_graph_flagship's plan
     "op_parse_regex",  # chat parse; inside op_graph_flagship's pipeline

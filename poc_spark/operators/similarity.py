@@ -299,3 +299,83 @@ def ivf_query(
     return knn_brute(
         index_df.filter(F.col("centroid").isin(probe)), query_vec, k, vec_col, id_col
     )
+
+
+def knn_join_blocked(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch k-NN JOIN: for EVERY vector, its top-k cosine neighbors
+    (self excluded) — the all-queries-at-once form of knn_brute, the
+    workhorse of batch semantic retrieval. Blocked GEMM like
+    dedup.embedding_near_pairs_blocked: the corpus broadcasts as a
+    dense float64 matrix, each Arrow batch multiplies against it in
+    numpy and keeps its own top-k rows.
+
+    Float parity with the SQL oracle: the k-loop accumulates dim-wise
+    (sequential index order == DuckDB's list_cosine_similarity loop)
+    and ties order by (cos desc, neighbor id asc) via lexsort — so the
+    (id, rank) table is deterministic cross-engine.
+
+    Scale: the broadcast side is one block; for corpora beyond one
+    block, tile the grid of (query-block, corpus-block) pairs and merge
+    per-row top-k across tiles (associative) — same kernel.
+
+    Output: (id, neighbor_id, cos, rank) with rank 1..k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    dim = mat.shape[1]
+    nrm_sq = np.zeros(len(ids))
+    for j in range(dim):
+        nrm_sq += mat[:, j] * mat[:, j]
+    nrm = np.sqrt(nrm_sq)
+
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_nrm = spark.sparkContext.broadcast(nrm)
+
+    def gen(batches):
+        all_ids, all_mat, all_nrm = b_ids.value, b_mat.value, b_nrm.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            a_ids = batch["id"].to_numpy(dtype=np.int64)
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in batch["v"]])
+            a_nrm_sq = np.zeros(len(a_ids))
+            for j in range(dim):
+                a_nrm_sq += a[:, j] * a[:, j]
+            a_nrm = np.sqrt(a_nrm_sq)
+            c = np.zeros((len(a_ids), len(all_ids)))
+            for j in range(dim):
+                c += np.outer(a[:, j], all_mat[:, j])
+            cos = np.floor(c / np.outer(a_nrm, all_nrm) * 1e6 + 0.5) / 1e6
+            out_id, out_nb, out_cos, out_rank = [], [], [], []
+            for i, qid in enumerate(a_ids):
+                row = cos[i].copy()
+                mask = all_ids != qid  # exclude self
+                cand_ids, cand_cos = all_ids[mask], row[mask]
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_id.extend([qid] * len(order))
+                out_nb.extend(cand_ids[order])
+                out_cos.extend(cand_cos[order])
+                out_rank.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "id": np.asarray(out_id, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_nb, dtype=np.int64),
+                    "cos": out_cos,
+                    "rank": np.asarray(out_rank, dtype=np.int64),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
+        gen, "id long, neighbor_id long, cos double, rank long"
+    )

@@ -137,3 +137,22 @@ def test_ivf_kmeans_sampled_fit(spark, emb):
     cents = ivf_centroids_kmeans(emb, n_centroids=4, sample_fraction=0.5)
     assert len(cents) == 4
     assert all(len(c) > 0 for _, c in cents)
+
+
+def test_knn_join_matches_per_query_brute(spark, sf_dir):
+    from poc_spark.operators.similarity import knn_brute, knn_join_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    joined = {
+        (r["id"], r["rank"]): r["neighbor_id"]
+        for r in knn_join_blocked(emb, k=3).collect()
+    }
+    # spot-check three query ids against the single-query brute path
+    # (self excluded there by taking ranks 2..4 — brute includes self
+    # at rank 1 with cos 1.0)
+    for qid in (0, 7, 42):
+        qv = [float(x) for x in emb.filter(f"vec_id = {qid}").collect()[0]["embedding"]]
+        brute = [r["id"] for r in knn_brute(emb, qv, k=4).collect()]
+        assert brute[0] == qid
+        for rank, nb in enumerate(brute[1:], start=1):
+            assert joined[(qid, rank)] == nb
