@@ -279,6 +279,12 @@ def jaccard_bitset_pairs(
     ]
     if len(vocab) > max_vocab:
         return jaccard_prefix_pairs(df, threshold, text_col, id_col)
+    if not vocab:
+        # empty corpus / all-empty texts: no qualifying pairs (the
+        # oracle's 0/0 Jaccard is NULL and drops too)
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, jaccard double"
+        )
 
     # one literal-weight term per vocab token: bit i is set iff token i
     # is in the set. ≤64 codegen'd array_contains over a ~word-sized
@@ -751,6 +757,10 @@ def embedding_near_pairs_blocked(
     import pandas as pd
 
     pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    if len(pdf) == 0:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double"
+        )
     ids = pdf["id"].to_numpy(dtype=np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
     dim = mat.shape[1]

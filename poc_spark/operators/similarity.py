@@ -329,6 +329,10 @@ def knn_join_blocked(
     import pandas as pd
 
     pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    if len(pdf) == 0:
+        return df.sparkSession.createDataFrame(
+            [], "id long, neighbor_id long, cos double, rank long"
+        )
     ids = pdf["id"].to_numpy(dtype=np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
     dim = mat.shape[1]

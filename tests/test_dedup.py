@@ -287,3 +287,21 @@ def test_blocked_gemm_equals_expression_join(spark, sf_dir):
         for r in embedding_near_pairs_blocked(emb, threshold=0.4).collect()
     }
     assert expr == gemm  # same pairs AND bit-identical rounded cosines
+
+
+def test_blocked_and_bitset_empty_inputs(spark):
+    from poc_spark.operators.dedup import (
+        embedding_near_pairs_blocked,
+        jaccard_bitset_pairs,
+    )
+    from poc_spark.operators.similarity import knn_join_blocked
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert jaccard_bitset_pairs(empty_docs, threshold=0.9).count() == 0
+    # all-empty texts: vocab probe finds nothing
+    blank = spark.createDataFrame([(1, ""), (2, "  ")], "doc_id long, text string")
+    assert jaccard_bitset_pairs(blank, threshold=0.9).count() == 0
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_near_pairs_blocked(empty_vecs).count() == 0
+    assert knn_join_blocked(empty_vecs).count() == 0
