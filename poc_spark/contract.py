@@ -1400,6 +1400,39 @@ def text_token_count(spark, sf_dir):
 
 
 @register(
+    "text_bpe_count",
+    """
+    SELECT doc_id,
+           (len(list_filter(string_split_regex(text, '\\s+'),
+                            x -> len(x) > 0)) + 8)::BIGINT AS n_bpe
+    FROM documents
+    """,
+)
+def text_bpe_count(spark, sf_dir):
+    """BPE-ish sub-word token counting (regex-only proxy: split on
+    whitespace, punctuation, and letter/digit boundaries). The corpus
+    has no digits or punctuation, so the entry appends a deterministic
+    mixed suffix — ' id<doc_id> x=55.5px' — which the splitter must
+    tokenize as [id, <digits>, x, =, 55, ., 5, px] = exactly 8 pieces
+    regardless of the id's digit count. The oracle is an INDEPENDENT
+    algebraic expectation (whitespace tokens + 8), not a re-statement
+    of the regexes — a wrong lookaround or backref under-splits and
+    shows up as a value mismatch."""
+    from poc_spark.operators.textstats import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" id"),
+        F.col("doc_id").cast("string"),
+        F.lit(" x=55.5px"),
+    )
+    return docs.select(
+        "doc_id", bpe_ish_token_count(synth).alias("n_bpe")
+    )
+
+
+@register(
     "text_doc_stats",
     f"""
     WITH t AS (
@@ -2973,6 +3006,7 @@ _TAIL = [
     "text_tfidf",  # r03-green; tfidf shape evidenced by text_bigrams agg
     "text_bigrams",  # r03-green; swap with text_tfidf next rotation
     "text_sentences",  # r03-green; makes room for sim_knn_join (new in r4)
+    "text_boilerplate",  # r03-green; makes room for text_bpe_count (new in r4)
     "op_limit_n",  # ordered limit; evidenced by q3_top_revenue
     "op_fil_daterange",  # range filter; inside op_graph_flagship's plan
     "op_parse_regex",  # chat parse; inside op_graph_flagship's pipeline
