@@ -2931,6 +2931,67 @@ def sample_pack(spark, sf_dir):
 
 
 @register(
+    "sample_weighted",
+    f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE {_b60("doc_id", ":wsample", 1_000_000)}
+          < CAST(floor(least(1.0, n_chars / 1200.0) * 1000000) AS BIGINT)
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Quality-weighted deterministic sampling (sampling.weighted_sample):
+    each doc keeps with probability least(1, n_chars/1200) — the
+    DCLM-style shape where a per-row score drives selection, still
+    content-addressed (no RNG, append-stable, engine-reproducible).
+    floor (not cast) on the threshold: CAST(double AS BIGINT) rounds in
+    DuckDB but truncates in Spark."""
+    from poc_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    prob = F.least(F.lit(1.0), F.col("n_chars") / F.lit(1200.0))
+    return weighted_sample(docs, prob).select("doc_id", "n_chars")
+
+
+@register(
+    "text_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+      FROM documents
+    ), ch2 AS (SELECT doc_id, c FROM ch WHERE len(c) > 0),
+    lvl AS (
+      SELECT doc_id, c, count(*)::BIGINT AS cnt FROM ch2 GROUP BY doc_id, c
+    ), tot AS (
+      SELECT doc_id, SUM(cnt)::BIGINT AS n FROM lvl GROUP BY doc_id
+    ), per AS (
+      SELECT l.doc_id, t.n,
+             list((l.cnt::DOUBLE / t.n::DOUBLE)
+                  * ln(l.cnt::DOUBLE / t.n::DOUBLE)
+                  ORDER BY l.c) AS terms
+      FROM lvl l JOIN tot t USING (doc_id)
+      GROUP BY l.doc_id, t.n
+    )
+    SELECT doc_id, n AS n_chars,
+           round(-list_reduce(list_prepend(0.0, terms), (a, b) -> a + b), 6)
+             AS entropy
+    FROM per
+    """,
+)
+def text_entropy(spark, sf_dir):
+    """Shannon character entropy (nats) — the cheap gibberish /
+    collapsed-repetition quality signal. The -Σ p·ln(p) fold runs in
+    character order on both engines (sorted-struct aggregate HOF ↔
+    list_reduce over ORDER BY c), so the doubles hash bit-for-bit —
+    same ordered-fold discipline as the PageRank oracle; ln parity
+    with DuckDB already proven by text_tfidf."""
+    from poc_spark.operators.textstats import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "n_chars", "entropy"
+    )
+
+
+@register(
     "sample_stratified",
     f"""
     SELECT doc_id, lang FROM (
@@ -3007,6 +3068,8 @@ _TAIL = [
     "text_bigrams",  # r03-green; swap with text_tfidf next rotation
     "text_sentences",  # r03-green; makes room for sim_knn_join (new in r4)
     "text_boilerplate",  # r03-green; makes room for text_bpe_count (new in r4)
+    "sketch_distinct_bounds",  # r03-green; makes room for text_entropy
+    "sketch_quantile_bounds",  # r03-green; makes room for sample_weighted
     "op_limit_n",  # ordered limit; evidenced by q3_top_revenue
     "op_fil_daterange",  # range filter; inside op_graph_flagship's plan
     "op_parse_regex",  # chat parse; inside op_graph_flagship's pipeline

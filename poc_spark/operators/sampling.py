@@ -155,3 +155,18 @@ def sample_k_per_stratum(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame, prob_col, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep each row with ITS OWN probability (a Column in [0,1]) —
+    quality-weighted selection (DCLM-style: upweight high-quality docs)
+    as a deterministic content-addressed filter, not an RNG draw. Same
+    stateless narrow-filter shape as deterministic_sample, but the
+    threshold comes from the row, so any score column drives the mix.
+    floor() on the threshold (NOT cast) — CAST(double AS BIGINT) rounds
+    in DuckDB but truncates in Spark."""
+    prob = prob_col if isinstance(prob_col, Column) else F.col(prob_col)
+    thr = F.floor(prob * _BUCKETS).cast("long")
+    return df.filter(hash_bucket(F.col(key_col), purpose=":wsample") < thr)

@@ -262,3 +262,38 @@ def corpus_ngram_counts(
     if top_k:
         freq = freq.orderBy(F.desc("freq"), "gram").limit(top_k)
     return freq
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_chars, entropy) — Shannon entropy (nats, round-6) of the
+    character distribution: the cheap gibberish/repetition signal
+    (collapsed keyboards and repeated runs score near 0, natural text
+    ~3). One explode + two aggregates; the -Σ p·ln(p) fold runs in
+    CHARACTER order via the sorted-struct aggregate HOF, so every
+    intermediate double is reproducible cross-engine (the same
+    ordered-fold trick as the PageRank oracle; ln parity with DuckDB
+    is already proven by text_tfidf)."""
+    ch = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "")).alias("c"),
+    ).filter(F.length("c") > 0)
+    lvl = ch.groupBy("id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    per = lvl.groupBy("id").agg(
+        F.sum("cnt").alias("n"),
+        F.array_sort(F.collect_list(F.struct("c", "cnt"))).alias("arr"),
+    )
+    n = F.col("n")
+    ent = -F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (x["cnt"].cast("double") / n.cast("double"))
+        * F.log(x["cnt"].cast("double") / n.cast("double")),
+    )
+    return per.select(
+        F.col("id"),
+        n.cast("long").alias("n_chars"),
+        F.round(ent, 6).alias("entropy"),
+    )

@@ -162,3 +162,21 @@ def test_sample_k_per_stratum(spark, sf_dir):
     assert {tuple(r) for r in got.select("doc_id").collect()} == {
         tuple(r) for r in again.select("doc_id").collect()
     }
+
+
+def test_weighted_sample(spark, sf_dir):
+    from poc_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # prob 0 keeps nothing, prob 1 keeps everything
+    assert weighted_sample(docs, F.lit(0.0)).count() == 0
+    assert weighted_sample(docs, F.lit(1.0)).count() == docs.count()
+    # a mid probability keeps roughly that fraction (binomial 4-sigma)
+    n = docs.count()
+    kept = weighted_sample(docs, F.lit(0.5)).count()
+    assert abs(kept - 0.5 * n) < 4 * (0.25 * n) ** 0.5
+    # column-driven: only rows whose own prob admits them
+    p = F.when(F.col("doc_id") % 2 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    got = weighted_sample(docs, p).select("doc_id").collect()
+    assert all(r["doc_id"] % 2 == 0 for r in got)
+    assert len(got) == docs.filter("doc_id % 2 = 0").count()

@@ -152,3 +152,23 @@ def test_corpus_ngram_counts(spark):
     assert got == {"x y": 3, "y x": 1}
     top1 = corpus_ngram_counts(docs, n=2, top_k=1).collect()
     assert [(r["gram"], r["freq"]) for r in top1] == [("x y", 3)]
+
+
+def test_char_entropy(spark):
+    import math
+
+    from poc_spark.operators.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # one symbol -> entropy 0
+            (2, "abab"),          # two equiprobable -> ln 2
+            (3, "abcd"),          # four equiprobable -> ln 4
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in char_entropy(df).collect()}
+    assert got[1]["entropy"] == 0.0
+    assert abs(got[2]["entropy"] - math.log(2)) < 1e-6
+    assert abs(got[3]["entropy"] - math.log(4)) < 1e-6
+    assert got[3]["n_chars"] == 4
