@@ -1919,6 +1919,92 @@ def graph_components(spark, sf_dir):
     return connected_components(edges.filter(F.col("weight") >= 4))
 
 
+@register(
+    "q_cohort_retention",
+    """
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    f AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, day FROM ev)
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           date_diff('day', f.cohort_day, a.day)::BIGINT AS day_offset,
+           count(DISTINCT a.user_id)::BIGINT AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (daily cohorts — the corpus spans one
+    month): users grouped by first-active day, counted per day-offset
+    of later activity. Two shuffles on user_id (first-day agg +
+    distinct activity), then a cohort-cell agg — the canonical event-
+    analytics shape. All date arithmetic integer-exact cross-engine."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = ev.distinct()
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            # timestamp_ntz, not date: Spark DATE comes back to pandas
+            # as object while DuckDB DATE arrives datetime64 — the
+            # driver's dtype check needs both as timestamps
+            F.col("cohort_day").cast("timestamp_ntz").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "q_event_funnel",
+    """
+    WITH s AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+           count(CASE WHEN t_signup < t_click THEN 1 END) AS n_click_after,
+           count(CASE WHEN t_signup < t_click AND t_click < t_purchase
+                      THEN 1 END) AS n_full_funnel
+    FROM s
+    """,
+)
+def q_event_funnel(spark, sf_dir):
+    """First-occurrence funnel signup → click → purchase: per user, the
+    earliest timestamp of each stage; a user advances when the minima
+    are strictly ordered. One shuffle (per-user pivot-min), then a
+    1-row global count — the standard sequence-analytics shape, and
+    NULL ordering (never did the stage) drops the user from later
+    stages identically in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    mins = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return mins.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("t_signup").isNotNull(), 1)).alias("n_signup"),
+        F.count(F.when(F.col("t_signup") < F.col("t_click"), 1)).alias(
+            "n_click_after"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_signup") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
 def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
     """DuckDB twin of pagerank(ordered_sum=True): 10 unrolled
     iterations, each summing contributions with list_reduce over a
@@ -3070,6 +3156,8 @@ _TAIL = [
     "text_boilerplate",  # r03-green; makes room for text_bpe_count (new in r4)
     "sketch_distinct_bounds",  # r03-green; makes room for text_entropy
     "sketch_quantile_bounds",  # r03-green; makes room for sample_weighted
+    "q_range_bucket_join",  # r03-green; makes room for q_cohort_retention
+    "q_window_zoo",  # r03-green; makes room for q_event_funnel
     "op_limit_n",  # ordered limit; evidenced by q3_top_revenue
     "op_fil_daterange",  # range filter; inside op_graph_flagship's plan
     "op_parse_regex",  # chat parse; inside op_graph_flagship's pipeline
