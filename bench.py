@@ -73,7 +73,7 @@ def main() -> None:
     # offline index build: IVF is fit-once/query-many by design — build
     # it here if absent so sim_ivf_kmeans times the QUERY (index scan +
     # pruned probe), not a one-time KMeans fit.
-    ivf_path = f".tmp/ivf/{os.path.basename(os.path.normpath(sf_dir))}"
+    ivf_path = contract.ivf_index_path(sf_dir)
     if not os.path.exists(f"{ivf_path}/centroids"):
         from poc_spark.operators.similarity import build_ivf_index
 

@@ -17,6 +17,7 @@ schema + order-insensitive value hash, columns sorted by name):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -2143,21 +2144,33 @@ def text_bigrams(spark, sf_dir):
     return corpus_ngram_counts(_t(spark, sf_dir, "documents"), n=2, top_k=20)
 
 
-@register(
-    "sim_ivf_kmeans",
-    """
+# IVF index artifacts live under <repo>/.tmp/ivf/<sf-base> — ABSOLUTE,
+# so neither the Spark side nor the DuckDB oracle depends on cwd, and
+# the oracle can be re-rendered for any sf_dir (oracle_sql_for below).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def ivf_index_path(sf_dir: str) -> str:
+    return os.path.join(
+        _REPO_ROOT, ".tmp", "ivf", os.path.basename(os.path.normpath(sf_dir))
+    )
+
+
+def _ivf_oracle(sf_base: str) -> str:
+    root = os.path.join(_REPO_ROOT, ".tmp", "ivf", sf_base)
+    return f"""
     WITH q AS (
       SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
     ), cents AS (
       SELECT centroid_id, center
-      FROM read_parquet('.tmp/ivf/sf0.01/centroids/*.parquet')
+      FROM read_parquet('{root}/centroids/*.parquet')
     ), probe AS (
       SELECT centroid_id FROM cents, q
       ORDER BY list_cosine_similarity(center, qv) DESC, centroid_id
       LIMIT 4
     ), vecs AS (
       SELECT vec_id, embedding, centroid
-      FROM read_parquet('.tmp/ivf/sf0.01/vectors/*/*.parquet',
+      FROM read_parquet('{root}/vectors/*/*.parquet',
                         hive_partitioning = true)
     )
     SELECT vec_id AS id,
@@ -2165,8 +2178,10 @@ def text_bigrams(spark, sf_dir):
     FROM vecs, q
     WHERE centroid IN (SELECT centroid_id FROM probe)
     ORDER BY cos DESC, id LIMIT 10
-    """,
-)
+    """
+
+
+@register("sim_ivf_kmeans", _ivf_oracle("sf0.01"))
 def sim_ivf_kmeans(spark, sf_dir):
     """IVF ANN against a PERSISTED index (fit-once / query-many): on
     first use the index is built under .tmp/ivf/<sf> — real pyspark.ml
@@ -2177,14 +2192,12 @@ def sim_ivf_kmeans(spark, sf_dir):
     partitions. Recall vs brute force pinned in tests/test_similarity.py.
 
     Oracled since r4 (was rows-only): the SQL reads the SAME persisted
-    index artifacts (relative .tmp path at sf0.01 — the correctness
-    gate's config; the Spark side builds them on first use, and the
-    gate runs Spark before the oracle), re-derives the 4 probe lists
-    from the stored centroids, and computes the same round-6 cosine
-    top-10 — probe selection, partition pruning, and scoring all
-    cross-checked."""
-    import os
-
+    index artifacts (absolute repo-rooted path, sf0.01 for the driver's
+    gate; the Spark side builds them on first use, and the gate runs
+    Spark before the oracle — run `oracle_sql_for(sf_dir)` for other
+    scales), re-derives the 4 probe lists from the stored centroids,
+    and computes the same round-6 cosine top-10 — probe selection,
+    partition pruning, and scoring all cross-checked."""
     from poc_spark.operators.similarity import (
         build_ivf_index,
         ivf_query,
@@ -2192,7 +2205,7 @@ def sim_ivf_kmeans(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = f".tmp/ivf/{os.path.basename(os.path.normpath(sf_dir))}"
+    path = ivf_index_path(sf_dir)
     if not os.path.exists(f"{path}/centroids"):
         build_ivf_index(emb, path, n_centroids=16)
     index_df, cents = load_ivf_index(spark, path)
@@ -3217,3 +3230,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """oracle_sql() re-rendered for an arbitrary sf_dir. The driver's
+    contract is the sf0.01 strings above; the local checker calls this
+    so the few oracles that read persisted side artifacts (the IVF
+    index) point at the right scale's artifacts."""
+    out = oracle_sql()
+    out["sim_ivf_kmeans"] = _ivf_oracle(
+        os.path.basename(os.path.normpath(sf_dir))
+    )
+    return out

@@ -184,6 +184,8 @@ def q_resample_gapfill(spark, sf_dir):
       SELECT source AS src, target AS dst FROM edges WHERE weight >= 4
       UNION ALL
       SELECT target, source FROM edges WHERE weight >= 4
+    ), nv AS (
+      SELECT count(*) AS cap FROM (SELECT DISTINCT src FROM strong) t
     ), alive(iter, id) AS (
         SELECT 0, src FROM (SELECT DISTINCT src FROM strong) t
       UNION ALL
@@ -191,10 +193,10 @@ def q_resample_gapfill(spark, sf_dir):
         FROM strong s
         JOIN alive a ON s.src = a.id
         JOIN alive b ON s.dst = b.id
-        WHERE a.iter < 200
+        WHERE a.iter < (SELECT cap FROM nv)
         GROUP BY a.iter, s.src
         HAVING count(*) >= 2
-    ), core AS (SELECT id FROM alive WHERE iter = 200)
+    ), core AS (SELECT id FROM alive WHERE iter = (SELECT cap FROM nv))
     SELECT s.src AS id, count(*) AS degree
     FROM strong s
     JOIN core c1 ON s.src = c1.id
@@ -208,9 +210,11 @@ def graph_kcore(spark, sf_dir):
     Deterministic (the k-core is unique). Oracled since r4 (was
     rows-only): DuckDB 1.0 allows aggregates in the recursive term, so
     the peel IS a recursive CTE — each step keeps nodes with degree
-    >= 2 inside the previous survivor set, capped at 200 rounds (peel
-    depth <= node count; the fixpoint then self-reproduces to the cap,
-    and selecting exactly iter=200 keeps the empty-core case honest).
+    >= 2 inside the previous survivor set, capped at |V| rounds (peel
+    depth <= node count — derived IN the SQL from the data, not a
+    constant, so deeper graphs at larger scale factors can't exhaust
+    the cap mid-peel; the fixpoint then self-reproduces to the cap,
+    and selecting exactly iter=cap keeps the empty-core case honest).
     Differential Python peel stays pinned in tests/test_kcore.py.
     At sf0.01 this peels 150 nodes down to 78."""
     edges = lag_edges(

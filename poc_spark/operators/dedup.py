@@ -291,8 +291,14 @@ def jaccard_bitset_pairs(
     # array — no variable shifts, no HOF.
     mask = None
     for i, t in enumerate(sorted(vocab)):
+        # bit 63 is the long sign bit: 1<<63 overflows LongType, so the
+        # 64th token's weight is the two's-complement value -(2**63).
+        # Distinct-bit terms still sum without overflow (bits 0..62 sum
+        # to < 2**63) and bit_count / bitwiseAND / bitwiseOR are
+        # bit-pattern ops, indifferent to sign.
+        weight = (1 << i) if i < 63 else -(1 << 63)
         term = F.when(
-            F.array_contains(F.col("toks"), t), F.lit(1 << i).cast("long")
+            F.array_contains(F.col("toks"), t), F.lit(weight).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         mask = term if mask is None else mask + term
     masked = toks.select("id", mask.alias("m")).localCheckpoint(eager=True)
@@ -306,7 +312,13 @@ def jaccard_bitset_pairs(
     # (interpreted, not codegen'd), each mask joins only its size band:
     # the b-side replicates D+1 times keyed sz−k and the join is a
     # codegen'd HASH join on the band key — shuffle-able at any m.
-    d_max = int((1 - threshold) * len(vocab))
+    # exact band bound: binary-float threshold makes (1-t)*n land just
+    # BELOW its mathematical value when (1-t)*n is an integer (e.g.
+    # t=0.8, n=5 -> 0.9999...), and plain int() would drop pairs whose
+    # Jaccard equals the threshold exactly. Nudge up before truncating:
+    # overshooting by one band key only adds pruned candidates (the
+    # jac >= threshold conjunct is exact); undershooting loses pairs.
+    d_max = int((1 - threshold) * len(vocab) + 1e-9)
     ga = groups.alias("ga")
     gb = (
         groups.select(

@@ -255,6 +255,61 @@ def test_bitset_equals_all_pairs(spark, sf_dir, threshold):
     assert bit == ap
 
 
+def test_bitset_boundary_jaccard_equals_threshold(spark):
+    """ADVICE r4: (1-t)*n under binary floats truncates to d_max-1 when
+    (1-t)*n is mathematically an integer — t=0.8 over a 5-token vocab
+    gave d_max=0 and silently dropped pairs with J == t exactly. The
+    planted pair here is |A|=4 ⊂ |B|=5, J = 4/5 = 0.8."""
+    from poc_spark.operators.dedup import jaccard_bitset_pairs
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "epsilon delta"),
+        ],
+        "doc_id long, text string",
+    )
+    bit = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_bitset_pairs(df, threshold=0.8).collect()
+    }
+    assert bit == {(0, 1): 0.8}
+    ap = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    assert bit == ap
+
+
+def test_bitset_full_64_token_vocab(spark):
+    """ADVICE r4: F.lit(1 << 63) overflows LongType — a corpus with
+    exactly max_vocab=64 distinct tokens crashed instead of using the
+    sign bit. Build 64 tokens; docs 0/1 share 60 of 61 (J > 0.98 — the
+    61st doc-0 token is t63, exercising the sign bit), doc 2 disjoint."""
+    from poc_spark.operators.dedup import jaccard_bitset_pairs
+
+    toks = [f"t{i:02d}" for i in range(64)]
+    shared = toks[:60]
+    df = spark.createDataFrame(
+        [
+            (0, " ".join(shared + [toks[63]])),
+            (1, " ".join(shared + [toks[60]])),
+            (2, " ".join(toks[61:63])),
+        ],
+        "doc_id long, text string",
+    )
+    bit = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_bitset_pairs(df, threshold=0.9).collect()
+    }
+    ap = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.9).collect()
+    }
+    assert bit == ap and set(bit) == {(0, 1)}
+
+
 def test_bitset_open_vocab_fallback(spark, docs):
     from poc_spark.operators.dedup import jaccard_bitset_pairs
 

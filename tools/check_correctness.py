@@ -89,7 +89,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    from poc_spark import contract
+
+    # oracle_sql_for re-renders sf-dependent oracles (the persisted IVF
+    # index path) for the sf_dir under test; the driver itself always
+    # runs the static sf0.01 strings from entry_mod.oracle_sql().
+    qs, oracles = entry_mod.queries(), contract.oracle_sql_for(sf_dir)
     failures = 0
     records: dict[str, dict] = {}
     for name, fn in qs.items():
