@@ -301,7 +301,7 @@ def jaccard_bitset_pairs(
             F.array_contains(F.col("toks"), t), F.lit(weight).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         mask = term if mask is None else mask + term
-    masked = toks.select("id", mask.alias("m")).localCheckpoint(eager=True)
+    masked = toks.select("id", mask.alias("m")).localCheckpoint(eager=False)
     groups = masked.groupBy("m").agg(F.count(F.lit(1)).alias("n")).withColumn(
         "sz", F.bit_count(F.col("m"))
     )
@@ -509,16 +509,26 @@ def minhash_lsh_pairs(
     # session CacheManager until explicitly unpersisted, so repeated
     # operator calls in a long session accumulate storage; checkpointed
     # blocks free themselves when the DataFrame is garbage-collected.
+    # eager=False, measured (sf0.1, local[32]): eager=True runs a
+    # synchronous materialization job per checkpoint BEFORE the real
+    # query, which r4's bench paid on every invocation (1.37 s -> 2.69 s
+    # driver; 3.8 s -> 3.2 s best-of-2 local after this change, clusters
+    # 8.3 s -> 6.8 s). Lazy keeps cache()-equivalent cost — blocks
+    # materialize inside the first job that touches them — while still
+    # truncating lineage for iterative consumers (pairs_to_clusters).
+    # Cluster caveat (not local mode): localCheckpoint blocks don't
+    # survive executor loss; at real cluster scale prefer reliable
+    # checkpoint dirs for multi-hour jobs.
     shing = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # barrier: the signature table is tiny (one row per doc) but its
     # expression tree is huge — without a materialization barrier,
     # projection collapse would inline it into every band projection.
     sigs = minhash_signatures(
         df, num_hashes, shingle_n, text_col, id_col, shingles_df=shing
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     band_rows = sigs.select(
         "id",
         F.explode(

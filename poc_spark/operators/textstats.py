@@ -176,9 +176,11 @@ def winnowing_fingerprints(
     # and deterministic projections collapse — without the barrier the
     # tokenize→gram→hash chain runs `window`× per row. localCheckpoint,
     # not .cache(): cached plans stay registered in the CacheManager
-    # forever, checkpointed blocks free themselves on GC.
+    # forever, checkpointed blocks free themselves on GC. Lazy — an
+    # eager pre-job pays a full extra materialization before the real
+    # query starts (measured, see minhash_lsh_pairs).
     hashed = df.select(F.col(id_col), hash_expr.alias("h")).localCheckpoint(
-        eager=True
+        eager=False
     )
     hashes = F.col("h")
     n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
