@@ -779,6 +779,12 @@ def embedding_near_pairs_blocked(
     import pandas as pd
 
     pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    # this kernel collects its input to the driver — callers must bound
+    # the slice (the contract entry feeds a hash half-slice). Fail
+    # loudly on misuse rather than OOM the driver.
+    from poc_spark.operators.similarity import _guard_one_block
+
+    _guard_one_block(len(pdf), "embedding_near_pairs_blocked", "knn_join_tiled")
     if len(pdf) == 0:
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cos double"

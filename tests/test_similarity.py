@@ -156,3 +156,41 @@ def test_knn_join_matches_per_query_brute(spark, sf_dir):
         assert brute[0] == qid
         for rank, nb in enumerate(brute[1:], start=1):
             assert joined[(qid, rank)] == nb
+
+
+def test_knn_join_tiled_equals_one_block(spark, sf_dir):
+    """The distributed tiled grid must be BIT-identical to the one-block
+    kernel: same float64 accumulation order per pair, same half-up
+    rounding, same (cos desc, id asc) tie-break — so the contract entry
+    could swap forms without the oracle hash moving (VERDICT r4 #1)."""
+    from poc_spark.operators.similarity import knn_join_blocked, knn_join_tiled
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one = {
+        (r["id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in knn_join_blocked(emb, k=5).collect()
+    }
+    for qb, cb in ((4, 4), (1, 7)):
+        tiled = {
+            (r["id"], r["rank"]): (r["neighbor_id"], r["cos"])
+            for r in knn_join_tiled(
+                emb, k=5, query_blocks=qb, corpus_blocks=cb
+            ).collect()
+        }
+        assert tiled == one  # exact, including float bits
+
+
+def test_one_block_kernels_guard_driver_collect(spark, monkeypatch):
+    """Misusing the one-block kernels on a large input must fail loudly
+    with a pointer to the tiled form, not OOM the driver."""
+    import poc_spark.operators.similarity as sim
+    from poc_spark.operators.dedup import embedding_near_pairs_blocked
+
+    df = spark.range(40).selectExpr(
+        "id AS vec_id", "array(double(id), 1.0d) AS embedding"
+    )
+    monkeypatch.setattr(sim, "_MAX_ONE_BLOCK_ROWS", 10)
+    with pytest.raises(ValueError, match="knn_join_tiled"):
+        sim.knn_join_blocked(df, k=2)
+    with pytest.raises(ValueError, match="knn_join_tiled"):
+        embedding_near_pairs_blocked(df, threshold=0.5)
