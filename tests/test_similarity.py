@@ -180,6 +180,76 @@ def test_knn_join_tiled_equals_one_block(spark, sf_dir):
         assert tiled == one  # exact, including float bits
 
 
+def test_ann_join_recall_vs_exact(spark, sf_dir):
+    """Recall pins for the batch ANN join vs the exact kNN join. The
+    synthetic embeddings are uniform random — LSH's WORST case (no
+    cluster structure to exploit) — so the honest pins are (a)
+    enrichment: recall must beat the probed bucket mass (chance) by
+    >= 1.5x at the contract's 8-plane/probe-1 config (measured ~3x);
+    (b) a useful-recall floor at the denser 6-plane/probe-2 config
+    (measured 0.56); (c) the degenerate full-probe == exact."""
+    from poc_spark.contract import _ANN_PLANES
+    from poc_spark.operators.similarity import (
+        ann_join_hyperplane,
+        knn_join_blocked,
+        random_hyperplanes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id"], r["neighbor_id"])
+        for r in knn_join_blocked(emb, k=3).collect()
+    }
+
+    planes8 = random_hyperplanes(64, 8, 42)
+    approx = {
+        (r["id"], r["neighbor_id"])
+        for r in ann_join_hyperplane(
+            emb, k=3, planes=planes8, probe_bits=1, dim=64
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    chance = 9 / 256  # masks probed / bucket space
+    assert recall >= 1.5 * chance, f"recall@3 {recall:.3f} vs chance {chance:.3f}"
+
+    dense = {
+        (r["id"], r["neighbor_id"])
+        for r in ann_join_hyperplane(
+            emb, k=3, planes=_ANN_PLANES, probe_bits=2, dim=64
+        ).collect()
+    }
+    recall_dense = len(exact & dense) / len(exact)
+    assert recall_dense >= 0.4, f"dense recall@3 {recall_dense:.3f}"
+
+    # degenerate full-probe = exact: probing every mask makes the
+    # candidate set the full corpus
+    full = {
+        (r["id"], r["neighbor_id"])
+        for r in ann_join_hyperplane(
+            emb, k=3, planes=_ANN_PLANES, probe_bits=len(_ANN_PLANES), dim=64
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ann_join_plan_is_bucket_equi_join(spark, sf_dir):
+    """The candidate join must plan as a shuffled/broadcast HASH join
+    on the bucket key — a bit-distance theta join would be a
+    BroadcastNestedLoopJoin (quadratic at scale)."""
+    from poc_spark.contract import _ANN_PLANES
+    from poc_spark.operators.similarity import ann_join_hyperplane
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = (
+        ann_join_hyperplane(emb, k=3, planes=_ANN_PLANES, probe_bits=1, dim=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_one_block_kernels_guard_driver_collect(spark, monkeypatch):
     """Misusing the one-block kernels on a large input must fail loudly
     with a pointer to the tiled form, not OOM the driver."""
