@@ -62,14 +62,21 @@ def upload_chats_response(spark: SparkSession, path: str, table_path: str) -> di
     append sink → counts (backend/main.py:349-395)."""
     from poc_spark.operators.etl import append_messages
 
+    # cache: the parsed table feeds both the group-name probe and the
+    # append sink. try/finally unpersist — a serving process handles
+    # many uploads per session, and CacheManager entries never free
+    # themselves (VERDICT r4 #7).
     msgs = parse_chat_table(read_chat_lines(spark, path)).cache()
-    group = msgs.select("group_name").limit(1).collect()
-    inserted = append_messages(msgs, table_path)
-    return {
-        "status": "success",
-        "inserted_rows": inserted,
-        "group_name": group[0]["group_name"] if group else None,
-    }
+    try:
+        group = msgs.select("group_name").limit(1).collect()
+        inserted = append_messages(msgs, table_path)
+        return {
+            "status": "success",
+            "inserted_rows": inserted,
+            "group_name": group[0]["group_name"] if group else None,
+        }
+    finally:
+        msgs.unpersist()
 
 
 def analyze_words_response(messages: DataFrame, k: int = 10) -> dict:
