@@ -3183,6 +3183,226 @@ def sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+# ---------------------------------------------------------------------------
+# round-5 additions: LM-quality scoring, feature hashing, skew-safe
+# domain caps, embedding compression/reduction, z-order layout
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_lm",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> len(x) > 0)) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+    cf AS (SELECT tok, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+    t AS (SELECT sum(cf)::DOUBLE AS t_total FROM cf),
+    per AS (
+      SELECT f.doc_id,
+             sum(f.tf)::BIGINT AS n_toks,
+             list(f.tf::DOUBLE * ln(c.cf::DOUBLE / t.t_total)
+                  ORDER BY f.tok) AS terms
+      FROM tf f JOIN cf c USING (tok), t
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_toks,
+           round(list_reduce(list_prepend(0.0, terms), (a, b) -> a + b)
+                 / n_toks::DOUBLE, 6) AS avg_logprob
+    FROM per
+    """,
+)
+def text_unigram_lm(spark, sf_dir):
+    """Per-document mean unigram log-likelihood under the corpus
+    unigram model — the cheap perplexity-style quality score (the
+    KenLM-filter shape with the corpus as the model). Explode + two
+    hash aggregates + a BROADCAST vocabulary join (a natural-language
+    vocab stays executor-sized at any corpus scale); the Σ tf·ln(cf/T)
+    runs as a token-ordered fold on both engines, so the doubles hash
+    bit-for-bit (char_entropy / PageRank discipline)."""
+    from poc_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "n_toks", "avg_logprob"
+    )
+
+
+@register(
+    "text_hashed_features",
+    """
+    WITH tok AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> len(x) > 0)) AS tok
+      FROM documents
+    )
+    SELECT id,
+           ('0x' || substr(md5(tok || ':feat'), 1, 15))::BIGINT % 1024
+             AS feature,
+           count(*)::BIGINT AS tf
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def text_hashed_features(spark, sf_dir):
+    """Hashing-trick vectorizer (sparse long form): term buckets via
+    the cross-engine md5-60 hash mod 1024 — the vocabulary-free
+    featurization step for classifier quality filters. Stateless
+    narrow map + one hash aggregate; collisions are part of the
+    operator's contract. All-integer output."""
+    from poc_spark.operators.textstats import hashed_features
+
+    return hashed_features(_t(spark, sf_dir, "documents"), n_features=1024)
+
+
+@register(
+    "sample_domain_cap",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':domaincap'),
+                                        1, 15))::BIGINT % 1000000,
+                        doc_id
+             ) AS rn
+      FROM documents) t
+    WHERE rn <= 10
+    """,
+)
+def sample_domain_cap(spark, sf_dir):
+    """Per-domain document cap (the Common-Crawl 'at most N pages per
+    host' rule), content-addressed rank so the kept set is engine- and
+    append-stable. Runs the SKEW-SAFE two-phase plan (plans/skew.py
+    salted_top_k): local top-k within (source, content-hash shard),
+    then final top-k per source — no hot domain ever funnels through
+    one task, unlike the single-window oracle form it exactly equals
+    (equality pinned in tests/test_skew.py)."""
+    from poc_spark.operators.sampling import hash_bucket
+    from poc_spark.plans.skew import salted_top_k
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_prio", hash_bucket(F.col("doc_id"), purpose=":domaincap")
+    )
+    return salted_top_k(
+        docs, ["source"], ["_prio", "doc_id"], k=10
+    ).select("doc_id", "source")
+
+
+@register(
+    "emb_quantize",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    m AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS amax
+      FROM v
+    ),
+    idx AS (
+      SELECT vec_id, e, amax, unnest(range(len(e)))::INT AS i FROM m
+    )
+    SELECT vec_id AS id, i,
+           (CASE WHEN amax = 0 THEN 0
+                 ELSE floor(e[i + 1] * 127.0 / amax + 0.5) END)::INT AS code,
+           round(amax / 127.0, 6) AS scale
+    FROM idx
+    """,
+)
+def emb_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization, long form (id, i, code,
+    scale) — the embedding storage/serving compression step (4x
+    narrower than float32). Pure narrow projection + posexplode, no
+    shuffle; codes are exact integers (floor(x·127/amax + 0.5):
+    round-half-up via floor, identical in every engine), scale rounded
+    at the edge. Reconstruction-error bound pinned in
+    tests/test_embeddings.py."""
+    from poc_spark.operators.embeddings import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+def _proj_sql(planes: list[list[float]]) -> str:
+    """DuckDB twin of random_projection: the same literal matrix rows,
+    one UNION ALL branch per output dim, list_dot_product = the same
+    index-ordered fold the Spark side runs (the sim_ann_lsh
+    precedent)."""
+    selects = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        selects.append(
+            f"SELECT vec_id AS id, {j} AS j, "
+            f"round(list_dot_product(e, [{lits}]), 6) AS value FROM v"
+        )
+    body = "\n    UNION ALL\n    ".join(selects)
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)\n    "
+        + body
+    )
+
+
+# 16 projection rows, seed distinct from the ANN plane families
+_PROJ_PLANES = random_hyperplanes(64, n_planes=16, seed=7)
+
+
+@register("emb_project", _proj_sql(_PROJ_PLANES))
+def emb_project(spark, sf_dir):
+    """Fixed-matrix random projection (Johnson-Lindenstrauss) 64 -> 16
+    dims, long form (id, j, value) — the dimensionality cut applied
+    before ANN indexing / IVF clustering at scale (shrinks every
+    downstream shuffle by dim_out/dim_in). Literal matrix rows embed in
+    both dialects; k dot products per row, narrow map, no shuffle."""
+    from poc_spark.operators.embeddings import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"), _PROJ_PLANES)
+
+
+@register(
+    "q_zorder_cells",
+    """
+    WITH b AS (
+      SELECT event_id,
+             greatest(0, least(15,
+               floor((value::DOUBLE - 0.0) / 500.0 * 16.0)::BIGINT)) AS x,
+             greatest(0, least(15,
+               floor((user_id::DOUBLE - 0.0) / 160.0 * 16.0)::BIGINT)) AS y
+      FROM events
+    ), zv AS (
+      SELECT event_id,
+             (((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1) |
+             (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3) |
+             (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5) |
+             (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7) AS z
+      FROM b
+    )
+    SELECT z, count(*)::BIGINT AS n,
+           min(event_id) AS min_eid, max(event_id) AS max_eid
+    FROM zv GROUP BY z
+    """,
+)
+def q_zorder_cells(spark, sf_dir):
+    """Morton z-value cells over (value, user_id) — the
+    multi-dimensional data-skipping layout key (Delta/Iceberg OPTIMIZE
+    ZORDER): rows clustered by z stay local in BOTH dimensions, so
+    per-file min/max stats prune scans for predicates on either
+    column. Domain-literal bucketing (append-stable, never re-bins old
+    rows) + pure integer bit interleave — exactly oracle-able. The
+    write-side layout (repartitionByRange(z) + sortWithinPartitions,
+    disjoint per-file z-ranges) is pinned in tests/test_zorder.py."""
+    from poc_spark.plans.zorder import bucketize, interleave_bits
+
+    ev = _t(spark, sf_dir, "events")
+    x = bucketize(F.col("value"), 0.0, 500.0, 4)
+    y = bucketize(F.col("user_id"), 0.0, 160.0, 4)
+    z = interleave_bits([x, y], 4)
+    return ev.select(z.alias("z"), "event_id").groupBy("z").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_eid"),
+        F.max("event_id").alias("max_eid"),
+    )
+
+
 # TPC-H shapes 2/8/9/11/12/15/16/17/20/21 and the text-quality gates
 # register themselves on import (bottom-of-module imports: the helpers
 # above must already exist).
@@ -3206,6 +3426,19 @@ _TAIL = [
     # for sim_ann_join (new in r5); BPE-ish counting stays witnessed by
     # the text_token_count/text_chunking family's historical greens ---
     "text_bpe_count",
+    # --- r5 rotation (second batch): all six are r4-driver-green,
+    # demoted to fit the six r5-new entries (text_unigram_lm,
+    # text_hashed_features, sample_domain_cap, emb_quantize,
+    # emb_project, q_zorder_cells). Capability witnesses in-head:
+    # star-join profit shapes by q2/q8, scalar-subquery HAVING by q17,
+    # CASE-bucket aggs by q1's conditional sums, hash-fraction
+    # selection by sample_weighted/sample_stratified/sample_pack. ---
+    "q9_profit_by_nation",
+    "q11_important_parts",
+    "q12_late_priority",
+    "sample_deterministic",
+    "sample_split",
+    "sample_mix",
     # --- kept from earlier rounds: driver-green already (r01/r02), simple
     # capabilities evidenced by retained head rows ---
     "op_src_doc_scan",  # ordered scan+limit; evidenced by q3_top_revenue

@@ -299,3 +299,86 @@ def char_entropy(
         n.cast("long").alias("n_chars"),
         F.round(ent, 6).alias("entropy"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_toks, avg_logprob) — per-document mean unigram
+    log-likelihood under the CORPUS unigram model (the cheap
+    perplexity-style quality signal: boilerplate and keyboard mash
+    score far below fluent text; the shape KenLM-filter pipelines use,
+    with the corpus itself as the model).
+
+      avg_logprob = (1/n) * Σ_tok tf(doc,tok) · ln(cf(tok) / T)
+
+    with cf = corpus frequency, T = total corpus tokens. Plan: one
+    explode + doc-level and corpus-level hash aggregates, then a join
+    of doc term-frequencies against the vocabulary — broadcast, since
+    a natural-language vocab stays executor-sized no matter how big the
+    corpus grows (the 100 TB shape: the model is small state, the scan
+    is the cost). The Σ runs as an ordered fold over token-sorted
+    structs, so every intermediate double reproduces cross-engine
+    (same discipline as char_entropy / the PageRank oracle).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    doc_tf = tok.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    total = vocab.agg(F.sum("cf").cast("double").alias("t_total"))
+    joined = doc_tf.join(F.broadcast(vocab), "tok").crossJoin(
+        F.broadcast(total)
+    )
+    per = joined.groupBy("id", "t_total").agg(
+        F.sum("tf").alias("n_toks"),
+        F.array_sort(F.collect_list(F.struct("tok", "tf", "cf"))).alias("arr"),
+    )
+    t = F.col("t_total")
+    ll = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["tf"].cast("double") * F.log(x["cf"].cast("double") / t),
+    )
+    return per.select(
+        "id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.round(ll / F.col("n_toks").cast("double"), 6).alias("avg_logprob"),
+    )
+
+
+def hashed_features(
+    df: DataFrame,
+    n_features: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick term vectorizer (sparse long form): (id, feature,
+    tf) with feature = md5-60(token || ':feat') mod n_features — the
+    fixed-width, vocabulary-free featurization step (classifier-based
+    quality filters, fastText-style model inputs) that needs NO fitted
+    dictionary, so it is a stateless narrow map + one hash aggregate.
+
+    The md5-60 bucket is the module-standard cross-engine hash (DuckDB:
+    ('0x'||substr(md5(tok||':feat'),1,15))::BIGINT % n); collisions are
+    part of the operator's contract (that's the hashing trick), and the
+    salt keeps the feature space independent of the sampling buckets.
+    All-integer output — hashes bit-for-bit.
+    """
+    from poc_spark.operators.dedup import token_hash
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    feat = F.pmod(
+        token_hash(F.concat(F.col("tok"), F.lit(":feat")), "md5_60"),
+        F.lit(n_features),
+    ).cast("long")
+    return (
+        tok.select("id", feat.alias("feature"))
+        .groupBy("id", "feature")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

@@ -45,3 +45,53 @@ def salted_broadcast_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
     )
     return salted_big.join(replicated, [key, "_salt"]).drop("_salt")
+
+
+def salted_top_k(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    salt_col: "F.Column | None" = None,
+    salt_n: int = 16,
+) -> DataFrame:
+    """Top-k rows per key under a TOTAL order, resilient to a hot key —
+    the skew-safe twin of a single `row_number() OVER (PARTITION BY key
+    ORDER BY ...)` window (which funnels every row of a hot key through
+    one task).
+
+    Two phases, exact equality with the single window:
+      1. local: rank within (key, shard) — each shard keeps its own
+         top-k, so a key's rows spread over `salt_n` tasks and at most
+         salt_n*k survivors per key remain;
+      2. global: rank the survivors within key — the true top-k per
+         key is a subset of the per-shard top-k's union (any row
+         outside its shard's top-k is beaten by >= k rows of the same
+         key, hence outside the key's top-k).
+
+    `salt_col` must be a DETERMINISTIC function of the row (e.g. a
+    content-hash bucket) so results are layout-independent; it defaults
+    to a hash of the first order column. `order_cols` must totally
+    order rows within a key or ties make ranks ambiguous.
+    """
+    from pyspark.sql import Window
+
+    salt = (
+        salt_col
+        if salt_col is not None
+        else F.pmod(F.xxhash64(*order_cols), F.lit(salt_n))
+    )
+    local = Window.partitionBy(*key_cols, "_shard").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    final = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    return (
+        df.withColumn("_shard", salt)
+        .withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= k)
+        .withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_rn") <= k)
+        .drop("_shard", "_lrn", "_rn")
+    )

@@ -38,3 +38,32 @@ def test_salted_join_equals_plain(spark, skewed):
     p = {(r["key"], r["label"]): r["n"] for r in plain.collect()}
     s = {(r["key"], r["label"]): r["n"] for r in salted.collect()}
     assert s == p and s[("hot", "H")] == 9500
+
+
+def test_salted_top_k_equals_single_window(spark, skewed):
+    from pyspark.sql import Window
+
+    from poc_spark.plans.skew import salted_top_k
+
+    w = Window.partitionBy("key").orderBy("v")
+    plain = (
+        skewed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 7)
+        .drop("_rn")
+    )
+    salted = salted_top_k(skewed, ["key"], ["v"], k=7)
+    p = {(r["key"], r["v"]) for r in plain.collect()}
+    s = {(r["key"], r["v"]) for r in salted.collect()}
+    assert s == p
+    # the hot key is capped too, and keys smaller than k keep all rows
+    assert sum(1 for key, _ in s if key == "hot") == 7
+
+
+def test_salted_top_k_k_exceeds_group(spark):
+    from poc_spark.plans.skew import salted_top_k
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "key string, v long"
+    )
+    out = salted_top_k(df, ["key"], ["v"], k=10)
+    assert out.count() == 3

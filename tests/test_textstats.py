@@ -172,3 +172,58 @@ def test_char_entropy(spark):
     assert abs(got[2]["entropy"] - math.log(2)) < 1e-6
     assert abs(got[3]["entropy"] - math.log(4)) < 1e-6
     assert got[3]["n_chars"] == 4
+
+
+def test_unigram_logprob_tiny_corpus(spark):
+    import math
+
+    from poc_spark.operators.textstats import unigram_logprob
+
+    # corpus: "a a b" + "b c" -> counts a=2 b=2 c=1, T=5
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in unigram_logprob(df).collect()}
+    t = 5.0
+    want1 = (2 * math.log(2 / t) + 1 * math.log(2 / t)) / 3
+    want2 = (math.log(2 / t) + math.log(1 / t)) / 2
+    assert out[1]["n_toks"] == 3 and out[2]["n_toks"] == 2
+    assert abs(out[1]["avg_logprob"] - round(want1, 6)) < 1e-9
+    assert abs(out[2]["avg_logprob"] - round(want2, 6)) < 1e-9
+
+
+def test_unigram_logprob_empty_doc_dropped(spark):
+    from poc_spark.operators.textstats import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "   ")], "doc_id long, text string"
+    )
+    assert [r["id"] for r in unigram_logprob(df).collect()] == [1]
+
+
+def test_hashed_features_merge_and_total(spark):
+    from poc_spark.operators.textstats import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b")], "doc_id long, text string"
+    )
+    rows = hashed_features(df, n_features=1024).collect()
+    # total tf mass is conserved through hashing (collisions merge tf)
+    assert sum(r["tf"] for r in rows if r["id"] == 1) == 4
+    assert sum(r["tf"] for r in rows if r["id"] == 2) == 2
+    assert all(0 <= r["feature"] < 1024 for r in rows)
+    # same token -> same feature across docs
+    feats = {r["id"]: {r2["feature"] for r2 in rows if r2["id"] == r["id"]}
+             for r in rows}
+    b_feat = [r["feature"] for r in rows if r["id"] == 2]
+    assert len(b_feat) == 1 and b_feat[0] in feats[1]
+
+
+def test_hashed_features_single_feature_collision_regime(spark):
+    from poc_spark.operators.textstats import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "p q r s t u v w")], "doc_id long, text string"
+    )
+    rows = hashed_features(df, n_features=1).collect()
+    assert len(rows) == 1 and rows[0]["feature"] == 0 and rows[0]["tf"] == 8

@@ -1,0 +1,63 @@
+"""Z-order layout: interleave correctness against a pure-Python Morton
+reference, and the physical property the layout exists for — disjoint
+per-partition z-ranges after repartitionByRange + sortWithinPartitions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from poc_spark.plans.zorder import bucketize, interleave_bits, zorder_layout
+
+
+def _morton2(x: int, y: int, bits: int) -> int:
+    z = 0
+    for j in range(bits):
+        z |= ((x >> j) & 1) << (2 * j)
+        z |= ((y >> j) & 1) << (2 * j + 1)
+    return z
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    return spark.createDataFrame(rows, "x long, y long")
+
+
+def test_interleave_matches_python_reference(spark, grid):
+    out = grid.select(
+        "x", "y", interleave_bits([F.col("x"), F.col("y")], 4).alias("z")
+    ).collect()
+    for r in out:
+        assert r["z"] == _morton2(r["x"], r["y"], 4)
+    # the z-space is a bijection over the 16x16 grid
+    assert len({r["z"] for r in out}) == 256
+
+
+def test_bucketize_clamps_and_bins(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (249.9,), (499.9,), (500.0,), (1e9,)], "v double"
+    )
+    got = [
+        r["b"]
+        for r in df.select(
+            bucketize(F.col("v"), 0.0, 500.0, 4).alias("b")
+        ).collect()
+    ]
+    assert got == [0, 0, 7, 15, 15, 15]
+
+
+def test_zorder_layout_partitions_have_disjoint_z_ranges(spark, grid):
+    z = interleave_bits([F.col("x"), F.col("y")], 4)
+    laid = zorder_layout(grid, z, n_partitions=8)
+    stats = (
+        laid.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in stats if r["n"] > 0)
+    assert len(spans) > 1  # actually split
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint: file-level min/max stats can prune

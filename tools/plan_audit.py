@@ -43,6 +43,7 @@ BNLJ_OK = {
     "q_group_ols",  # tiny per-group coefficient cross
     "text_tfidf",  # corpus size N: broadcast 1-row aggregate (idf = ln(N/df))
     "sketch_hll_union",  # bound check: 1-row exact count x 1-row union estimate
+    "text_unigram_lm",  # corpus token total T: broadcast 1-row aggregate
 }
 
 
