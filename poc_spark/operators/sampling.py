@@ -170,3 +170,49 @@ def weighted_sample(
     prob = prob_col if isinstance(prob_col, Column) else F.col(prob_col)
     thr = F.floor(prob * _BUCKETS).cast("long")
     return df.filter(hash_bucket(F.col(key_col), purpose=":wsample") < thr)
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    mass_col: str | None = None,
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the mC4/ROOTS mixing
+    shape): downsample each source s at rate sqrt(c_s / c_max), so
+    over-represented sources shrink toward the largest source's
+    sqrt-scaled mass while small sources pass through whole. c_s is
+    row count by default; pass `mass_col` (e.g. n_chars or a token
+    count) to mix by BYTE/TOKEN mass — what LM mixing actually
+    balances, since sources differ more in document length than in
+    document count.
+
+    alpha is FIXED at 0.5 because sqrt is correctly-rounded IEEE in
+    every engine — pow(x, alpha) is libm-dependent and would break the
+    cross-engine oracle. The keep decision is the module's standard
+    content-addressed filter: md5-60 bucket < floor(rate * buckets),
+    an integer compare, so the kept set is append-stable and exactly
+    reproducible.
+
+    Plan: one tiny per-source count aggregate, a 1-row max broadcast
+    (constant, not a quadratic risk), then a stateless narrow filter —
+    the scan dominates at any scale.
+    """
+    # integer-typed mass sums exactly in any order; fractional mass
+    # columns would make the sum order-dependent and break the oracle
+    mass = F.count(F.lit(1)) if mass_col is None else F.sum(mass_col)
+    counts = df.groupBy(source_col).agg(mass.alias("_c"))
+    cmax = counts.agg(F.max("_c").alias("_cmax"))
+    rates = counts.crossJoin(F.broadcast(cmax)).select(
+        source_col,
+        F.floor(
+            F.sqrt(F.col("_c").cast("double") / F.col("_cmax").cast("double"))
+            * F.lit(float(buckets))
+        ).alias("_cut"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_bucket(F.col(key_col), buckets, ":temp") < F.col("_cut"))
+        .drop("_cut")
+    )

@@ -382,3 +382,51 @@ def hashed_features(
         .groupBy("id", "feature")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    n_features: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a linear model over hashing-trick features — the
+    classifier-filter scoring shape (fastText / logreg quality gates):
+    score(doc) = (Σ_f tf_f · w_f) / Σ_f tf_f.
+
+    Weights are a DETERMINISTIC integer-arithmetic function of the
+    feature id (Knuth multiplicative hash mapped to [-0.5, 0.5)), so
+    the 'model' embeds in the SQL oracle with no artifact file; a real
+    pipeline swaps in trained weights via a broadcast join — the plan
+    is identical. The Σ runs as a feature-ordered fold (bit-exact
+    doubles); the sigmoid is deliberately omitted — monotone in the
+    score and libm exp() is not cross-engine stable.
+    """
+    feats = hashed_features(df, n_features, text_col, id_col)
+    w = (
+        F.pmod(F.col("feature") * F.lit(2654435761), F.lit(1048576)).cast(
+            "double"
+        )
+        / F.lit(1048576.0)
+        - F.lit(0.5)
+    )
+    per = (
+        feats.withColumn("_w", w)
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            F.array_sort(
+                F.collect_list(F.struct("feature", "tf", "_w"))
+            ).alias("arr"),
+        )
+    )
+    total = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, x: acc + x["tf"].cast("double") * x["_w"],
+    )
+    return per.select(
+        "id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.round(total / F.col("n_toks").cast("double"), 6).alias("score"),
+    )

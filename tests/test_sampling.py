@@ -180,3 +180,32 @@ def test_weighted_sample(spark, sf_dir):
     got = weighted_sample(docs, p).select("doc_id").collect()
     assert all(r["doc_id"] % 2 == 0 for r in got)
     assert len(got) == docs.filter("doc_id % 2 = 0").count()
+
+
+def test_temperature_mix_rates(spark):
+    from poc_spark.operators.sampling import temperature_mix
+
+    # source 'big' 10x the mass of 'small': big keeps ~sqrt(1/1)=100%?
+    # no — big IS c_max so rate 1.0; small keeps sqrt(small/big)
+    rows = [(i, "big") for i in range(4000)] + [
+        (10_000 + i, "small") for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_mix(df).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in kept}
+    # c_max source passes through whole (rate 1.0 keeps every bucket)
+    assert got["big"] == 4000
+    import math
+
+    expect_small = 400 * math.sqrt(400 / 4000)
+    assert abs(got["small"] - expect_small) < 0.15 * expect_small
+
+
+def test_temperature_mix_deterministic_and_append_stable(spark):
+    from poc_spark.operators.sampling import temperature_mix
+
+    rows = [(i, f"s{i % 3}") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {r["doc_id"] for r in temperature_mix(df).collect()}
+    b = {r["doc_id"] for r in temperature_mix(df.repartition(7)).collect()}
+    assert a == b  # layout-independent (content-addressed)

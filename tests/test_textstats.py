@@ -227,3 +227,29 @@ def test_hashed_features_single_feature_collision_regime(spark):
     )
     rows = hashed_features(df, n_features=1).collect()
     assert len(rows) == 1 and rows[0]["feature"] == 0 and rows[0]["tf"] == 8
+
+
+def test_hashed_linear_score_matches_manual(spark):
+    import hashlib
+
+    from poc_spark.operators.textstats import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma")], "doc_id long, text string"
+    )
+
+    def feat(tok):
+        return int(hashlib.md5((tok + ":feat").encode()).hexdigest()[:15], 16) % 1024
+
+    def w(f):
+        return ((f * 2654435761) % 1048576) / 1048576.0 - 0.5
+
+    out = {r["id"]: r for r in hashed_linear_score(df).collect()}
+    d1 = {}
+    for tok in ("alpha", "beta", "alpha"):
+        d1[feat(tok)] = d1.get(feat(tok), 0) + 1
+    want1 = sum(tf * w(f) for f, tf in sorted(d1.items())) / 3
+    assert out[1]["n_toks"] == 3
+    assert abs(out[1]["score"] - round(want1, 6)) < 1e-9
+    assert out[2]["n_toks"] == 1
+    assert abs(out[2]["score"] - round(w(feat("gamma")), 6)) < 1e-9
