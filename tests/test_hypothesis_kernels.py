@@ -107,3 +107,116 @@ def test_tiled_knn_equals_one_block_adversarial_shapes(
         ).collect()
     }
     assert tiled == one  # exact, including float bits
+
+
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+                width=64,
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quantize_roundtrip_bound_property(spark, vecs):
+    """∀ finite vectors: codes in [-127,127], dequant error <= scale/2
+    (+ rounding slack from the round-6 scale), zero vectors exact."""
+    from poc_spark.operators.embeddings import dequantize_int8, quantize_int8
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_int8(df).collect()
+    assert all(-127 <= r["code"] <= 127 for r in q)
+    scales = {}
+    for r in q:
+        scales[r["id"]] = r["scale"]
+    deq = {
+        (r["id"], r["i"]): r["x_hat"]
+        for r in dequantize_int8(
+            spark.createDataFrame(q, "id long, i int, code int, scale double")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        amax = max(abs(x) for x in v)
+        for j, x in enumerate(v):
+            # scale rounded to 6 decimals -> slack of 5e-7 per code unit
+            bound = scales[i] / 2 + 5e-7 * 127 + 1e-9 * amax
+            assert abs(deq[(i, j)] - x) <= bound + 1e-12
+
+
+@settings(**_SETTINGS)
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=12),
+    ys=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=12),
+    bits=st.integers(min_value=1, max_value=8),
+)
+def test_zorder_interleave_property(spark, xs, ys, bits):
+    """∀ coordinate pairs: the Spark interleave equals the pure-Python
+    Morton reference after masking to `bits`, and z stays within
+    [0, 4^bits)."""
+    from pyspark.sql import functions as F
+
+    from poc_spark.plans.zorder import interleave_bits
+
+    def morton(x, y, b):
+        z = 0
+        for j in range(b):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    n = min(len(xs), len(ys))
+    rows = [(xs[i] % (1 << bits), ys[i] % (1 << bits)) for i in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = df.select(
+        "x", "y", interleave_bits([F.col("x"), F.col("y")], bits).alias("z")
+    ).collect()
+    for r in out:
+        assert r["z"] == morton(r["x"], r["y"], bits)
+        assert 0 <= r["z"] < (1 << (2 * bits))
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.data(),
+    k=st.integers(min_value=1, max_value=5),
+    salt_n=st.sampled_from([1, 2, 16]),
+)
+def test_salted_top_k_equals_window_property(spark, data, k, salt_n):
+    """∀ datasets (incl. hot keys, ties impossible by construction,
+    groups smaller and larger than k) and ∀ salt_n (incl. the
+    degenerate 1-shard case): two-phase == single window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from poc_spark.plans.skew import salted_top_k
+
+    n = data.draw(st.integers(min_value=1, max_value=40))
+    keys = data.draw(
+        st.lists(
+            st.sampled_from(["hot", "a", "b"]), min_size=n, max_size=n
+        )
+    )
+    rows = [(keys[i], i) for i in range(n)]  # v unique -> total order
+    df = spark.createDataFrame(rows, "key string, v long")
+    w = Window.partitionBy("key").orderBy("v")
+    plain = {
+        (r["key"], r["v"])
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .collect()
+    }
+    salted = {
+        (r["key"], r["v"])
+        for r in salted_top_k(df, ["key"], ["v"], k=k, salt_n=salt_n).collect()
+    }
+    assert salted == plain
