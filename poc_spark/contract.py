@@ -3280,19 +3280,21 @@ def text_hashed_features(spark, sf_dir):
 def sample_domain_cap(spark, sf_dir):
     """Per-domain document cap (the Common-Crawl 'at most N pages per
     host' rule), content-addressed rank so the kept set is engine- and
-    append-stable. Runs the SKEW-SAFE two-phase plan (plans/skew.py
-    salted_top_k): local top-k within (source, content-hash shard),
-    then final top-k per source — no hot domain ever funnels through
-    one task, unlike the single-window oracle form it exactly equals
-    (equality pinned in tests/test_skew.py)."""
-    from poc_spark.operators.sampling import hash_bucket
-    from poc_spark.plans.skew import salted_top_k
+    append-stable. Deliberately the PLAIN single-window form: Catalyst's
+    InferWindowGroupLimit (Spark >= 3.5) already two-phases the
+    rank-filter pattern — partial per-map-task top-k BEFORE the
+    shuffle, so a hot domain never sorts its full row set in one task
+    (verified in the plan; measured at 10M rows with a 95%-hot key,
+    tools/topk_skew_demo.py — the plain window matches or beats the
+    hand-salted rewrite, which remains in plans/skew.py as the
+    fallback for patterns the rule can't match)."""
+    from poc_spark.operators.sampling import sample_k_per_stratum
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "_prio", hash_bucket(F.col("doc_id"), purpose=":domaincap")
-    )
-    return salted_top_k(
-        docs, ["source"], ["_prio", "doc_id"], k=10
+    return sample_k_per_stratum(
+        _t(spark, sf_dir, "documents"),
+        k=10,
+        stratum_col="source",
+        purpose=":domaincap",
     ).select("doc_id", "source")
 
 
@@ -3405,6 +3407,53 @@ def q_zorder_cells(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.min("event_id").alias("min_eid"),
         F.max("event_id").alias("max_eid"),
+    )
+
+
+def lsh_index_path(sf_dir: str) -> str:
+    """Persisted banded-LSH index artifacts (minhash_band_index output)
+    — same absolute repo-rooted layout as the IVF index."""
+    return os.path.join(
+        _REPO_ROOT, ".tmp", "lshidx", os.path.basename(os.path.normpath(sf_dir))
+    )
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+           round(len(list_intersect(n.s, o.s))::DOUBLE
+                 / len(list_distinct(n.s || o.s)), 6) AS jaccard
+    FROM sh n JOIN sh o
+      ON n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+    WHERE round(len(list_intersect(n.s, o.s))::DOUBLE
+                / len(list_distinct(n.s || o.s)), 6) >= 0.7
+    """,
+)
+def dedup_incremental_entry(spark, sf_dir):
+    """Incremental dedup — an incoming batch (doc_id % 5 == 0, ~20%)
+    probed against the PERSISTED banded-LSH index of the rest of the
+    corpus (built fit-once under .tmp/lshidx/<sf>, the IVF pattern):
+    the continuous-ingestion steady state, where nobody re-pairs the
+    full corpus per batch. Band equi-join on (band, bucket), exact
+    shingle-Jaccard verify re-reading only candidate old docs. The
+    oracle is the exact cross-split pair set (threshold 0.7 — same
+    measured-recall-1.0 regime as dedup_minhash_lsh; a missed pair
+    surfaces as a row-count diff, which is the point)."""
+    from poc_spark.operators.dedup import dedup_incremental, minhash_band_index
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 5 <> 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    path = lsh_index_path(sf_dir)
+    if not os.path.exists(path):
+        minhash_band_index(corpus, num_hashes=64, bands=16).write.mode(
+            "overwrite"
+        ).parquet(path)
+    index = spark.read.parquet(path)
+    return dedup_incremental(
+        batch, index, corpus, threshold=0.7, num_hashes=64, bands=16
     )
 
 
@@ -3529,6 +3578,10 @@ _TAIL = [
     # q16's in-head siblings q20/q21 (exists/not-exists + having) ---
     "q15_top_supplier",
     "q16_supplier_cnt",
+    # --- r5 rotation (fourth batch): r4-driver-green, demoted for
+    # dedup_incremental; the heavy-supplier semi-join capability stays
+    # witnessed in-head by q21's stacked EXISTS / NOT EXISTS ---
+    "q20_heavy_suppliers",
     # --- kept from earlier rounds: driver-green already (r01/r02), simple
     # capabilities evidenced by retained head rows ---
     "op_src_doc_scan",  # ordered scan+limit; evidenced by q3_top_revenue

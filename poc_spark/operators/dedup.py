@@ -485,6 +485,32 @@ def minhash_signatures(
     )
 
 
+def _band_rows(sigs: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, band, bucket): one row per (doc, band); bucket = xxhash64 of
+    the band's r signature slots. The banded-LSH probe key shared by
+    the one-shot pair finder and the persisted incremental index —
+    ONE definition so an index written yesterday matches probes
+    computed today."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col("sig")[b * r + j] for j in range(r)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -529,24 +555,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, num_hashes, shingle_n, text_col, id_col, shingles_df=shing
     ).localCheckpoint(eager=False)
-    band_rows = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.col("sig")[b * r + j] for j in range(r)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    band_rows = _band_rows(sigs, bands, r)
 
     a = band_rows.alias("a")
     b_ = band_rows.alias("b")
@@ -914,4 +923,96 @@ def dedup_clusters(
     )
     return connected_components(edges, max_iterations).select(
         "id", F.col("component").alias("cluster")
+    )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, bucket) — the PERSISTABLE banded-LSH index of a
+    corpus (write it once, probe every incoming batch against it).
+    Same signature family and band hashing as minhash_lsh_pairs
+    (shared _band_rows), so an index built at ingest time t0 matches
+    probes computed at any later t. At 100 TB the index is
+    docs x bands narrow rows — write it bucketed/partitioned on
+    `bucket` so each probe batch's band join co-locates."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
+    return _band_rows(sigs, bands, r)
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs between an INCOMING batch and an already-indexed
+    corpus — the continuous-ingestion dedup shape (every production
+    pipeline's steady state: nobody re-pairs 100 TB per day; the batch
+    probes a persisted index and only candidate old docs are re-read).
+
+    (new_id, old_id, jaccard >= threshold): the batch's band rows
+    (same hash family as the index — shared _band_rows) equi-join the
+    index on (band, bucket); candidates verify EXACTLY by shingle
+    Jaccard, re-reading only the candidate old docs from `corpus_df`
+    (point lookups by id, a semi-join-sized scan, never the corpus).
+
+    Shuffle: |batch| x bands probe rows against the bucketed index +
+    the candidate verify — batch-sized, not corpus-sized.
+    """
+    r = num_hashes // bands
+    new_shing = new_df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).localCheckpoint(eager=False)
+    new_sigs = minhash_signatures(
+        new_df, num_hashes, shingle_n, text_col, id_col, shingles_df=new_shing
+    )
+    probes = _band_rows(new_sigs, bands, r)
+
+    candidates = (
+        probes.alias("p")
+        .join(
+            index_df.alias("ix"),
+            (F.col("p.band") == F.col("ix.band"))
+            & (F.col("p.bucket") == F.col("ix.bucket"))
+            & (F.col("p.id") != F.col("ix.id")),
+        )
+        .select(
+            F.col("p.id").alias("new_id"), F.col("ix.id").alias("old_id")
+        )
+        .distinct()
+    )
+
+    old_shing = corpus_df.select(
+        F.col(id_col).alias("old_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh_old"),
+    )
+    return (
+        candidates.join(
+            new_shing.select(
+                F.col("id").alias("new_id"), F.col("shingles").alias("sh_new")
+            ),
+            "new_id",
+        )
+        .join(old_shing, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.round(_jaccard(F.col("sh_new"), F.col("sh_old")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -136,6 +136,7 @@ def sample_k_per_stratum(
     k: int,
     stratum_col: str,
     key_col: str = "doc_id",
+    purpose: str = ":kper",
 ) -> DataFrame:
     """Exactly min(k, |stratum|) rows per stratum — the class-balancing
     counterpart of the fraction-based ops above (mix_sources keeps a
@@ -143,12 +144,20 @@ def sample_k_per_stratum(
     for the eval set"). Rows rank within their stratum by
     (hash_bucket, key): content-addressed like everything here, so the
     picked set is engine- and layout-independent, and ties in the
-    bucket break on the key. One shuffle by stratum; strata are
-    low-cardinality columns (lang, source), so at 100 TB add the bucket
-    as a secondary partition key only if a single stratum outgrows an
-    executor — the rank only needs per-stratum ordering.
+    bucket break on the key. Pass a distinct `purpose` salt per use
+    (e.g. ":domaincap" for per-domain caps) so independent selections
+    stay independent.
+
+    Skew note (verified in the physical plan AND measured —
+    tools/topk_skew_demo.py): Catalyst's InferWindowGroupLimit
+    (Spark >= 3.5) rewrites this rank-filter pattern into partial
+    per-map-task top-k BEFORE the shuffle, so at most map_tasks x k
+    rows of any stratum cross the wire and a hot stratum never sorts
+    its full row set in one task. The plain window IS the two-phase
+    skew-safe plan; plans/skew.salted_top_k exists only as the
+    explicit fallback for engines/patterns the rule can't match.
     """
-    h = hash_bucket(F.col(key_col), purpose=":kper")
+    h = hash_bucket(F.col(key_col), purpose=purpose)
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -55,10 +55,19 @@ def salted_top_k(
     salt_col: "F.Column | None" = None,
     salt_n: int = 16,
 ) -> DataFrame:
-    """Top-k rows per key under a TOTAL order, resilient to a hot key —
-    the skew-safe twin of a single `row_number() OVER (PARTITION BY key
-    ORDER BY ...)` window (which funnels every row of a hot key through
-    one task).
+    """Top-k rows per key under a TOTAL order, resilient to a hot key.
+
+    KNOW THE OPTIMIZER FIRST: for the standard `row_number() OVER
+    (PARTITION BY key ORDER BY ...) <= k` filter pattern, Catalyst's
+    InferWindowGroupLimit (Spark >= 3.5) already inserts a PARTIAL
+    per-map-task top-k below the shuffle — the plain window is the
+    two-phase skew-safe plan for free (verified in the physical plan;
+    measured at 10M rows / 95%-hot key the plain window matches or
+    beats this rewrite — tools/topk_skew_demo.py). Use the plain
+    window. This explicit form exists for the cases the rule can't
+    match: rank predicates hidden behind expressions the rule doesn't
+    recognize, engines without the rule, or pipelines that need the
+    shard structure anyway.
 
     Two phases, exact equality with the single window:
       1. local: rank within (key, shard) — each shard keeps its own

@@ -360,3 +360,68 @@ def test_blocked_and_bitset_empty_inputs(spark):
     empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_near_pairs_blocked(empty_vecs).count() == 0
     assert knn_join_blocked(empty_vecs).count() == 0
+
+
+def test_dedup_incremental_finds_cross_split_pairs(spark):
+    from poc_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_band_index,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = [
+        (0, base + "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "completely different content about spark window functions"),
+        (2, base + "alpha beta gamma delta epsilon zeta eta iota"),  # ~dup of 0
+        (3, "another unrelated document mentioning parquet files only"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus = df.filter("doc_id < 2")
+    batch = df.filter("doc_id >= 2")
+    index = minhash_band_index(corpus, num_hashes=64, bands=16)
+    got = dedup_incremental(
+        batch, index, corpus, threshold=0.7, num_hashes=64, bands=16
+    ).collect()
+    assert [(r["new_id"], r["old_id"]) for r in got] == [(2, 0)]
+    assert got[0]["jaccard"] >= 0.7
+
+    # cross-check: the incremental pair set equals the one-shot LSH
+    # pair set restricted to cross-split pairs
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, threshold=0.7, num_hashes=64, bands=16
+        ).collect()
+    }
+    cross = {(a, b) for a, b in full if (a < 2) != (b < 2)}
+    assert {(r["old_id"], r["new_id"]) for r in got} == cross
+
+
+def test_dedup_incremental_index_roundtrips_through_parquet(
+    spark, tmp_path_repo
+):
+    from poc_spark.operators.dedup import dedup_incremental, minhash_band_index
+
+    docs = [
+        (0, "shared shingle text one two three four five six seven"),
+        (1, "shared shingle text one two three four five six eight"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus, batch = df.filter("doc_id = 0"), df.filter("doc_id = 1")
+    path = str(tmp_path_repo / "lshidx")
+    minhash_band_index(corpus, num_hashes=64, bands=16).write.parquet(path)
+    live = dedup_incremental(
+        batch,
+        minhash_band_index(corpus, num_hashes=64, bands=16),
+        corpus,
+        threshold=0.5,
+        num_hashes=64,
+        bands=16,
+    ).collect()
+    stored = dedup_incremental(
+        batch, spark.read.parquet(path), corpus,
+        threshold=0.5, num_hashes=64, bands=16,
+    ).collect()
+    assert sorted(map(tuple, live)) == sorted(map(tuple, stored))
+    assert len(stored) == 1  # an index written yesterday matches today's probes

@@ -67,3 +67,18 @@ def test_salted_top_k_k_exceeds_group(spark):
     )
     out = salted_top_k(df, ["key"], ["v"], k=10)
     assert out.count() == 3
+
+
+def test_rank_filter_window_gets_group_limit(spark, skewed):
+    """The repo-wide decision (TOPK_SKEW_DEMO.json): plain rank-filter
+    windows are already two-phase via InferWindowGroupLimit — pin that
+    the rule keeps firing on the sample_k_per_stratum pattern."""
+    from poc_spark.operators.sampling import sample_k_per_stratum
+
+    plan = (
+        sample_k_per_stratum(skewed, k=5, stratum_col="key", key_col="v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
