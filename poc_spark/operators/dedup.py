@@ -549,9 +549,17 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).localCheckpoint(eager=False)
-    # barrier: the signature table is tiny (one row per doc) but its
-    # expression tree is huge — without a materialization barrier,
-    # projection collapse would inline it into every band projection.
+    # barrier on the signatures too: for THIS operator alone it is
+    # neutral (measured 2.35 s with vs 2.31 s without, sf0.1
+    # steady-state), but the iterative consumers depend on it —
+    # pairs_to_clusters / the training pipeline re-traverse the pairs
+    # lineage per pointer-jumping round, and without this barrier the
+    # full bench measured clusters 5.3 s -> 9.3 s and the pipeline
+    # 5.7 s -> 10.4 s. Historical note: r2's apparent 1.37 s for this
+    # operator was FLATTERED by a cache leak — .cache() without
+    # unpersist let bench run 2 reuse run 1's cached shingles via
+    # CacheManager plan matching; the honest steady-state floor for
+    # this plan at sf0.1 is ~2.3 s.
     sigs = minhash_signatures(
         df, num_hashes, shingle_n, text_col, id_col, shingles_df=shing
     ).localCheckpoint(eager=False)
