@@ -61,3 +61,37 @@ def test_zorder_layout_partitions_have_disjoint_z_ranges(spark, grid):
     assert len(spans) > 1  # actually split
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2  # disjoint: file-level min/max stats can prune
+
+
+def test_zorder_partitioned_write_prunes_scans(spark, tmp_path_repo):
+    """The data-skipping claim, end-to-end: write the grid partitioned
+    by z-range buckets, read back with a predicate on ONE dimension,
+    and assert the scan's PartitionFilters prune — the reader touches
+    only the z-buckets whose range can contain matching rows."""
+    z = interleave_bits([F.col("x"), F.col("y")], 4)
+    path = str(tmp_path_repo / "zparq")
+    (
+        grid_df(spark)
+        .withColumn("zb", (z / F.lit(32)).cast("long"))  # 8 z-buckets
+        .write.partitionBy("zb")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    # x >= 12 -> high x-bits set -> only z-buckets holding those
+    # interleaves can match; push the derived zb predicate the way a
+    # z-aware reader does (bucket bounds from the dimension predicate)
+    want_buckets = sorted(
+        {(_morton2(x, y, 4) // 32) for x in range(12, 16) for y in range(16)}
+    )
+    pruned = back.filter(F.col("zb").isin(want_buckets) & (F.col("x") >= 12))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    got = pruned.agg(F.count(F.lit(1))).collect()[0][0]
+    assert got == 4 * 16  # nothing lost by pruning
+    # and the prune is real: fewer partitions than the full 8
+    assert len(want_buckets) < 8
+
+
+def grid_df(spark):
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    return spark.createDataFrame(rows, "x long, y long")
