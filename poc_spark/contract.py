@@ -3410,6 +3410,77 @@ def q_zorder_cells(spark, sf_dir):
     )
 
 
+def _ivf_join_oracle(sf_base: str, k: int = 5, n_probe: int = 2) -> str:
+    """DuckDB twin of ivf_join: reads the SAME persisted index
+    artifacts, ranks ROUND-6 centroid cosines per query vector (the
+    rounding is what makes probe selection cross-engine deterministic —
+    a last-ulp sim difference becomes an exact tie broken by centroid
+    id on both engines), and takes the same round-6 top-k over the
+    probed lists."""
+    root = os.path.join(_REPO_ROOT, ".tmp", "ivf", sf_base)
+    return f"""
+    WITH cents AS (
+      SELECT centroid_id, center FROM read_parquet('{root}/centroids/*.parquet')
+    ),
+    vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e, centroid
+      FROM read_parquet('{root}/vectors/*/*.parquet', hive_partitioning = true)
+    ),
+    qc AS (
+      SELECT v.vec_id, c.centroid_id,
+             round(list_cosine_similarity(v.e, c.center), 6) AS sim
+      FROM vecs v, cents c
+    ),
+    probes AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM qc) t
+      WHERE rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT q.vec_id AS id, t.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.e, t.e), 6) AS cos
+      FROM vecs q
+      JOIN probes p ON q.vec_id = p.vec_id
+      JOIN vecs t ON t.centroid = p.centroid_id AND t.vec_id <> q.vec_id
+    ),
+    r AS (
+      SELECT id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY cos DESC, neighbor_id) AS "rank"
+      FROM cand
+    )
+    SELECT id, neighbor_id, cos, "rank" FROM r WHERE "rank" <= {k}
+    """
+
+
+@register("sim_ivf_join", _ivf_join_oracle("sf0.01"))
+def sim_ivf_join(spark, sf_dir):
+    """Batch IVF join — approximate top-5 neighbors for EVERY vector
+    via centroid probe lists (the FAISS-style production retrieval
+    shape; the IVF twin of sim_ann_join). Reuses the SAME persisted
+    fit-once index as sim_ivf_kmeans: broadcast centroid literals rank
+    by round-6 cosine, n_probe=2 list ids explode into a centroid
+    equi-join (partition pruning on the partitionBy(centroid) layout),
+    exact round-6 verify, window top-k. Oracle reads the same
+    artifacts and re-derives probes identically; full-probe == exact
+    kNN join pinned in tests/test_similarity.py."""
+    from poc_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_join,
+        load_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = ivf_index_path(sf_dir)
+    if not os.path.exists(f"{path}/centroids"):
+        build_ivf_index(emb, path, n_centroids=16)
+    index_df, cents = load_ivf_index(spark, path)
+    return ivf_join(index_df, cents, k=5, n_probe=2)
+
+
 def lsh_index_path(sf_dir: str) -> str:
     """Persisted banded-LSH index artifacts (minhash_band_index output)
     — same absolute repo-rooted layout as the IVF index."""
@@ -3582,6 +3653,10 @@ _TAIL = [
     # dedup_incremental; the heavy-supplier semi-join capability stays
     # witnessed in-head by q21's stacked EXISTS / NOT EXISTS ---
     "q20_heavy_suppliers",
+    # --- r5 rotation (fifth batch): r4-driver-green, demoted for
+    # sim_ivf_join; the ratio-to-total share shape stays witnessed
+    # in-head by q17's scalar subquery + q1's conditional aggregates ---
+    "q8_market_share",
     # --- kept from earlier rounds: driver-green already (r01/r02), simple
     # capabilities evidenced by retained head rows ---
     "op_src_doc_scan",  # ordered scan+limit; evidenced by q3_top_revenue
@@ -3685,7 +3760,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     so the few oracles that read persisted side artifacts (the IVF
     index) point at the right scale's artifacts."""
     out = oracle_sql()
-    out["sim_ivf_kmeans"] = _ivf_oracle(
-        os.path.basename(os.path.normpath(sf_dir))
-    )
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    out["sim_ivf_kmeans"] = _ivf_oracle(sf_base)
+    out["sim_ivf_join"] = _ivf_join_oracle(sf_base)
     return out

@@ -288,3 +288,38 @@ def test_ann_join_fold_equals_unrolled(spark, sf_dir):
         ).collect()
     }
     assert fold == unrolled
+
+
+def test_ivf_join_full_probe_equals_exact(spark, sf_dir, tmp_path_repo):
+    """Probing every list makes the IVF join exact: full-probe output
+    must equal the exact tiled kNN join, pair for pair."""
+    from poc_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_join,
+        knn_join_blocked,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path_repo / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    index_df, cents = load_ivf_index(spark, path)
+
+    full = {
+        (r["id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_join(index_df, cents, k=3, n_probe=len(cents)).collect()
+    }
+    exact = {
+        (r["id"], r["rank"]): r["neighbor_id"]
+        for r in knn_join_blocked(emb, k=3).collect()
+    }
+    assert full == exact
+
+    # pruned probes: recall beats chance (the probed list mass)
+    pruned = {
+        (r["id"], r["neighbor_id"])
+        for r in ivf_join(index_df, cents, k=3, n_probe=2).collect()
+    }
+    exact_pairs = {(i, n) for (i, _), n in exact.items()}
+    recall = len(pruned & exact_pairs) / len(exact_pairs)
+    assert recall >= 1.5 * (2 / 8), f"recall {recall:.3f}"
