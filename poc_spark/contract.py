@@ -3410,6 +3410,110 @@ def q_zorder_cells(spark, sf_dir):
     )
 
 
+@register(
+    "q_rolling_time_avg",
+    """
+    SELECT event_id,
+           count(*) OVER w AS n_1h,
+           (sum(value::DECIMAL(12,2)) OVER w)::DOUBLE
+             / (count(*) OVER w) AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_time_avg(spark, sf_dir):
+    """TIME-RANGE window frames (RANGE BETWEEN INTERVAL ... PRECEDING):
+    trailing 1-hour event count and average per event type — the
+    rolling time-series aggregate row frames can't express (peers are
+    picked by timestamp distance, not row position). Frame bounds in
+    epoch MICROseconds on both engines (unix_micros <-> epoch_us; a
+    seconds-granularity bound would disagree on sub-second data), sums
+    in exact DECIMAL, avg = double(sum)/count per the module's money
+    rules. Partitioned by the low-cardinality event_type; within a key
+    the range frame is an ordered single pass."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        # catalog yields TIMESTAMP_NTZ (the parquet NANOS quirk);
+        # NTZ -> TIMESTAMP under the UTC session keeps the wall-clock,
+        # matching DuckDB's epoch_us on the same values
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        n.alias("n_1h"),
+        (F.sum("v").over(w).cast("double") / n).alias("avg_1h"),
+    )
+
+
+@register(
+    "q_outlier_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, med, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type, med
+    )
+    SELECT d.event_type, m.med, m.mad,
+           sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+)
+def q_outlier_mad(spark, sf_dir):
+    """Robust outlier profiling per event type: median + MAD (median
+    absolute deviation) and the count of |v - med| > 3*MAD outliers —
+    the data-quality screen that, unlike z-scores, a few extreme rows
+    can't poison. Two grouped exact percentiles with a broadcast
+    median join between them (Spark percentile ≡ DuckDB quantile_cont
+    bit-exactly, proven by q_percentiles); the comparison arithmetic
+    is identical single expressions, so the flag counts match
+    exactly."""
+    from pyspark.sql import functions as _F
+
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        _F.percentile("value", _F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        _F.percentile("adev", _F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.drop("med")), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > 3.0 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def _ivf_join_oracle(sf_base: str, k: int = 5, n_probe: int = 2) -> str:
     """DuckDB twin of ivf_join: reads the SAME persisted index
     artifacts, ranks ROUND-6 centroid cosines per query vector (the
@@ -3657,6 +3761,12 @@ _TAIL = [
     # sim_ivf_join; the ratio-to-total share shape stays witnessed
     # in-head by q17's scalar subquery + q1's conditional aggregates ---
     "q8_market_share",
+    # --- r5 rotation (sixth batch): r4-driver-green, demoted for
+    # q_rolling_time_avg + q_outlier_mad; the retention-matrix shape
+    # stays witnessed in-head by q_event_funnel, grouping sets by
+    # q_rollup_lineitem's double-green history ---
+    "q_cohort_retention",
+    "q_cube_events",
     # --- kept from earlier rounds: driver-green already (r01/r02), simple
     # capabilities evidenced by retained head rows ---
     "op_src_doc_scan",  # ordered scan+limit; evidenced by q3_top_revenue

@@ -77,3 +77,65 @@ def test_q21_semi_and_anti_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q21_sole_late_supplier").lower()
     assert "leftsemi" in plan or "left semi" in plan, plan
     assert "leftanti" in plan or "left anti" in plan, plan
+
+
+def test_rolling_time_avg_frame_boundaries(spark):
+    """RANGE frame semantics: the trailing 1-hour window is inclusive
+    at exactly -1h, picks peers by TIME distance (not row position),
+    and never crosses event_type partitions."""
+    import datetime as dt
+
+    from poc_spark.contract import REGISTRY
+    from pyspark.sql import Window, functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "a", 10.0),
+        (2, base + dt.timedelta(minutes=30), "a", 20.0),
+        (3, base + dt.timedelta(minutes=90), "a", 30.0),
+        (4, base + dt.timedelta(minutes=30), "b", 99.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    got = {
+        r["event_id"]: (r["n"], r["avg"])
+        for r in ev.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+            ).alias("avg"),
+        ).collect()
+    }
+    assert got[1] == (1, 10.0)
+    assert got[2] == (2, 15.0)
+    # 90min frame = [30min, 90min]: event at 30min is EXACTLY 1h back
+    # -> inclusive; event at 0 is out
+    assert got[3] == (2, 25.0)
+    assert got[4] == (1, 99.0)  # other partition untouched
+
+
+def test_outlier_mad_expectation(spark, monkeypatch, tmp_path_repo):
+    """Median/MAD/outlier-count on a hand-computed set: values
+    [1,2,3,100] -> med 2.5, adev [1.5,.5,.5,97.5], MAD 1.0 (interpolated
+    median of sorted deviations), one 3-MAD outlier."""
+    from poc_spark import contract
+
+    ev = spark.createDataFrame(
+        [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 100])],
+        "event_id long, event_type string, value double",
+    )
+    monkeypatch.setattr(
+        contract, "_t", lambda spark_, sf_dir_, name_: ev
+    )
+    rows = contract.REGISTRY["q_outlier_mad"].spark(spark, "ignored").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["med"], r["mad"], r["n_outliers"], r["n"]) == (2.5, 1.0, 1, 4)
