@@ -81,6 +81,18 @@ def main() -> None:
             load_table(spark, sf_dir, "embeddings"), ivf_path, n_centroids=16
         )
 
+    # same for the banded-LSH index: dedup_incremental is probe-a-
+    # persisted-index by design — prebuild if absent so the timed run
+    # is the batch probe, not a one-time index write (r5 self-review)
+    lsh_path = contract.lsh_index_path(sf_dir)
+    if not os.path.exists(lsh_path):
+        from poc_spark.operators.dedup import minhash_band_index
+
+        docs = load_table(spark, sf_dir, "documents")
+        minhash_band_index(
+            docs.filter("doc_id % 5 <> 0"), num_hashes=64, bands=16
+        ).write.mode("overwrite").parquet(lsh_path)
+
     # best of 2 runs per query: steady-state throughput, not first-run
     # JIT/codegen compilation noise. Queries whose first run exceeds
     # 10 s skip the re-run — they're long past fixed-cost noise and the

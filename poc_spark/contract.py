@@ -3488,19 +3488,23 @@ def q_outlier_mad(spark, sf_dir):
     bit-exactly, proven by q_percentiles); the comparison arithmetic
     is identical single expressions, so the flag counts match
     exactly."""
-    from pyspark.sql import functions as _F
-
     ev = _t(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
-        _F.percentile("value", _F.lit(0.5)).alias("med")
+        F.percentile("value", F.lit(0.5)).alias("med")
     )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    # dev feeds BOTH the MAD aggregate and the output aggregate —
+    # barrier so the events scan + median join run once, not twice
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "med",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+        )
+        .localCheckpoint(eager=False)
     )
     mad = dev.groupBy("event_type", "med").agg(
-        _F.percentile("adev", _F.lit(0.5)).alias("mad")
+        F.percentile("adev", F.lit(0.5)).alias("mad")
     )
     return (
         dev.join(F.broadcast(mad.drop("med")), "event_type")

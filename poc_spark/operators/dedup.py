@@ -801,7 +801,15 @@ def embedding_near_pairs_blocked(
     # loudly on misuse rather than OOM the driver.
     from poc_spark.operators.similarity import _guard_one_block
 
-    _guard_one_block(len(pdf), "embedding_near_pairs_blocked", "knn_join_tiled")
+    # the scale alternative must compute the SAME operation (threshold
+    # near-PAIRS, not top-k): point at the bucketed pair finders, not
+    # knn_join_tiled (r5 self-review finding)
+    _guard_one_block(
+        len(pdf),
+        "embedding_near_pairs_blocked",
+        "semantic_bucket_pairs / minhash_lsh_pairs (bucketed near-pair "
+        "finders; knn_join_tiled computes top-k, a different operation)",
+    )
     if len(pdf) == 0:
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cos double"
@@ -1001,11 +1009,24 @@ def dedup_incremental(
             F.col("p.id").alias("new_id"), F.col("ix.id").alias("old_id")
         )
         .distinct()
+        # referenced twice below (old-id pushdown + verify join) —
+        # barrier so the band join runs once
+        .localCheckpoint(eager=False)
     )
 
-    old_shing = corpus_df.select(
-        F.col(id_col).alias("old_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh_old"),
+    # semi-join BEFORE shingling: only candidate old docs are re-read
+    # and re-shingled — without this pushdown the verify would shingle
+    # the entire corpus per batch, exactly the corpus-sized cost the
+    # persisted index exists to avoid (r5 self-review finding).
+    cand_old = candidates.select("old_id").distinct()
+    old_shing = (
+        corpus_df.join(
+            cand_old.withColumnRenamed("old_id", id_col), id_col, "leftsemi"
+        )
+        .select(
+            F.col(id_col).alias("old_id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh_old"),
+        )
     )
     return (
         candidates.join(

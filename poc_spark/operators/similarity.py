@@ -644,21 +644,26 @@ def ivf_join(
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = _norm(v)
-    sims = F.array(
-        *[
-            F.round(
-                _dot(v, _as_double_array(c))
-                / (nrm * F.lit(math.sqrt(sum(x * x for x in c)))),
-                6,
-            )
-            for _, c in centroids
-        ]
-    )
-    # (-sim, cid) structs sort ascending == sim descending, cid asc ties
+    # (-sim, cid) structs sort ascending == sim descending, cid asc
+    # ties. The REAL centroid id from the tuple is carried — not the
+    # list position — so a filtered/reordered centroid list (e.g.
+    # empty lists dropped) still probes the right partitions (r5
+    # self-review finding).
     ranked = F.array_sort(
-        F.transform(
-            sims,
-            lambda s, i: F.struct((-s).alias("neg"), i.alias("cid")),
+        F.array(
+            *[
+                F.struct(
+                    (
+                        -F.round(
+                            _dot(v, _as_double_array(c))
+                            / (nrm * F.lit(math.sqrt(sum(x * x for x in c)))),
+                            6,
+                        )
+                    ).alias("neg"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, c in centroids
+            ]
         )
     )
     probes = F.transform(

@@ -80,8 +80,12 @@ def salted_top_k(
 
     `salt_col` must be a DETERMINISTIC function of the row (e.g. a
     content-hash bucket) so results are layout-independent; it defaults
-    to a hash of the first order column. `order_cols` must totally
-    order rows within a key or ties make ranks ambiguous.
+    to xxhash64 over ALL the order columns. `order_cols` must totally
+    order rows within a key — ties make ranks ambiguous, AND (because
+    the default salt derives from the order values) duplicated order
+    tuples would all land in one shard, re-concentrating the hot key
+    this function exists to spread. Pass an independent content-hash
+    `salt_col` when order values can repeat.
     """
     from pyspark.sql import Window
 

@@ -323,3 +323,30 @@ def test_ivf_join_full_probe_equals_exact(spark, sf_dir, tmp_path_repo):
     exact_pairs = {(i, n) for (i, _), n in exact.items()}
     recall = len(pruned & exact_pairs) / len(exact_pairs)
     assert recall >= 1.5 * (2 / 8), f"recall {recall:.3f}"
+
+
+def test_ivf_join_honors_noncontiguous_centroid_ids(spark, sf_dir, tmp_path_repo):
+    """Regression (r5 self-review): ivf_join must use the REAL centroid
+    ids from the tuples, not list positions — a filtered/reordered
+    centroid list must still probe the right partitions."""
+    from poc_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_join,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path_repo / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    index_df, cents = load_ivf_index(spark, path)
+
+    baseline = {
+        (r["id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_join(index_df, cents, k=3, n_probe=8).collect()
+    }
+    # reversed list: positions all wrong, ids intact
+    reordered = {
+        (r["id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_join(index_df, list(reversed(cents)), k=3, n_probe=8).collect()
+    }
+    assert reordered == baseline and len(baseline) > 0
