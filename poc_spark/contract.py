@@ -3518,6 +3518,80 @@ def q_outlier_mad(spark, sf_dir):
     )
 
 
+@register(
+    "q_user_paths",
+    """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_paths(spark, sf_dir):
+    """User journey paths: the chronologically ordered event-type
+    sequence per user, joined into one '>' string — the
+    sequence-construction shape funnel/journey analysis and
+    next-event-prediction training data start from. Spark builds the
+    order inside the aggregate (array_sort over (ts, event_id,
+    event_type) structs — lexicographic struct order IS the
+    chronological order, no window needed), so the plan is one hash
+    aggregate; the oracle's ORDER BY inside string_agg is the same
+    order."""
+    ev = _t(spark, sf_dir, "events")
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return ev.groupBy("user_id").agg(
+        path.alias("path"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "sample_weighted_k",
+    """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             round(-ln(
+               ((('0x' || substr(md5(doc_id::VARCHAR || ':wks'), 1, 15))
+                 ::BIGINT % 1000000) + 0.5) / 1000000.0
+             ) / n_chars, 6) AS es
+      FROM documents) t
+    ORDER BY es, doc_id LIMIT 100
+    """,
+)
+def sample_weighted_k(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, exact count k
+    (Efraimidis-Spirakis A-ES): keep the k rows with the smallest
+    -ln(u)/w, u content-addressed from the salted md5-60 bucket —
+    inclusion probability proportional to weight (n_chars), no RNG
+    state, append-stable ranking. The ES key is ROUNDED to 6 before
+    ranking with a doc_id tie-break, so a last-ulp libm ln()
+    difference cannot flip the k-cut across engines (the IVF probe
+    discipline). Plans as TakeOrderedAndProject: per-partition
+    partial top-k, no global sort — the exact-count weighted twin of
+    sample_weighted's Bernoulli rate filter."""
+    from poc_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        hash_bucket(F.col("doc_id"), purpose=":wks").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    es = F.round(-F.log(u) / F.col("n_chars"), 6)
+    return (
+        docs.select("doc_id", "n_chars", es.alias("es"))
+        .orderBy("es", "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
+
+
 def _ivf_join_oracle(sf_base: str, k: int = 5, n_probe: int = 2) -> str:
     """DuckDB twin of ivf_join: reads the SAME persisted index
     artifacts, ranks ROUND-6 centroid cosines per query vector (the
@@ -3771,6 +3845,13 @@ _TAIL = [
     # q_rollup_lineitem's double-green history ---
     "q_cohort_retention",
     "q_cube_events",
+    # --- r5 rotation (seventh batch): r4-driver-green, demoted for
+    # q_user_paths + sample_weighted_k; the PPM image kernel stays
+    # witnessed in-head by mm_decode (resize builds on the same
+    # decoder), JSON flattening by q_resample_gapfill's spine joins
+    # over the same parsed props ---
+    "mm_resize",
+    "q_json_extract",
     # --- kept from earlier rounds: driver-green already (r01/r02), simple
     # capabilities evidenced by retained head rows ---
     "op_src_doc_scan",  # ordered scan+limit; evidenced by q3_top_revenue

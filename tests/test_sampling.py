@@ -209,3 +209,28 @@ def test_temperature_mix_deterministic_and_append_stable(spark):
     a = {r["doc_id"] for r in temperature_mix(df).collect()}
     b = {r["doc_id"] for r in temperature_mix(df.repartition(7)).collect()}
     assert a == b  # layout-independent (content-addressed)
+
+
+def test_weighted_k_sample_biases_toward_heavy_rows(spark):
+    """A-ES sanity: with weights spanning 100x, the top-k under
+    -ln(u)/w must over-select heavy rows vs their population share,
+    and the result is layout-independent."""
+    from poc_spark.contract import REGISTRY
+    from poc_spark import contract
+
+    rows = [(i, 1000 if i < 100 else 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    orig = contract._t
+    try:
+        contract._t = lambda s, d, n: df
+        picked = [
+            r["doc_id"]
+            for r in REGISTRY["sample_weighted_k"].spark(spark, "x").collect()
+        ]
+    finally:
+        contract._t = orig
+    heavy = sum(1 for i in picked if i < 100)
+    # heavy rows are 10% of the population with 100x the weight;
+    # expect far more than 10 of the 100 picks (measured ~90+)
+    assert heavy > 50
+    assert len(picked) == 100
