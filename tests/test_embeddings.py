@@ -70,3 +70,14 @@ def test_random_projection_matches_manual_dot(spark, emb):
 def test_quantize_plan_has_no_shuffle(spark, emb):
     plan = quantize_int8(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quantize_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert quantize_int8(df).count() == 0
+
+
+def test_random_projection_empty_planes_and_input(spark, emb):
+    assert random_projection(emb, []).count() == 0
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert random_projection(empty, [[1.0, 0.0, 0.0, 0.0]]).count() == 0

@@ -234,3 +234,15 @@ def test_weighted_k_sample_biases_toward_heavy_rows(spark):
     # expect far more than 10 of the 100 picks (measured ~90+)
     assert heavy > 50
     assert len(picked) == 100
+
+
+def test_temperature_mix_degenerate_inputs(spark):
+    from poc_spark.operators.sampling import temperature_mix
+
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    assert temperature_mix(empty).count() == 0
+    # single source IS c_max: rate 1.0 keeps everything
+    one = spark.createDataFrame(
+        [(i, "only") for i in range(200)], "doc_id long, source string"
+    )
+    assert temperature_mix(one).count() == 200

@@ -350,3 +350,29 @@ def test_ivf_join_honors_noncontiguous_centroid_ids(spark, sf_dir, tmp_path_repo
         for r in ivf_join(index_df, list(reversed(cents)), k=3, n_probe=8).collect()
     }
     assert reordered == baseline and len(baseline) > 0
+
+
+def test_ivf_join_n_probe_beyond_list_count(spark, sf_dir, tmp_path_repo):
+    """n_probe larger than the centroid count degrades gracefully to
+    full probe (slice past the array end is a shorter array, not an
+    error) — equals the exact join."""
+    from poc_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_join,
+        knn_join_blocked,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path_repo / "ivf")
+    build_ivf_index(emb, path, n_centroids=4)
+    index_df, cents = load_ivf_index(spark, path)
+    over = {
+        (r["id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_join(index_df, cents, k=3, n_probe=99).collect()
+    }
+    exact = {
+        (r["id"], r["rank"]): r["neighbor_id"]
+        for r in knn_join_blocked(emb, k=3).collect()
+    }
+    assert over == exact

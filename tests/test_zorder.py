@@ -95,3 +95,25 @@ def test_zorder_partitioned_write_prunes_scans(spark, tmp_path_repo):
 def grid_df(spark):
     rows = [(x, y) for x in range(16) for y in range(16)]
     return spark.createDataFrame(rows, "x long, y long")
+
+
+def test_interleave_three_dimensions(spark):
+    """The interleave generalizes beyond 2-D: bit j of column d lands
+    at j*3 + d; verify against a Python reference on a 3-D grid."""
+    def morton3(x, y, z, b):
+        out = 0
+        for j in range(b):
+            out |= ((x >> j) & 1) << (3 * j)
+            out |= ((y >> j) & 1) << (3 * j + 1)
+            out |= ((z >> j) & 1) << (3 * j + 2)
+        return out
+
+    rows = [(x, y, z) for x in range(4) for y in range(4) for z in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = df.select(
+        "x", "y", "z",
+        interleave_bits([F.col("x"), F.col("y"), F.col("z")], 2).alias("m"),
+    ).collect()
+    for r in got:
+        assert r["m"] == morton3(r["x"], r["y"], r["z"], 2)
+    assert len({r["m"] for r in got}) == 64
