@@ -835,6 +835,34 @@ def q_union_except(spark, sf_dir):
 
 
 @register(
+    "q_intersect",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events
+    WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+    """,
+)
+def q_intersect(spark, sf_dir):
+    """Set operation capability (INTERSECT DISTINCT), completing the
+    union/except family of q_union_except: purchasers who also signed
+    up in the first two days of the month (time-restricted so the
+    intersection is a strict subset on the synthetic data). Physical
+    plan: Spark rewrites INTERSECT to a left-semi hash aggregate —
+    shuffle on user_id both sides, no row explosion, scale-safe."""
+    ev = _t(spark, sf_dir, "events")
+    early_signups = ev.filter(
+        (F.col("event_type") == "signup")
+        & (F.col("ts") < F.to_timestamp(F.lit("2024-01-03 00:00:00")))
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .intersect(early_signups.select("user_id"))
+    )
+
+
+@register(
     "q_outer_join_order_fill",
     """
     SELECT o.o_orderkey,
@@ -3051,6 +3079,31 @@ def sample_split(spark, sf_dir):
 
 
 @register(
+    "sample_leakage_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN b < 100000 THEN 'test'
+                WHEN b < 200000 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (SELECT doc_id,
+                 {_b60(f"sha256({_NORM_SQL})", ":lsplit", 1_000_000)} AS b
+          FROM documents)
+    """,
+)
+def sample_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (80/10/10): the bucket hashes
+    the CONTENT digest (sha-256 of normalized text), not doc_id, so
+    exact duplicates always land in the same split — the structural fix
+    for eval contamination that an id-keyed split cannot give
+    (sampling.leakage_safe_split). Still a stateless narrow filter."""
+    from poc_spark.operators.sampling import leakage_safe_split
+
+    return leakage_safe_split(
+        _t(spark, sf_dir, "documents"), val_frac=0.1, test_frac=0.1
+    ).select("doc_id", "split")
+
+
+@register(
     "sample_mix",
     f"""
     SELECT doc_id, source
@@ -3232,6 +3285,53 @@ def text_unigram_lm(spark, sf_dir):
 
     return unigram_logprob(_t(spark, sf_dir, "documents")).select(
         F.col("id").alias("doc_id"), "n_toks", "avg_logprob"
+    )
+
+
+@register(
+    "text_perplexity_bucket",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> len(x) > 0)) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+    cf AS (SELECT tok, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+    t AS (SELECT sum(cf)::DOUBLE AS t_total FROM cf),
+    per AS (
+      SELECT f.doc_id,
+             sum(f.tf)::BIGINT AS n_toks,
+             list(f.tf::DOUBLE * ln(c.cf::DOUBLE / t.t_total)
+                  ORDER BY f.tok) AS terms
+      FROM tf f JOIN cf c USING (tok), t
+      GROUP BY f.doc_id
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(list_reduce(list_prepend(0.0, terms), (a, b) -> a + b)
+                   / n_toks::DOUBLE, 6) AS avg_logprob
+      FROM per
+    )
+    SELECT doc_id, avg_logprob,
+           CASE ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored
+    """,
+)
+def text_perplexity_bucket(spark, sf_dir):
+    """CCNet-style head/middle/tail quality partition: equal-count
+    terciles of the corpus by mean unigram log-likelihood
+    (textstats.perplexity_buckets). The ntile runs over the total
+    order (rounded score DESC, doc_id) so buckets are exact and
+    engine-independent; the scale path swaps the global window for
+    broadcast approx-quantile thresholds (see operator docstring)."""
+    from poc_spark.operators.textstats import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "avg_logprob", "bucket"
     )
 
 
@@ -3808,6 +3908,21 @@ from poc_spark import contract_scale  # noqa: E402,F401  isort: skip
 # last. tests/test_contract_registry.py pins the invariant.
 
 _TAIL = [
+    # --- r5 rotation (eighth batch): all five are r4-driver-green,
+    # demoted to fit the five r5-new entries (q_intersect,
+    # sample_leakage_split, text_perplexity_bucket, dedup_containment,
+    # mm_audio_energy). Capability witnesses in-head: scalar-subquery
+    # HAVING by q2's correlated min, stacked EXISTS/NOT-EXISTS by
+    # pipeline_training_prep's broadcast semi/anti stages, Gopher
+    # repetition rules by the text_entropy/text_unigram_lm quality
+    # family, spine/sequence gap-fill joins by q_rolling_time_avg's
+    # range frames, grouped applyInPandas kernels by mm_decode's
+    # Arrow-batched mapInPandas ---
+    "q17_small_qty_revenue",
+    "q21_sole_late_supplier",
+    "text_repetition",
+    "q_resample_gapfill",
+    "q_group_ols",
     # --- r5 rotation: r4-driver-green, demoted to free a window slot
     # for sim_ann_join (new in r5); BPE-ish counting stays witnessed by
     # the text_token_count/text_chunking family's historical greens ---

@@ -78,6 +78,44 @@ def split_train_val_test(
     return df.withColumn("split", split)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> DataFrame:
+    """Adds a 'split' column keyed on the CONTENT hash (sha-256 of the
+    whitespace-normalized text, dedup.normalized_text), not the row id —
+    so byte-identical duplicates can NEVER straddle train and test.
+
+    Why this exists next to split_train_val_test: an id-keyed split
+    sends two copies of the same document to different splits whenever
+    the corpus has duplicates — the classic eval-contamination bug
+    (test "held-out" docs the model saw verbatim in train). Keying the
+    bucket on the content digest makes the guarantee structural: equal
+    content ⇒ equal bucket ⇒ equal split, with no join against a dedup
+    table. Near-duplicates still need an upstream cluster-aware
+    assignment (dedup_clusters + a representative-keyed broadcast);
+    this operator closes the exact-duplicate half at zero extra cost.
+
+    Same stateless narrow-filter shape as split_train_val_test — the
+    sha and the md5 bucket both pipeline with the scan, no shuffle.
+    Purpose-salted (':lsplit') so it stays independent of every other
+    sampling decision."""
+    from poc_spark.operators.dedup import normalized_text
+
+    key = F.sha2(normalized_text(F.col(text_col)), 256)
+    b = hash_bucket(key, purpose=":lsplit")
+    n_test = int(round(test_frac * _BUCKETS))
+    n_val = int(round(val_frac * _BUCKETS))
+    split = (
+        F.when(b < n_test, F.lit("test"))
+        .when(b < n_test + n_val, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
 def mix_sources(
     df: DataFrame,
     weights: dict[str, float],

@@ -349,6 +349,45 @@ def unigram_logprob(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """(id, avg_logprob, bucket) — CCNet-style quality partition
+    (Wenzek et al. 2019): rank documents by mean unigram log-likelihood
+    (unigram_logprob; higher = more fluent = lower perplexity) and cut
+    the corpus into equal-count quantile buckets, labelled
+    head/middle/tail for the canonical 3-way split. Training pipelines
+    keep head+middle, or mix buckets at different rates.
+
+    Determinism: ntile orders by (rounded avg_logprob DESC, id) — a
+    total order, so bucket boundaries are exact and engine-independent
+    (no percentile interpolation semantics to match cross-engine).
+
+    Scale: ntile is a global window — fine to ~1M docs (the project's
+    global-window default). Past that, the CCNet shape itself is the
+    fix: compute the two tercile THRESHOLDS once with a coarse
+    histogram/approx-quantile pass, broadcast them, and bucket with a
+    narrow when-chain — boundary docs may swap buckets within the
+    approximation error, which CCNet accepts by construction."""
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(df, text_col, id_col)
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("id"))
+    tile = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        bucket = (
+            F.when(tile == 1, F.lit("head"))
+            .when(tile == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        bucket = tile.cast("string")
+    return scored.select("id", "avg_logprob", bucket.alias("bucket"))
+
+
 def hashed_features(
     df: DataFrame,
     n_features: int = 1024,

@@ -246,3 +246,40 @@ def test_temperature_mix_degenerate_inputs(spark):
         [(i, "only") for i in range(200)], "doc_id long, source string"
     )
     assert temperature_mix(one).count() == 200
+
+
+def test_leakage_safe_split_dupes_never_straddle(spark):
+    """Content-keyed split: byte-identical (post-normalization) docs
+    must land in the same split, exactly the property an id-keyed
+    split lacks on duplicated corpora."""
+    from poc_spark.operators.sampling import leakage_safe_split
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            ["the quick brown fox %d" % (k % 7) for k in range(70)]
+            + ["  The  quick brown fox 3  "]  # normalizes into group 3
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(docs, val_frac=0.3, test_frac=0.3).select(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("norm"),
+        "split",
+    )
+    per_group = (
+        out.groupBy("norm")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_group)
+    # with 7 content groups and 30/30/40 cuts, at least two splits occur
+    assert out.select("split").distinct().count() >= 2
+
+
+def test_leakage_safe_split_disjoint_exhaustive(spark, sf_dir):
+    from poc_spark.operators.sampling import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    out = leakage_safe_split(docs).select("doc_id", "split").collect()
+    assert len(out) == docs.count()
+    assert {r["split"] for r in out} <= {"train", "val", "test"}

@@ -253,3 +253,28 @@ def test_hashed_linear_score_matches_manual(spark):
     assert abs(out[1]["score"] - round(want1, 6)) < 1e-9
     assert out[2]["n_toks"] == 1
     assert abs(out[2]["score"] - round(w(feat("gamma")), 6)) < 1e-9
+
+
+def test_perplexity_buckets_terciles(spark, sf_dir):
+    """Equal-count terciles (±1), head strictly more likely than tail,
+    deterministic (total order under the ntile)."""
+    from poc_spark.operators.textstats import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = perplexity_buckets(docs).collect()
+    n_scored = len(out)
+    sizes = {}
+    means = {}
+    for r in out:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+        means.setdefault(r["bucket"], []).append(r["avg_logprob"])
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == n_scored
+    head = sum(means["head"]) / sizes["head"]
+    tail = sum(means["tail"]) / sizes["tail"]
+    assert head > tail  # higher avg logprob = lower perplexity = head
+    again = perplexity_buckets(docs).collect()
+    assert sorted((r["id"], r["bucket"]) for r in out) == sorted(
+        (r["id"], r["bucket"]) for r in again
+    )
