@@ -1166,6 +1166,50 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_containment",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a,
+             round(len(list_intersect(a.t, b.t))::DOUBLE / len(a.t), 6)
+               AS containment
+      FROM toks a JOIN toks b ON a.doc_id != b.doc_id
+      WHERE len(a.t) > 0
+        AND round(len(list_intersect(a.t, b.t))::DOUBLE / len(a.t), 6)
+              >= 0.95
+    )
+    SELECT id_a AS doc_id,
+           count(*)         AS n_containers,
+           max(containment) AS best_containment
+    FROM pairs GROUP BY id_a
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """ASYMMETRIC near-dup detection: token-set containment
+    C(A,B) = |A∩B|/|A| ≥ 0.95 — the measure that catches a short doc
+    duplicated INSIDE a longer one (boilerplate in pages, quoted
+    snippets), invisible to symmetric Jaccard. Adaptive physical plan
+    like dedup_ngram_jaccard: closed vocab → bitmask popcount
+    containment over distinct masks with a size-band hash join; open
+    vocab → asymmetric prefix filtering (contained side emits a
+    prefix, container side indexes all tokens). The contract output
+    aggregates the directed pair set per contained doc (n_containers,
+    best_containment) so the checked row count stays O(docs) while the
+    full pair computation is exercised; the oracle stays the quadratic
+    SQL. Pair-level exactness: bitset == prefix == all-pairs pinned in
+    tests/test_dedup.py."""
+    from poc_spark.operators.dedup import containment_bitset_pairs
+
+    pairs = containment_bitset_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.95
+    )
+    return pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_containers"),
+        F.max("containment").alias("best_containment"),
+    )
+
+
+@register(
     "dedup_ngram_spans",
     """
     WITH toks AS (
@@ -1802,6 +1846,49 @@ def mm_resize(spark, sf_dir):
 
     media = synthesize_ppm_media(_t(spark, sf_dir, "documents"))
     return resize_ppm(media, out_w=8, out_h=6)
+
+
+@register(
+    "mm_audio_energy",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (800 + doc_id % 400)::INT AS n_samples,
+             substr(repeat(md5(text), 75), 1,
+                    2 * (800 + doc_id % 400)) AS hx
+      FROM documents
+    ), fr AS (
+      SELECT media_id, n_samples, hx,
+             unnest(range(0, n_samples // 160)) AS f
+      FROM m
+    )
+    SELECT media_id, 8000::INT AS sample_rate, n_samples,
+           CAST(f AS BIGINT) AS frame_idx,
+           round(sqrt(list_reduce(list_transform(range(0, 160), j ->
+               (('0x' || substr(hx, 2*(f*160 + j) + 1, 2))::BIGINT - 128)
+               * (('0x' || substr(hx, 2*(f*160 + j) + 1, 2))::BIGINT - 128)),
+             (a, b) -> a + b)::DOUBLE / 160.0), 6) AS rms
+    FROM fr
+    """,
+)
+def mm_audio_energy(spark, sf_dir):
+    """Audio modality end-to-end: documents synthesize REAL RIFF/WAVE
+    payloads (valid fmt/data chunks, PCM8 mono 8 kHz, full-range
+    sample bytes via unhex — multimodal.synthesize_wav_media), then
+    audio_frame_energy PARSES the container back (chunk walker, spec
+    word-alignment) and computes 20 ms frame RMS with numpy over
+    Arrow batches. The oracle replays the sample stream algebraically
+    (hex-pair byte decode) and folds the same integer Σ amp², so the
+    header parse, the data-chunk recovery, and the energy kernel are
+    all cross-engine verified. Completes the image/video/audio
+    modality set."""
+    from poc_spark.operators.multimodal import (
+        audio_frame_energy,
+        synthesize_wav_media,
+    )
+
+    media = synthesize_wav_media(_t(spark, sf_dir, "documents"))
+    return audio_frame_energy(media)
 
 
 @register(

@@ -376,6 +376,252 @@ def jaccard_bitset_pairs(
     return cross.unionByName(within)
 
 
+# ---------------------------------------------------------------------------
+# asymmetric set containment (sub-document duplication)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All DIRECTED pairs (id_a, id_b, containment) with token-set
+    containment C(A,B) = |A∩B| / |A| ≥ threshold, id_a ≠ id_b, A
+    non-empty. Containment is the ASYMMETRIC near-dup measure: a short
+    quote fully inside a long page scores C≈1 while its Jaccard is tiny
+    — the shape that catches sub-document duplication (boilerplate
+    embedded in pages, quoted snippets, page-in-crawl supersets).
+    Quadratic — the exactness oracle for the filtered variants below,
+    not the scale path.
+
+    Size prefilter (sound): |A∩B| ≤ |B|, so C ≥ t ⇒ |B| ≥ t·|A|. The
+    integer predicate prunes before the array intersection runs (same
+    discipline as ngram_jaccard_pairs)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), token_set(F.col(text_col)).alias("toks")
+    ).withColumn("sz", F.size("toks"))
+    a = toks.filter(F.col("sz") > 0).alias("a")
+    b = toks.alias("b")
+    cont = F.round(
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
+            "double"
+        )
+        / F.col("a.sz").cast("double"),
+        6,
+    )
+    compatible = F.col("b.sz").cast("double") >= F.lit(threshold) * F.col(
+        "a.sz"
+    ).cast("double")
+    return a.join(
+        b,
+        (F.col("a.id") != F.col("b.id")) & compatible & (cont >= threshold),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cont.alias("containment"),
+    )
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT containment pairs ≥ threshold — same output as
+    containment_pairs, but O(docs × prefix) candidates instead of
+    O(docs²) (the asymmetric variant of PPJoin prefix filtering).
+
+    Principle: C(A,B) ≥ t needs overlap α = ⌈t·|A|⌉. Order A's tokens
+    by one global rare-first total order; if NO token of A's first
+    |A| − α + 1 survives in B, the intersection fits inside A's last
+    α − 1 positions — too small. So only the CONTAINED side emits a
+    prefix; the container side must index ALL its tokens (the bound
+    constrains |A| only — that asymmetry is what makes the measure
+    directional). Candidates bucket-join on the token, then verify
+    exactly. Shuffle cost stays linear in corpus tokens; the b-side
+    full index is the price of asymmetry (PPJoin pays it too for
+    overlap joins)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), token_set(F.col(text_col)).alias("toks")
+    ).withColumn("sz", F.size("toks"))
+
+    tok_rows = toks.select("id", "sz", F.explode("toks").alias("tok"))
+    dfreq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok_rows.join(dfreq, "tok")
+        .groupBy("id", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord"))
+    )
+    # α = ⌈t·sz⌉ with the 1e-9 nudge (see jaccard_prefix_pairs: binary
+    # float overshoot must never shorten the prefix)
+    alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    prefix_len = (F.col("sz") - alpha + 1).cast("int")
+    pref = ordered.select(
+        "id",
+        "sz",
+        F.explode(
+            F.transform(
+                F.slice(F.col("ord"), F.lit(1), prefix_len), lambda s: s["tok"]
+            )
+        ).alias("tok"),
+    )
+
+    a, b = pref.alias("a"), tok_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") != F.col("b.id"))
+            # container must be large enough to hold t·|A| shared tokens
+            & (
+                F.col("b.sz").cast("double")
+                >= F.lit(threshold) * F.col("a.sz").cast("double")
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    va = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    vb = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    cont = F.round(
+        F.size(F.array_intersect(F.col("t_a"), F.col("t_b"))).cast("double")
+        / F.size(F.col("t_a")).cast("double"),
+        6,
+    )
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def containment_bitset_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 64,
+) -> DataFrame:
+    """EXACT containment pairs ≥ threshold for closed vocabularies
+    (≤ max_vocab distinct tokens): dictionary-encode token sets to
+    bitmasks (the jaccard_bitset_pairs encoding), compare DISTINCT
+    masks with popcount containment bc(a&b)/bc(a), expand qualifying
+    mask pairs through the membership lists. Falls back to
+    containment_prefix_pairs on an open vocabulary (same plan-time
+    vocab probe).
+
+    Candidate pruning over distinct masks: C ≥ t ⇒ bc(b) ≥ ⌈t·bc(a)⌉,
+    so each contained-side mask joins only container sizes in
+    [⌈t·sz_a⌉, |vocab|] — the a-side replicates across its allowed
+    size band (≤ |vocab| keys of a KB-scale distinct-mask table) and
+    the join is a codegen'd HASH join on the size key, never an
+    interpreted nested loop. Equal masks short-circuit to containment
+    1.0 both directions (mask 0 excluded: 0/0 is not a pair).
+    Exactness: pinned equal to containment_pairs and
+    containment_prefix_pairs in tests/test_dedup.py."""
+    toks = df.select(
+        F.col(id_col).alias("id"), token_set(F.col(text_col)).alias("toks")
+    )
+    vocab = [
+        r["tok"]
+        for r in toks.select(F.explode("toks").alias("tok"))
+        .distinct()
+        .limit(max_vocab + 1)
+        .collect()
+    ]
+    if len(vocab) > max_vocab:
+        return containment_prefix_pairs(df, threshold, text_col, id_col)
+    if not vocab:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, containment double"
+        )
+
+    mask = None
+    for i, t in enumerate(sorted(vocab)):
+        # bit 63 = the long sign bit; same two's-complement weight as
+        # jaccard_bitset_pairs (bit ops are sign-indifferent)
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        term = F.when(
+            F.array_contains(F.col("toks"), t), F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        mask = term if mask is None else mask + term
+    masked = toks.select("id", mask.alias("m")).localCheckpoint(eager=False)
+    groups = masked.groupBy("m").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "sz", F.bit_count(F.col("m"))
+    )
+
+    # ordered inter-mask pairs: contained side a replicated over its
+    # allowed container-size band. ⌈t·sz_a⌉ uses the 1e-9 nudge so float
+    # overshoot can't raise the ceiling past its mathematical value
+    # (an s_min too high loses threshold-exact pairs; one too low only
+    # adds candidates the exact conjunct prunes).
+    n_vocab = len(vocab)
+    ga = (
+        groups.filter(F.col("sz") > 0)
+        .select(
+            "m",
+            "sz",
+            F.explode(
+                F.sequence(
+                    F.ceil(
+                        F.lit(threshold) * F.col("sz").cast("double")
+                        - F.lit(1e-9)
+                    ).cast("int"),
+                    F.lit(n_vocab),
+                )
+            ).alias("band"),
+        )
+        .alias("ga")
+    )
+    gb = groups.alias("gb")
+    cont = F.round(
+        F.bit_count(F.col("ga.m").bitwiseAND(F.col("gb.m"))).cast("double")
+        / F.col("ga.sz").cast("double"),
+        6,
+    )
+    mask_pairs = (
+        ga.join(
+            gb,
+            (F.col("gb.sz") == F.col("ga.band"))
+            & (F.col("ga.m") != F.col("gb.m"))
+            & (cont >= threshold),
+        )
+        .select(
+            F.col("ga.m").alias("ma"),
+            F.col("gb.m").alias("mb"),
+            cont.alias("containment"),
+        )
+    )
+    members_a = masked.select(F.col("m").alias("ma"), F.col("id").alias("id_a"))
+    members_b = masked.select(F.col("m").alias("mb"), F.col("id").alias("id_b"))
+    cross = (
+        mask_pairs.join(members_a, "ma")
+        .join(members_b, "mb")
+        .select("id_a", "id_b", "containment")
+    )
+    # identical non-empty sets: containment 1.0, BOTH directions
+    ia = masked.filter(F.col("m") != 0).alias("ia")
+    ib = masked.filter(F.col("m") != 0).alias("ib")
+    within = (
+        ia.join(
+            ib,
+            (F.col("ia.m") == F.col("ib.m"))
+            & (F.col("ia.id") != F.col("ib.id")),
+        )
+        .select(
+            F.col("ia.id").alias("id_a"),
+            F.col("ib.id").alias("id_b"),
+            F.round(F.lit(1.0), 6).alias("containment"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def duplicated_ngram_spans(
     df: DataFrame,
     n: int = 13,

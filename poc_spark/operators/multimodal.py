@@ -275,3 +275,148 @@ def resize_ppm(df: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: real RIFF/WAVE synthesis + parse + windowed frame energy
+# ---------------------------------------------------------------------------
+
+WAV_ENERGY_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, frame_idx long, "
+    "rms double"
+)
+
+_WAV_FRAME = 160  # 20 ms @ 8 kHz — the standard telephony frame
+
+
+def _le_hex(col, n_bytes: int):
+    """Little-endian hex of an int column, n_bytes wide — the building
+    block for binary RIFF header fields via unhex (stays exact for any
+    byte value, unlike utf-8 string concat which mangles 0x80-0xFF)."""
+    parts = [
+        F.lpad(F.hex(F.shiftright(col.cast("long"), 8 * i) % 256), 2, "0")
+        for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+def synthesize_wav_media(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(media_id, payload) — a REAL binary WAV table synthesized from
+    documents: each payload is a valid RIFF/WAVE container (fmt chunk:
+    PCM, mono, 8 kHz, 8-bit; data chunk with its true byte length)
+    whose sample bytes derive from the text content (unhex of the
+    repeated md5 hex — full 0..255 dynamic range, not ASCII-limited).
+    n_samples = 800 + id % 400, so payload sizes vary per row. Pure
+    JVM expressions building a hex string through one unhex — the
+    sample stream is reproducible algebraically in SQL, which is what
+    makes the downstream parse+energy kernel oracle-able end-to-end."""
+    did = F.col(id_col)
+    n_samples = (F.lit(800) + did % 400).cast("int")
+    sample_hex = F.substr(
+        F.repeat(F.md5(F.col(text_col)), 75), F.lit(1), n_samples * 2
+    )
+    hdr = F.concat(
+        F.lit("52494646"),                    # 'RIFF'
+        _le_hex(n_samples + 36, 4),           # riff payload size
+        F.lit("57415645"),                    # 'WAVE'
+        F.lit("666D7420"),                    # 'fmt '
+        F.lit("10000000"),                    # fmt chunk size = 16
+        F.lit("0100"),                        # audio format = 1 (PCM)
+        F.lit("0100"),                        # channels = 1
+        _le_hex(F.lit(8000), 4),              # sample rate
+        _le_hex(F.lit(8000), 4),              # byte rate (mono, 8-bit)
+        F.lit("0100"),                        # block align
+        F.lit("0800"),                        # bits per sample
+        F.lit("64617461"),                    # 'data'
+        _le_hex(n_samples, 4),                # data chunk size
+    )
+    return df.select(
+        did.alias("media_id"),
+        F.unhex(F.concat(hdr, sample_hex)).alias("payload"),
+    )
+
+
+def _parse_wav(buf: bytes) -> tuple:
+    """A real (minimal) RIFF/WAVE parser: validates the RIFF/WAVE
+    magic, walks chunks (any order, unknown chunks skipped, odd sizes
+    padded per spec), reads PCM params from 'fmt ' and the sample
+    bytes from 'data'. Returns (sample_rate, samples: bytes) or
+    (None, None) on malformed input — degrade, never fail the job."""
+    import struct
+
+    try:
+        if buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("bad magic")
+        pos, rate, bits, channels, data = 12, None, None, None, None
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt, channels, rate = struct.unpack("<HHI", body[0:8])
+                (bits,) = struct.unpack("<H", body[14:16])
+                if fmt != 1:
+                    raise ValueError("not PCM")
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+        if rate is None or data is None or bits != 8 or channels != 1:
+            raise ValueError("missing chunks / unsupported layout")
+        return rate, data
+    except Exception:
+        return None, None
+
+
+def audio_frame_energy(
+    df: DataFrame, frame: int = _WAV_FRAME
+) -> DataFrame:
+    """Windowed frame energy over real WAV payloads — the audio twin of
+    decode_ppm: parse the RIFF container per Arrow batch, then numpy
+    per-frame RMS over the PCM8 stream (amplitude = sample − 128,
+    rms = round(sqrt(Σ amp² / frame), 6); the Σ is integer-exact, so
+    the double math is one division + one sqrt — bit-identical across
+    engines). One output row per complete frame (the trailing partial
+    frame is dropped, standard hop framing); malformed payloads emit
+    no rows. VAD/loudness gating and silence trimming are narrow
+    filters over this output.
+
+    Scale: payloads never transit the driver; frames explode INSIDE
+    the kernel so the Arrow transfer carries each payload once, and
+    the output is (rows × frames) narrow numerics."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, data = _parse_wav(bytes(payload))
+                if rate is None:
+                    continue
+                n = len(data)
+                v = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                amp = v - 128
+                for f in range(n // frame):
+                    seg = amp[f * frame : (f + 1) * frame]
+                    # integer-exact Σ amp²; math.sqrt is correctly-rounded
+                    # IEEE (pow(x, 0.5) is libm-dependent and is not)
+                    ss = int(np.dot(seg, seg))
+                    out.append(
+                        (mid, rate, n, f, round(math.sqrt(ss / frame), 6))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "frame_idx",
+                    "rms",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=WAV_ENERGY_SCHEMA)

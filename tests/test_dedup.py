@@ -425,3 +425,88 @@ def test_dedup_incremental_index_roundtrips_through_parquet(
     ).collect()
     assert sorted(map(tuple, live)) == sorted(map(tuple, stored))
     assert len(stored) == 1  # an index written yesterday matches today's probes
+
+
+@pytest.mark.parametrize("threshold", [0.8, 0.95])
+def test_containment_three_forms_agree(spark, sf_dir, threshold):
+    """bitset == prefix == all-pairs on the real documents table —
+    the directed pair sets (and rounded scores) must be identical."""
+    from poc_spark.operators.dedup import (
+        containment_bitset_pairs,
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=threshold).collect()
+    }
+    bit = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_bitset_pairs(docs, threshold=threshold).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_prefix_pairs(docs, threshold=threshold).collect()
+    }
+    assert bit == want
+    assert pref == want
+
+
+def test_containment_boundary_and_asymmetry(spark):
+    """C == t exactly must survive the ceil nudge; containment is
+    DIRECTED: the short doc is contained in the long one, never the
+    reverse; identical sets contain each other both ways."""
+    from poc_spark.operators.dedup import (
+        containment_bitset_pairs,
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # |A|=5, 4 shared with B: C(A,B) = 0.8 exactly at t=0.8
+            (0, "a b c d e"),
+            (1, "a b c d x y z w"),
+            (2, "q r"),            # contained nowhere
+            (3, "a b c d e"),      # duplicate of 0: C=1 both directions
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    assert want[(0, 1)] == 0.8
+    assert (1, 0) not in want           # 4/8 = 0.5: direction matters
+    assert want[(0, 3)] == 1.0 and want[(3, 0)] == 1.0
+    for fn in (containment_bitset_pairs, containment_prefix_pairs):
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in fn(df, threshold=0.8).collect()
+        }
+        assert got == want, fn.__name__
+
+
+def test_containment_open_vocab_fallback(spark):
+    """>64 distinct tokens flips the bitset probe to the prefix path;
+    output must still match the all-pairs form."""
+    from poc_spark.operators.dedup import (
+        containment_bitset_pairs,
+        containment_pairs,
+    )
+
+    rows = [(i, f"tok{i} tok{i+1} tok{i+2} shared") for i in range(70)]
+    rows.append((100, "tok5 tok6 tok7 shared"))  # == doc 5's set
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_bitset_pairs(df, threshold=0.9).collect()
+    }
+    assert got == want
+    assert (5, 100) in want and (100, 5) in want

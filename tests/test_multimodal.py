@@ -148,3 +148,104 @@ def test_resize_ppm_kernel(spark):
     )
     row3 = resize_ppm(bad).collect()[0]
     assert row3["resized_sha"] is None
+
+
+def test_wav_synthesize_parse_roundtrip(spark, sf_dir):
+    """The synthesized payload is a REAL WAV: the RIFF walker recovers
+    rate/data, stdlib `wave` would agree on layout, and the frame grid
+    matches n_samples // 160 with 160-sample hops."""
+    from poc_spark.operators.multimodal import (
+        audio_frame_energy,
+        synthesize_wav_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = synthesize_wav_media(docs)
+    out = audio_frame_energy(media).collect()
+    assert out
+    by_media = {}
+    for r in out:
+        assert r["sample_rate"] == 8000
+        assert 800 <= r["n_samples"] < 1200
+        assert 0.0 <= r["rms"] <= 128.0
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, frames in by_media.items():
+        n_samples = next(r["n_samples"] for r in out if r["media_id"] == mid)
+        assert sorted(frames) == list(range(n_samples // 160))
+
+
+def test_wav_parser_against_stdlib_wave(spark, sf_dir):
+    """Cross-check the hand-rolled RIFF walker against python's stdlib
+    wave module on the same synthesized bytes."""
+    import io
+    import wave
+
+    from poc_spark.operators.multimodal import (
+        _parse_wav,
+        synthesize_wav_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    for r in synthesize_wav_media(docs).collect():
+        buf = bytes(r["payload"])
+        rate, data = _parse_wav(buf)
+        w = wave.open(io.BytesIO(buf))
+        assert w.getframerate() == rate == 8000
+        assert w.getnchannels() == 1 and w.getsampwidth() == 1
+        assert w.readframes(w.getnframes()) == data
+
+
+def test_wav_parser_chunk_order_and_malformed(spark):
+    """Real-container robustness: unknown chunks skipped, odd sizes
+    word-aligned, data-before-fmt accepted; malformed inputs emit no
+    rows instead of failing the job."""
+    import struct
+
+    from poc_spark.operators.multimodal import _parse_wav, audio_frame_energy
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    fmt = chunk(
+        b"fmt ", struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    )
+    data = chunk(b"data", bytes(range(160)) * 2)
+    junk = chunk(b"LIST", b"junk!")  # odd body: exercises alignment
+    for order in ([fmt, junk, data], [junk, data, fmt]):
+        body = b"WAVE" + b"".join(order)
+        buf = b"RIFF" + struct.pack("<I", len(body)) + body
+        rate, d = _parse_wav(buf)
+        assert rate == 8000 and len(d) == 320
+    assert _parse_wav(b"RIFX junk") == (None, None)
+    assert _parse_wav(b"") == (None, None)
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a wav")), (2, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    assert audio_frame_energy(bad).count() == 0
+
+
+def test_wav_rms_ground_truth(spark):
+    """Hand-built constant-amplitude WAV: rms must equal the amplitude
+    exactly (sqrt of a perfect square)."""
+    import struct
+
+    from poc_spark.operators.multimodal import audio_frame_energy
+
+    samples = bytes([128 + 50] * 320)  # two frames, amp = 50 everywhere
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 8000, 1, 8
+    )
+    data = b"data" + struct.pack("<I", len(samples)) + samples
+    body = b"WAVE" + fmt + data
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [(7, bytearray(buf))], "media_id long, payload binary"
+    )
+    rows = audio_frame_energy(df).collect()
+    assert [(r["frame_idx"], r["rms"]) for r in sorted(
+        rows, key=lambda r: r["frame_idx"]
+    )] == [(0, 50.0), (1, 50.0)]
