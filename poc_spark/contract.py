@@ -2343,6 +2343,60 @@ def ivf_index_path(sf_dir: str) -> str:
     )
 
 
+def jsonl_export_path(sf_dir: str) -> str:
+    return os.path.join(
+        _REPO_ROOT, ".tmp", "jsonl", os.path.basename(os.path.normpath(sf_dir))
+    )
+
+
+def _jsonl_oracle(sf_base: str) -> str:
+    root = os.path.join(_REPO_ROOT, ".tmp", "jsonl", sf_base)
+    return f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM read_json('{root}/*.json', format = 'newline_delimited',
+                   columns = {{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                               'lang': 'VARCHAR', 'source': 'VARCHAR',
+                               'n_chars': 'BIGINT'}})
+    GROUP BY source
+    """
+
+
+@register("src_jsonl_roundtrip", _jsonl_oracle("sf0.01"))
+def src_jsonl_roundtrip(spark, sf_dir):
+    """JSONL source/sink interop — the standard LLM-corpus format:
+    documents are EXPORTED as a directory of newline-delimited JSON
+    part files (parallel sink, no coalesce) on first use, then read
+    back schema-first (explicit StructType, PERMISSIVE + quarantine
+    column — sources/jsonl.py) and aggregated per source with an
+    order-insensitive 40-bit content checksum. The oracle parses the
+    SAME files with DuckDB's independent JSON reader, so this checks
+    true cross-engine interop of the written artifact (escaping,
+    unicode, field typing), not just a Spark self-round-trip. Same
+    .tmp side-artifact discipline as the IVF index (Spark runs before
+    the oracle; `oracle_sql_for` re-renders the path per scale)."""
+    from poc_spark.sources.jsonl import (
+        DOCUMENTS_SCHEMA,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    path = jsonl_export_path(sf_dir)
+    if not os.path.exists(path):
+        write_jsonl(_t(spark, sf_dir, "documents"), path)
+    docs = read_jsonl(spark, path, DOCUMENTS_SCHEMA)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+        ).alias("content_sum"),
+    )
+
+
 def _ivf_oracle(sf_base: str) -> str:
     root = os.path.join(_REPO_ROOT, ".tmp", "ivf", sf_base)
     return f"""
@@ -2435,6 +2489,53 @@ def dedup_minhash_clusters(spark, sf_dir):
         _t(spark, sf_dir, "documents"), threshold=0.7, num_hashes=64, bands=16
     )
     return dedup_clusters(pairs)
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(a.s || b.s)), 6) >= 0.7
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    lab AS (
+      SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+    )
+    SELECT cluster, keep_id, keep_score, n_members FROM (
+      SELECT l.cluster, l.id AS keep_id, d.n_chars AS keep_score,
+             count(*) OVER (PARTITION BY l.cluster) AS n_members,
+             row_number() OVER (PARTITION BY l.cluster
+                                ORDER BY d.n_chars DESC, l.id) AS rn
+      FROM lab l JOIN documents d ON l.id = d.doc_id
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Survivor-selection POLICY over near-dup groups: per LSH cluster,
+    keep the highest-quality member (longest doc here: n_chars DESC,
+    id ASC tie-break) instead of dedup_minhash_clusters' min-id
+    convention — what production dedup actually ships (keep the best
+    copy, drop the rest). Composes the LSH pair graph → components →
+    a rank-1 window over cluster labels joined to doc scores
+    (dedup.keep_best_survivors); the rank filter two-phases via
+    InferWindowGroupLimit, so a giant cluster never sorts in one task."""
+    from poc_spark.operators.dedup import dedup_clusters, keep_best_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.7, num_hashes=64, bands=16)
+    return keep_best_survivors(dedup_clusters(pairs), docs)
 
 
 # quality gate shared by the pipeline entry and its oracle: the three
@@ -4010,6 +4111,14 @@ _TAIL = [
     "text_repetition",
     "q_resample_gapfill",
     "q_group_ols",
+    # --- r5 rotation (ninth batch): r4-driver-green, demoted for
+    # dedup_keep_best; triangle counting stays witnessed in-head by
+    # graph_components/graph_pagerank (same edge pipeline + joins) ---
+    "graph_triangles",
+    # --- r5 rotation (tenth batch): r4-driver-green, demoted for
+    # src_jsonl_roundtrip; gaps-and-islands session labeling stays
+    # witnessed in-head by q_event_funnel's ordered per-user windows ---
+    "q_session_window",
     # --- r5 rotation: r4-driver-green, demoted to free a window slot
     # for sim_ann_join (new in r5); BPE-ish counting stays witnessed by
     # the text_token_count/text_chunking family's historical greens ---
@@ -4160,4 +4269,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     sf_base = os.path.basename(os.path.normpath(sf_dir))
     out["sim_ivf_kmeans"] = _ivf_oracle(sf_base)
     out["sim_ivf_join"] = _ivf_join_oracle(sf_base)
+    out["src_jsonl_roundtrip"] = _jsonl_oracle(sf_base)
     return out

@@ -1188,6 +1188,49 @@ def dedup_clusters(
     )
 
 
+def keep_best_survivors(
+    clusters: DataFrame,
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(cluster, keep_id, keep_score, n_members) — survivor SELECTION
+    POLICY over dedup groups: instead of dedup_clusters' min-id
+    convention, keep the highest-QUALITY member (score DESC, id ASC
+    tie-break — a total order, so the survivor is deterministic). Real
+    pipelines keep the longest / highest-scoring copy of a near-dup
+    group, not an arbitrary one; any numeric column works as the score
+    (doc length, classifier score, unigram logprob).
+
+    Plan: one broadcast-or-shuffle equi-join of the cluster labels
+    against the doc scores, then a per-cluster rank window —
+    InferWindowGroupLimit two-phases the rank filter, so a pathological
+    giant cluster never sorts whole in one task (the measured
+    TOPK_SKEW_DEMO.json property)."""
+    from pyspark.sql import Window
+
+    labeled = clusters.join(
+        docs.select(F.col(id_col).alias("id"), F.col(score_col).alias("score")),
+        "id",
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(
+            Window.partitionBy("cluster")
+        ))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("id").alias("keep_id"),
+            F.col("score").alias("keep_score"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
 def minhash_band_index(
     df: DataFrame,
     num_hashes: int = 128,

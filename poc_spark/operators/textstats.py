@@ -354,6 +354,7 @@ def perplexity_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 3,
+    num_chunks: int | None = None,
 ) -> DataFrame:
     """(id, avg_logprob, bucket) — CCNet-style quality partition
     (Wenzek et al. 2019): rank documents by mean unigram log-likelihood
@@ -366,17 +367,32 @@ def perplexity_buckets(
     total order, so bucket boundaries are exact and engine-independent
     (no percentile interpolation semantics to match cross-engine).
 
-    Scale: ntile is a global window — fine to ~1M docs (the project's
-    global-window default). Past that, the CCNet shape itself is the
-    fix: compute the two tercile THRESHOLDS once with a coarse
-    histogram/approx-quantile pass, broadcast them, and bucket with a
-    narrow when-chain — boundary docs may swap buckets within the
-    approximation error, which CCNet accepts by construction."""
+    Scale: the global-window form is the default below ~1M rows (the
+    project convention); pass `num_chunks` to run the EXACT
+    chunk-parallel twin (plans/ntile.chunked_ntile: range chunks +
+    driver prefix-sum of chunk counts + per-chunk windows — same
+    buckets bit-for-bit, pinned in tests/test_plans.py). CCNet's own
+    approx-threshold variant remains a valid cheaper fallback, but an
+    exact distributed form exists so nothing forces the
+    approximation."""
     from pyspark.sql import Window
 
     scored = unigram_logprob(df, text_col, id_col)
-    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("id"))
-    tile = F.ntile(n_buckets).over(w)
+    if num_chunks:
+        from poc_spark.plans.ntile import chunked_ntile
+
+        tiled = chunked_ntile(
+            scored.withColumn("_negscore", -F.col("avg_logprob")),
+            n_buckets,
+            ("_negscore", "id"),
+            num_chunks=num_chunks,
+            bucket_col="_tile",
+        ).drop("_negscore")
+        tile = F.col("_tile")
+    else:
+        w = Window.orderBy(F.col("avg_logprob").desc(), F.col("id"))
+        tiled = scored.withColumn("_tile", F.ntile(n_buckets).over(w))
+        tile = F.col("_tile")
     if n_buckets == 3:
         bucket = (
             F.when(tile == 1, F.lit("head"))
@@ -385,7 +401,7 @@ def perplexity_buckets(
         )
     else:
         bucket = tile.cast("string")
-    return scored.select("id", "avg_logprob", bucket.alias("bucket"))
+    return tiled.select("id", "avg_logprob", bucket.alias("bucket"))
 
 
 def hashed_features(

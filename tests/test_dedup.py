@@ -510,3 +510,39 @@ def test_containment_open_vocab_fallback(spark):
     }
     assert got == want
     assert (5, 100) in want and (100, 5) in want
+
+
+def test_containment_prefix_plan_has_no_quadratic_join(spark, docs):
+    """Scale property of the asymmetric prefix path: candidates come
+    from a token equi-join (contained-side prefix × container-side full
+    index), never a nested-loop pair enumeration."""
+    from poc_spark.operators.dedup import containment_prefix_pairs
+
+    plan = (
+        containment_prefix_pairs(docs, threshold=0.9)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keep_best_survivors_ground_truth(spark):
+    """Survivor = highest score, tie broken by lowest id; n_members
+    counts the whole cluster; singleton labels absent from the pair
+    graph never appear (cluster table covers paired docs only)."""
+    from poc_spark.operators.dedup import keep_best_survivors
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id long, cluster long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (7, 50), (8, 50), (9, 999)],
+        "doc_id long, n_chars long",
+    )
+    out = {
+        r["cluster"]: (r["keep_id"], r["keep_score"], r["n_members"])
+        for r in keep_best_survivors(clusters, docs).collect()
+    }
+    assert out == {1: (2, 300, 3), 7: (7, 50, 2)}  # 2 beats 3 on id tie

@@ -220,3 +220,49 @@ def test_salted_top_k_equals_window_property(spark, data, k, salt_n):
         for r in salted_top_k(df, ["key"], ["v"], k=k, salt_n=salt_n).collect()
     }
     assert salted == plain
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.data(),
+    universe_size=st.integers(min_value=61, max_value=68),
+    threshold=st.sampled_from([0.5, 0.8, 0.95]),
+)
+def test_containment_triple_agrees_across_vocab_cutover(
+    spark, data, universe_size, threshold
+):
+    """Same discipline as the Jaccard triple: the asymmetric containment
+    bitset/prefix/all-pairs forms must agree exactly on either side of
+    the 64-token dictionary-probe cutover, including threshold-exact
+    pairs and duplicate (both-direction) sets."""
+    from poc_spark.operators.dedup import (
+        containment_bitset_pairs,
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    universe = _UNIVERSE[:universe_size]
+    n_docs = data.draw(st.integers(min_value=2, max_value=8))
+    docs = [
+        (i, " ".join(sorted(data.draw(
+            st.sets(st.sampled_from(universe), min_size=0, max_size=universe_size)
+        ))))
+        for i in range(n_docs)
+    ]
+    docs.append((n_docs, " ".join(universe)))  # pins the probe count
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    want = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=threshold).collect()
+    }
+    bit = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_bitset_pairs(df, threshold=threshold).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_prefix_pairs(df, threshold=threshold).collect()
+    }
+    assert bit == want
+    assert pref == want

@@ -18,6 +18,7 @@ PINNED = [
     "graph_pagerank",  # broadcast-hash iteration joins
     "text_winnowing",
     "mm_resize",
+    "dedup_containment",  # size-band equi-join over distinct masks
 ]
 
 

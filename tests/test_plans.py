@@ -64,3 +64,49 @@ def test_scan_prunes_columns_for_projection(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "c_custkey" in read_schema and "c_name" in read_schema
     assert "c_acctbal" not in read_schema                # untouched column pruned
+
+
+def test_chunked_ntile_equals_global_window(spark, sf_dir):
+    """Exact equality of the chunk-parallel ntile with the global
+    window, including the remainder rule, on the real scored corpus
+    AND the string 'bucket' labels downstream."""
+    from poc_spark.operators.textstats import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    glob = {
+        (r["id"], r["bucket"])
+        for r in perplexity_buckets(docs).collect()
+    }
+    chunked = {
+        (r["id"], r["bucket"])
+        for r in perplexity_buckets(docs, num_chunks=8).collect()
+    }
+    assert chunked == glob
+
+
+def test_chunked_ntile_remainder_shapes(spark):
+    """SQL ntile's remainder rule (first N%n buckets take one extra
+    row) must hold for adversarial (N, n): N<n, N=n, N%n in {0,1,n-1},
+    plus heavy ties on the range key (ties never straddle chunks)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from poc_spark.plans.ntile import chunked_ntile
+
+    for n_rows, n_buckets in [(3, 5), (5, 5), (10, 4), (13, 4), (12, 4), (7, 3)]:
+        rows = [(i, i % 3) for i in range(n_rows)]  # key has heavy ties
+        df = spark.createDataFrame(rows, "id long, key long")
+        w = Window.orderBy("key", "id")
+        want = {
+            (r["id"], r["t"])
+            for r in df.withColumn(
+                "t", F.ntile(n_buckets).over(w)
+            ).collect()
+        }
+        got = {
+            (r["id"], r["bucket_n"])
+            for r in chunked_ntile(
+                df, n_buckets, ("key", "id"), num_chunks=4
+            ).collect()
+        }
+        assert got == want, (n_rows, n_buckets)

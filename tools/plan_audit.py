@@ -45,6 +45,7 @@ BNLJ_OK = {
     "sketch_hll_union",  # bound check: 1-row exact count x 1-row union estimate
     "text_unigram_lm",  # corpus token total T: broadcast 1-row aggregate
     "sample_temperature",  # c_max: broadcast 1-row aggregate
+    "text_perplexity_bucket",  # inherits text_unigram_lm's 1-row total
 }
 
 
