@@ -774,6 +774,45 @@ def q_rollup_lineitem(spark, sf_dir):
 
 
 @register(
+    "q_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Arbitrary (non-hierarchical) GROUPING SETS — two disjoint
+    single-dimension slices in ONE pass, the shape neither ROLLUP
+    (q_rollup_lineitem) nor CUBE (q_cube_events) can express without
+    extra sets. Spark plans one Expand + one hash aggregate: the scan
+    is read once for both slices, not once per slice — exactly why
+    grouping sets exist at 100 TB."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@register(
     "q_asof_last_click",
     """
     SELECT e.event_id, e.user_id,
@@ -1192,21 +1231,17 @@ def dedup_containment(spark, sf_dir):
     like dedup_ngram_jaccard: closed vocab → bitmask popcount
     containment over distinct masks with a size-band hash join; open
     vocab → asymmetric prefix filtering (contained side emits a
-    prefix, container side indexes all tokens). The contract output
-    aggregates the directed pair set per contained doc (n_containers,
-    best_containment) so the checked row count stays O(docs) while the
-    full pair computation is exercised; the oracle stays the quadratic
-    SQL. Pair-level exactness: bitset == prefix == all-pairs pinned in
-    tests/test_dedup.py."""
-    from poc_spark.operators.dedup import containment_bitset_pairs
+    prefix, container side indexes all tokens). The contract output is
+    containment_stats: the per-contained-doc aggregate (n_containers,
+    best_containment) computed at the DISTINCT-MASK level and fanned
+    out to ids through one membership join — doc pairs are never
+    materialized on the closed-vocab path (aggregate before expand;
+    measured ~4.6 s → sub-second at sf0.1). The oracle stays the
+    quadratic SQL. Pair-level exactness: bitset == prefix == all-pairs,
+    and stats == pairs-then-aggregate, pinned in tests/test_dedup.py."""
+    from poc_spark.operators.dedup import containment_stats
 
-    pairs = containment_bitset_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.95
-    )
-    return pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("n_containers"),
-        F.max("containment").alias("best_containment"),
-    )
+    return containment_stats(_t(spark, sf_dir, "documents"), threshold=0.95)
 
 
 @register(
@@ -4119,6 +4154,10 @@ _TAIL = [
     # src_jsonl_roundtrip; gaps-and-islands session labeling stays
     # witnessed in-head by q_event_funnel's ordered per-user windows ---
     "q_session_window",
+    # --- r5 rotation (eleventh batch): r4-driver-green, demoted for
+    # q_grouping_sets; the PPM decode→frame-grid path stays witnessed
+    # in-head by mm_decode (same parser) and mm_audio_energy ---
+    "mm_frame_sample",
     # --- r5 rotation: r4-driver-green, demoted to free a window slot
     # for sim_ann_join (new in r5); BPE-ish counting stays witnessed by
     # the text_token_count/text_chunking family's historical greens ---

@@ -500,30 +500,35 @@ def containment_prefix_pairs(
     )
 
 
-def containment_bitset_pairs(
-    df: DataFrame,
-    threshold: float = 0.9,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_vocab: int = 64,
-) -> DataFrame:
-    """EXACT containment pairs ≥ threshold for closed vocabularies
-    (≤ max_vocab distinct tokens): dictionary-encode token sets to
-    bitmasks (the jaccard_bitset_pairs encoding), compare DISTINCT
-    masks with popcount containment bc(a&b)/bc(a), expand qualifying
-    mask pairs through the membership lists. Falls back to
-    containment_prefix_pairs on an open vocabulary (same plan-time
-    vocab probe).
+_OPEN_VOCAB = "open"
 
-    Candidate pruning over distinct masks: C ≥ t ⇒ bc(b) ≥ ⌈t·bc(a)⌉,
-    so each contained-side mask joins only container sizes in
-    [⌈t·sz_a⌉, |vocab|] — the a-side replicates across its allowed
-    size band (≤ |vocab| keys of a KB-scale distinct-mask table) and
-    the join is a codegen'd HASH join on the size key, never an
-    interpreted nested loop. Equal masks short-circuit to containment
-    1.0 both directions (mask 0 excluded: 0/0 is not a pair).
-    Exactness: pinned equal to containment_pairs and
-    containment_prefix_pairs in tests/test_dedup.py."""
+
+def _containment_masks(
+    df: DataFrame,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    max_vocab: int,
+):
+    """Shared closed-vocab machinery for the containment family:
+    plan-time vocab probe, bitmask dictionary encoding, and the
+    size-band join producing QUALIFYING DISTINCT-MASK pairs
+    (ma contained-in mb at ≥ threshold, ma ≠ mb).
+
+    Returns `_OPEN_VOCAB` when the probe finds > max_vocab tokens
+    (callers fall back to prefix filtering), `None` for an empty
+    corpus, else (masked(id, m), groups(m, n, sz), mask_pairs(ma, mb,
+    containment)).
+
+    Candidate pruning: C ≥ t ⇒ bc(b) ≥ ⌈t·bc(a)⌉, so each
+    contained-side mask joins only container sizes in [⌈t·sz_a⌉,
+    |vocab|] — the a-side replicates across its allowed size band
+    (≤ |vocab| keys of a KB-scale distinct-mask table) and the join is
+    a codegen'd HASH join on the size key, never an interpreted nested
+    loop. ⌈t·sz_a⌉ uses the 1e-9 nudge so binary-float overshoot can't
+    raise the ceiling past its mathematical value (too high loses
+    threshold-exact pairs; too low only adds candidates the exact
+    conjunct prunes)."""
     toks = df.select(
         F.col(id_col).alias("id"), token_set(F.col(text_col)).alias("toks")
     )
@@ -535,11 +540,9 @@ def containment_bitset_pairs(
         .collect()
     ]
     if len(vocab) > max_vocab:
-        return containment_prefix_pairs(df, threshold, text_col, id_col)
+        return _OPEN_VOCAB
     if not vocab:
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, containment double"
-        )
+        return None
 
     mask = None
     for i, t in enumerate(sorted(vocab)):
@@ -555,11 +558,6 @@ def containment_bitset_pairs(
         "sz", F.bit_count(F.col("m"))
     )
 
-    # ordered inter-mask pairs: contained side a replicated over its
-    # allowed container-size band. ⌈t·sz_a⌉ uses the 1e-9 nudge so float
-    # overshoot can't raise the ceiling past its mathematical value
-    # (an s_min too high loses threshold-exact pairs; one too low only
-    # adds candidates the exact conjunct prunes).
     n_vocab = len(vocab)
     ga = (
         groups.filter(F.col("sz") > 0)
@@ -597,6 +595,35 @@ def containment_bitset_pairs(
             cont.alias("containment"),
         )
     )
+    return masked, groups, mask_pairs
+
+
+def containment_bitset_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 64,
+) -> DataFrame:
+    """EXACT containment pairs ≥ threshold for closed vocabularies
+    (≤ max_vocab distinct tokens): dictionary-encode token sets to
+    bitmasks (the jaccard_bitset_pairs encoding), compare DISTINCT
+    masks with popcount containment bc(a&b)/bc(a) via the size-band
+    hash join (_containment_masks), expand qualifying mask pairs
+    through the membership lists. Falls back to
+    containment_prefix_pairs on an open vocabulary (same plan-time
+    vocab probe). Equal masks short-circuit to containment 1.0 both
+    directions (mask 0 excluded: 0/0 is not a pair). Exactness: pinned
+    equal to containment_pairs and containment_prefix_pairs in
+    tests/test_dedup.py."""
+    res = _containment_masks(df, threshold, text_col, id_col, max_vocab)
+    if res == _OPEN_VOCAB:
+        return containment_prefix_pairs(df, threshold, text_col, id_col)
+    if res is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, containment double"
+        )
+    masked, _groups, mask_pairs = res
     members_a = masked.select(F.col("m").alias("ma"), F.col("id").alias("id_a"))
     members_b = masked.select(F.col("m").alias("mb"), F.col("id").alias("id_b"))
     cross = (
@@ -620,6 +647,71 @@ def containment_bitset_pairs(
         )
     )
     return cross.unionByName(within)
+
+
+def containment_stats(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 64,
+) -> DataFrame:
+    """(id_col, n_containers, best_containment) — the per-contained-doc
+    AGGREGATE of the directed containment pair set, computed WITHOUT
+    ever materializing doc pairs on the closed-vocab path: every doc
+    with the same mask has identical stats, so the counting happens
+    over the tiny distinct-mask pair table (Σ n(mb) containers, max
+    containment; identical non-empty masks contribute n(m)−1 containers
+    at 1.0) and only then fans out to ids through ONE membership join.
+    A duplicate-heavy corpus that would expand to millions of directed
+    pairs costs O(distinct-mask pairs) instead — aggregate before
+    expand, the same discipline as the mask encoding itself. Open
+    vocabulary falls back to prefix-filtered pairs + a hash aggregate.
+    Pinned equal to containment_bitset_pairs(...).groupBy(id_a) on both
+    sides of the vocab cutover in tests/test_dedup.py."""
+    agg_cols = [
+        F.count(F.lit(1)).alias("n_containers"),
+        F.max("containment").alias("best_containment"),
+    ]
+    res = _containment_masks(df, threshold, text_col, id_col, max_vocab)
+    if res == _OPEN_VOCAB:
+        pairs = containment_prefix_pairs(df, threshold, text_col, id_col)
+        return pairs.groupBy(F.col("id_a").alias(id_col)).agg(*agg_cols)
+    if res is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_containers long, best_containment double"
+        )
+    masked, groups, mask_pairs = res
+    per_mask = (
+        mask_pairs.join(
+            groups.select(F.col("m").alias("mb"), F.col("n").alias("nb")),
+            "mb",
+        )
+        .groupBy("ma")
+        .agg(
+            F.sum("nb").alias("others_n"),
+            F.max("containment").alias("others_best"),
+        )
+    )
+    g = (
+        groups.filter(F.col("m") != 0)
+        .join(per_mask, groups["m"] == per_mask["ma"], "left")
+        .select(
+            "m",
+            (
+                F.coalesce(F.col("others_n"), F.lit(0)) + F.col("n") - 1
+            ).alias("n_containers"),
+            # containment never exceeds 1.0, so a duplicated mask's best
+            # is exactly the identical-pair score
+            F.when(F.col("n") >= 2, F.round(F.lit(1.0), 6))
+            .otherwise(F.col("others_best"))
+            .alias("best_containment"),
+        )
+        .filter(F.col("n_containers") >= 1)
+    )
+    return g.join(masked, "m").select(
+        F.col("id").alias(id_col), "n_containers", "best_containment"
+    )
 
 
 def duplicated_ngram_spans(

@@ -546,3 +546,43 @@ def test_keep_best_survivors_ground_truth(spark):
         for r in keep_best_survivors(clusters, docs).collect()
     }
     assert out == {1: (2, 300, 3), 7: (7, 50, 2)}  # 2 beats 3 on id tie
+
+
+@pytest.mark.parametrize("threshold", [0.8, 0.95])
+def test_containment_stats_equals_pairs_aggregate(spark, sf_dir, threshold):
+    """The mask-level aggregate (no pair expansion) must equal
+    pairs-then-groupBy exactly on the real corpus."""
+    from poc_spark.operators.dedup import (
+        containment_bitset_pairs,
+        containment_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    via_pairs = {}
+    for r in containment_bitset_pairs(docs, threshold=threshold).collect():
+        n, best = via_pairs.get(r["id_a"], (0, 0.0))
+        via_pairs[r["id_a"]] = (n + 1, max(best, r["containment"]))
+    got = {
+        r["doc_id"]: (r["n_containers"], r["best_containment"])
+        for r in containment_stats(docs, threshold=threshold).collect()
+    }
+    assert got == via_pairs
+
+
+def test_containment_stats_open_vocab_fallback(spark):
+    """>64 tokens: stats falls back to prefix pairs + aggregate and
+    still matches the quadratic form."""
+    from poc_spark.operators.dedup import containment_pairs, containment_stats
+
+    rows = [(i, f"tok{i} tok{i+1} tok{i+2} shared") for i in range(70)]
+    rows.append((100, "tok5 tok6 tok7 shared"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {}
+    for r in containment_pairs(df, threshold=0.9).collect():
+        n, best = want.get(r["id_a"], (0, 0.0))
+        want[r["id_a"]] = (n + 1, max(best, r["containment"]))
+    got = {
+        r["doc_id"]: (r["n_containers"], r["best_containment"])
+        for r in containment_stats(df, threshold=0.9).collect()
+    }
+    assert got == want

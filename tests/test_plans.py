@@ -110,3 +110,32 @@ def test_chunked_ntile_remainder_shapes(spark):
             ).collect()
         }
         assert got == want, (n_rows, n_buckets)
+
+
+def test_grouping_sets_single_pass_expand(spark, sf_dir):
+    """GROUPING SETS must plan as ONE scan + Expand + one aggregate —
+    not a union of per-slice scans — and equal the two-groupby union."""
+    from pyspark.sql import functions as F
+
+    df = contract.REGISTRY["q_grouping_sets"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    by_flag = {
+        (r["l_returnflag"], "ALL"): r["n"]
+        for r in li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    by_status = {
+        ("ALL", r["l_linestatus"]): r["n"]
+        for r in li.groupBy("l_linestatus").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    got = {
+        (r["returnflag"], r["linestatus"]): r["n"] for r in df.collect()
+    }
+    assert got == {**by_flag, **by_status}
