@@ -1892,6 +1892,7 @@ def mm_resize(spark, sf_dir):
              substr(repeat(md5(text), 75), 1,
                     2 * (800 + doc_id % 400)) AS hx
       FROM documents
+      WHERE text IS NOT NULL  -- NULL text -> NULL payload -> kernel skips
     ), fr AS (
       SELECT media_id, n_samples, hx,
              unnest(range(0, n_samples // 160)) AS f

@@ -105,6 +105,18 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(word_grams(text, n))
 
 
+def _t_lo(threshold: float) -> float:
+    """Soundness margin for candidate PREFILTERS: acceptance everywhere
+    is round(score, 6) >= t, which admits true scores down to t - 5e-7
+    (half-ulp at the 6th decimal). Any bound derived from the raw t
+    (size ratios, prefix lengths, popcount bands) must therefore be
+    computed from t - 1e-6, or a round-up boundary pair the oracle
+    keeps gets pruned before the exact predicate ever sees it (r5
+    self-review). Over-relaxing is sound — it only adds candidates the
+    exact rounded predicate then decides."""
+    return threshold - 1e-6
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
@@ -139,7 +151,9 @@ def ngram_jaccard_pairs(
     a = toks.alias("a")
     b = toks.alias("b")
     sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
-    compatible = F.least(sz_a, sz_b) >= F.lit(threshold) * F.greatest(sz_a, sz_b)
+    compatible = F.least(sz_a, sz_b) >= F.lit(_t_lo(threshold)) * F.greatest(
+        sz_a, sz_b
+    )
     jac = F.round(_jaccard(F.col("a.toks"), F.col("b.toks")), 6)
     # the threshold test lives INSIDE the join condition, explicitly
     # LAST in the conjunction: a separate .filter() gets pushed into the
@@ -203,7 +217,7 @@ def jaccard_prefix_pairs(
     # (0.95*20 = 19.0000…4) can't round the ceiling UP — an α too large
     # would shorten the prefix and break recall; the nudge only ever
     # lengthens it (extra candidates, never missed ones).
-    alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    alpha = F.ceil(F.lit(_t_lo(threshold)) * F.col("sz") - F.lit(1e-9))
     prefix_len = (F.col("sz") - alpha + 1).cast("int")
     pref = ordered.select(
         "id",
@@ -223,7 +237,10 @@ def jaccard_prefix_pairs(
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.id") < F.col("b.id"))
             # size-compatibility prune (sound): J ≥ t ⇒ min ≥ t·max
-            & (F.least(sz_a, sz_b) >= F.lit(threshold) * F.greatest(sz_a, sz_b)),
+            & (
+                F.least(sz_a, sz_b)
+                >= F.lit(_t_lo(threshold)) * F.greatest(sz_a, sz_b)
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -318,7 +335,7 @@ def jaccard_bitset_pairs(
     # Jaccard equals the threshold exactly. Nudge up before truncating:
     # overshooting by one band key only adds pruned candidates (the
     # jac >= threshold conjunct is exact); undershooting loses pairs.
-    d_max = int((1 - threshold) * len(vocab) + 1e-9)
+    d_max = int((1 - _t_lo(threshold)) * len(vocab) + 1e-9)
     ga = groups.alias("ga")
     gb = (
         groups.select(
@@ -411,9 +428,9 @@ def containment_pairs(
         / F.col("a.sz").cast("double"),
         6,
     )
-    compatible = F.col("b.sz").cast("double") >= F.lit(threshold) * F.col(
-        "a.sz"
-    ).cast("double")
+    compatible = F.col("b.sz").cast("double") >= F.lit(
+        _t_lo(threshold)
+    ) * F.col("a.sz").cast("double")
     return a.join(
         b,
         (F.col("a.id") != F.col("b.id")) & compatible & (cont >= threshold),
@@ -457,7 +474,7 @@ def containment_prefix_pairs(
     )
     # α = ⌈t·sz⌉ with the 1e-9 nudge (see jaccard_prefix_pairs: binary
     # float overshoot must never shorten the prefix)
-    alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    alpha = F.ceil(F.lit(_t_lo(threshold)) * F.col("sz") - F.lit(1e-9))
     prefix_len = (F.col("sz") - alpha + 1).cast("int")
     pref = ordered.select(
         "id",
@@ -478,7 +495,7 @@ def containment_prefix_pairs(
             # container must be large enough to hold t·|A| shared tokens
             & (
                 F.col("b.sz").cast("double")
-                >= F.lit(threshold) * F.col("a.sz").cast("double")
+                >= F.lit(_t_lo(threshold)) * F.col("a.sz").cast("double")
             ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -567,7 +584,7 @@ def _containment_masks(
             F.explode(
                 F.sequence(
                     F.ceil(
-                        F.lit(threshold) * F.col("sz").cast("double")
+                        F.lit(_t_lo(threshold)) * F.col("sz").cast("double")
                         - F.lit(1e-9)
                     ).cast("int"),
                     F.lit(n_vocab),
@@ -1298,28 +1315,35 @@ def keep_best_survivors(
     against the doc scores, then a per-cluster rank window —
     InferWindowGroupLimit two-phases the rank filter, so a pathological
     giant cluster never sorts whole in one task (the measured
-    TOPK_SKEW_DEMO.json property)."""
+    TOPK_SKEW_DEMO.json property). The member count deliberately comes
+    from a separate groupBy + broadcast-ready join, NOT a count window
+    stacked on the rank window: a second window between the filter and
+    the row_number defeats the rank-limit rule (verified in the plan —
+    WindowGroupLimit disappears), silently reverting to a full
+    per-cluster sort."""
     from pyspark.sql import Window
 
     labeled = clusters.join(
         docs.select(F.col(id_col).alias("id"), F.col(score_col).alias("score")),
         "id",
     )
+    sizes = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
     w = Window.partitionBy("cluster").orderBy(
         F.col("score").desc(), F.col("id").asc()
     )
-    return (
+    best = (
         labeled.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_members", F.count(F.lit(1)).over(
-            Window.partitionBy("cluster")
-        ))
         .filter(F.col("rn") == 1)
         .select(
             "cluster",
             F.col("id").alias("keep_id"),
             F.col("score").alias("keep_score"),
-            F.col("n_members").cast("long").alias("n_members"),
         )
+    )
+    return best.join(sizes, "cluster").select(
+        "cluster", "keep_id", "keep_score", "n_members"
     )
 
 

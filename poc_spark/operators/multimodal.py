@@ -394,6 +394,12 @@ def audio_frame_energy(
         for pdf in it:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL payload (e.g. synthesized from a NULL text):
+                    # bytes(None) would raise OUTSIDE the parser's
+                    # try block and fail the task — skip, per the
+                    # degrade-never-fail contract
+                    continue
                 rate, data = _parse_wav(bytes(payload))
                 if rate is None:
                     continue

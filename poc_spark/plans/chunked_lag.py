@@ -47,6 +47,30 @@ def _numeric_key(df: DataFrame, key: str):
     return F.col(key).cast("double")
 
 
+def _range_chunks(
+    df: DataFrame, key: str, num_chunks: int
+) -> DataFrame:
+    """df + `_key_num` (numeric shadow of `key`) + `_chunk` (range
+    bucket): the shared chunk-assignment step of every chunk-parallel
+    plan (lag, ordered limit, ntile). Approximate quantile bounds,
+    deduped (a skewed key yields duplicate quantiles, which would
+    create guaranteed-empty chunks); bucketing is strict `>`, so rows
+    tied on the key can never straddle a chunk boundary — the property
+    the per-chunk windows' exactness proofs rely on."""
+    keyed = df.withColumn("_key_num", _numeric_key(df, key))
+    fractions = [i / num_chunks for i in range(1, num_chunks)]
+    raw_bounds = (
+        keyed.approxQuantile("_key_num", fractions, 0.001)
+        if num_chunks > 1
+        else []
+    )
+    bounds = sorted(set(raw_bounds))
+    chunk = F.lit(0)
+    for i, b in enumerate(bounds):
+        chunk = F.when(F.col("_key_num") > F.lit(b), i + 1).otherwise(chunk)
+    return keyed.withColumn("_chunk", chunk)
+
+
 def chunked_lag_pairs(
     df: DataFrame,
     value_col: str,
@@ -58,24 +82,8 @@ def chunked_lag_pairs(
     stitching instead of one global window. The first row of the stream
     has no prev and emits nothing.
     """
-    key = order_cols[0]
-    # 1. approximate chunk boundaries on the leading order column.
-    # approxQuantile needs a numeric column — timestamps ride as double
-    # epoch seconds (µs precision fits a double's 53-bit mantissa).
-    # Bounds are deduped: a skewed key yields duplicate quantiles, which
-    # would create guaranteed-empty chunks.
-    keyed = df.withColumn("_key_num", _numeric_key(df, key))
-    fractions = [i / num_chunks for i in range(1, num_chunks)]
-    raw_bounds = (
-        keyed.approxQuantile("_key_num", fractions, 0.001) if num_chunks > 1 else []
-    )
-    bounds = sorted(set(raw_bounds))
-
-    # 2. bucket assignment: literal when-chain over the (sorted) bounds.
-    chunk = F.lit(0)
-    for i, b in enumerate(bounds):
-        chunk = F.when(F.col("_key_num") > F.lit(b), i + 1).otherwise(chunk)
-    bucketed = keyed.withColumn("_chunk", chunk)
+    # 1.+2. shared range chunking (approx bounds + strict-> bucketing)
+    bucketed = _range_chunks(df, order_cols[0], num_chunks)
 
     # 3. lag within each chunk (parallel windows, one shuffle by _chunk).
     w = Window.partitionBy("_chunk").orderBy(*order_cols)
@@ -125,16 +133,7 @@ def chunked_ordered_limit(
     """
     if not n:
         return df
-    keyed = df.withColumn("_key_num", _numeric_key(df, order_cols[0]))
-    fractions = [i / num_chunks for i in range(1, num_chunks)]
-    raw_bounds = (
-        keyed.approxQuantile("_key_num", fractions, 0.001) if num_chunks > 1 else []
-    )
-    bounds = sorted(set(raw_bounds))
-    chunk = F.lit(0)
-    for i, b in enumerate(bounds):
-        chunk = F.when(F.col("_key_num") > F.lit(b), i + 1).otherwise(chunk)
-    bucketed = keyed.withColumn("_chunk", chunk)
+    bucketed = _range_chunks(df, order_cols[0], num_chunks)
 
     counts = dict(
         (r["_chunk"], r["cnt"])

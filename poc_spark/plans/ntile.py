@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from poc_spark.plans.chunked_lag import _numeric_key
+from poc_spark.plans.chunked_lag import _range_chunks
 
 
 def ntile_rank_to_bucket(rank, total: int, n_buckets: int):
@@ -57,20 +57,17 @@ def chunked_ntile(
     (ORDER BY order_cols ASC) — without a global single-partition
     window. Ascending order only: callers wanting DESC negate the
     leading column (numeric keys negate losslessly; that is what
-    textstats.perplexity_buckets does)."""
-    key = order_cols[0]
-    keyed = df.withColumn("_key_num", _numeric_key(df, key))
-    fractions = [i / num_chunks for i in range(1, num_chunks)]
-    raw_bounds = (
-        keyed.approxQuantile("_key_num", fractions, 0.001)
-        if num_chunks > 1
-        else []
+    textstats.perplexity_buckets does).
+
+    The input lineage is barriered with a lazy localCheckpoint before
+    the first action: this plan runs THREE actions over it (the
+    approxQuantile bounds job, the per-chunk counts collect, the output
+    job), and without the barrier an expensive upstream (the unigram-LM
+    scoring in perplexity_buckets) would execute three times (r5
+    self-review; the established minhash_lsh_pairs pattern)."""
+    bucketed = _range_chunks(
+        df.localCheckpoint(eager=False), order_cols[0], num_chunks
     )
-    bounds = sorted(set(raw_bounds))
-    chunk = F.lit(0)
-    for i, b in enumerate(bounds):
-        chunk = F.when(F.col("_key_num") > F.lit(b), i + 1).otherwise(chunk)
-    bucketed = keyed.withColumn("_chunk", chunk)
 
     counts = {
         r["_chunk"]: r["cnt"]

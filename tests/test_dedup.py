@@ -541,11 +541,17 @@ def test_keep_best_survivors_ground_truth(spark):
         [(1, 100), (2, 300), (3, 300), (7, 50), (8, 50), (9, 999)],
         "doc_id long, n_chars long",
     )
+    result = keep_best_survivors(clusters, docs)
     out = {
         r["cluster"]: (r["keep_id"], r["keep_score"], r["n_members"])
-        for r in keep_best_survivors(clusters, docs).collect()
+        for r in result.collect()
     }
     assert out == {1: (2, 300, 3), 7: (7, 50, 2)}  # 2 beats 3 on id tie
+    # the scale property: the rank filter must two-phase via
+    # InferWindowGroupLimit (a count window stacked between filter and
+    # row_number silently defeats the rule — caught in r5 self-review)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
 
 
 @pytest.mark.parametrize("threshold", [0.8, 0.95])
@@ -586,3 +592,43 @@ def test_containment_stats_open_vocab_fallback(spark):
         for r in containment_stats(df, threshold=0.9).collect()
     }
     assert got == want
+
+
+def test_rounding_margin_boundary_pairs_survive_prefilters(spark):
+    """r5 self-review: acceptance is round(score,6) >= t, which admits
+    true scores down to t - 5e-7 — but the size/prefix/band prefilters
+    used the RAW t and could prune a round-up boundary pair the oracle
+    keeps. Constructible case: t = 0.666667 (6-decimal), score = 2/3 =
+    0.6666666... rounds UP to 0.666667 and must survive every form."""
+    from poc_spark.operators.dedup import (
+        containment_bitset_pairs,
+        containment_pairs,
+        containment_prefix_pairs,
+        jaccard_bitset_pairs,
+        jaccard_prefix_pairs,
+    )
+
+    t = 0.666667
+    df = spark.createDataFrame(
+        [(0, "x y z"), (1, "x y")], "doc_id long, text string"
+    )
+    # Jaccard(0,1) = 2/3 -> round6 = 0.666667 >= t
+    for fn in (ngram_jaccard_pairs, jaccard_prefix_pairs, jaccard_bitset_pairs):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in fn(df, threshold=t).collect()
+        }
+        assert got == {(0, 1): 0.666667}, fn.__name__
+    # Containment(0 in 1) = 2/3 likewise (directed: the 3-token doc is
+    # 2/3-contained in the 2-token doc)
+    for fn in (
+        containment_pairs,
+        containment_prefix_pairs,
+        containment_bitset_pairs,
+    ):
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in fn(df, threshold=t).collect()
+        }
+        assert got[(0, 1)] == 0.666667, fn.__name__
+        assert got[(1, 0)] == 1.0, fn.__name__  # {x,y} fully inside {x,y,z}
