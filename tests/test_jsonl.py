@@ -58,3 +58,36 @@ def test_unicode_and_newlines_survive(spark, tmp_path_repo):
     back = {r["doc_id"]: r["text"] for r in
             read_jsonl(spark, path, DOCUMENTS_SCHEMA).collect()}
     assert back == {1: rows[0][1], 2: rows[1][1]}
+
+
+def test_streaming_jsonl_ingest_equals_batch(spark, sf_dir, tmp_path_repo):
+    """The JSONL source works as a Structured Streaming source with the
+    SAME explicit schema (readStream.json requires one — exactly the
+    schema-first discipline): availableNow ingestion of the exported
+    corpus must land the identical row set the batch reader sees."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path_repo / "jsonl_src")
+    write_jsonl(docs, src)
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    assert stream.isStreaming
+    out = str(tmp_path_repo / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path_repo / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in read_jsonl(spark, src, DOCUMENTS_SCHEMA).collect()
+    )
+    assert landed == batch and len(landed) == docs.count()
