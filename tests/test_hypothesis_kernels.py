@@ -266,3 +266,45 @@ def test_containment_triple_agrees_across_vocab_cutover(
     }
     assert bit == want
     assert pref == want
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.data(),
+    n_buckets=st.integers(min_value=1, max_value=7),
+    num_chunks=st.integers(min_value=1, max_value=6),
+)
+def test_chunked_ntile_equals_global_property(
+    spark, data, n_buckets, num_chunks
+):
+    """chunked_ntile == ntile-over-global-window for adversarial
+    (N, n, chunks): heavy key duplication (ties must never straddle
+    chunks), N < n, single chunk, more chunks than rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from poc_spark.plans.ntile import chunked_ntile
+
+    n_rows = data.draw(st.integers(min_value=1, max_value=40))
+    keys = data.draw(
+        st.lists(
+            st.integers(min_value=-3, max_value=3),
+            min_size=n_rows,
+            max_size=n_rows,
+        )
+    )
+    df = spark.createDataFrame(
+        list(enumerate(keys)), "id long, key long"
+    )
+    w = Window.orderBy("key", "id")
+    want = {
+        (r["id"], r["t"])
+        for r in df.withColumn("t", F.ntile(n_buckets).over(w)).collect()
+    }
+    got = {
+        (r["id"], r["bucket_n"])
+        for r in chunked_ntile(
+            df, n_buckets, ("key", "id"), num_chunks=num_chunks
+        ).collect()
+    }
+    assert got == want
