@@ -368,16 +368,26 @@ def perplexity_buckets(
     (no percentile interpolation semantics to match cross-engine).
 
     Scale: the global-window form is the default below ~1M rows (the
-    project convention); pass `num_chunks` to run the EXACT
-    chunk-parallel twin (plans/ntile.chunked_ntile: range chunks +
-    driver prefix-sum of chunk counts + per-chunk windows — same
-    buckets bit-for-bit, pinned in tests/test_plans.py). CCNet's own
-    approx-threshold variant remains a valid cheaper fallback, but an
-    exact distributed form exists so nothing forces the
-    approximation."""
+    project convention); above the plans/dispatch size threshold the
+    operator SELF-DISPATCHES to the EXACT chunk-parallel twin
+    (plans/ntile.chunked_ntile: range chunks + driver prefix-sum of
+    chunk counts + per-chunk windows — same buckets bit-for-bit,
+    pinned in tests/test_plans.py), same policy as the lag/limit
+    operators. Pass `num_chunks` to force the chunked form explicitly.
+    CCNet's own approx-threshold variant remains a valid cheaper
+    fallback, but an exact distributed form exists so nothing forces
+    the approximation."""
     from pyspark.sql import Window
 
     scored = unigram_logprob(df, text_col, id_col)
+    if num_chunks is None:
+        from poc_spark.plans.dispatch import use_chunked
+
+        # the post-agg plan keeps a finite Catalyst estimate
+        # (measured: ~6 B/doc scales linearly), so the same
+        # size-threshold dispatch the lag operators use applies
+        if use_chunked(scored):
+            num_chunks = 32
     if num_chunks:
         from poc_spark.plans.ntile import chunked_ntile
 

@@ -127,3 +127,20 @@ def test_partitioned_windows_never_dispatch(spark, events, forced):
         partition_cols=("pc",),
     )
     assert "_chunk" not in _plan(out)
+
+
+def test_perplexity_buckets_self_dispatches(spark, sf_dir):
+    """Force-flag flips the CCNet bucketing onto the chunked ntile;
+    output must stay bit-equal to the global-window form either way."""
+    from poc_spark.operators.textstats import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    glob = {(r["id"], r["bucket"]) for r in perplexity_buckets(docs).collect()}
+    spark.conf.set("spark.poc.chunkedWindow.force", "true")
+    try:
+        forced = {
+            (r["id"], r["bucket"]) for r in perplexity_buckets(docs).collect()
+        }
+    finally:
+        spark.conf.unset("spark.poc.chunkedWindow.force")
+    assert forced == glob
