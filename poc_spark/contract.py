@@ -1245,6 +1245,85 @@ def dedup_containment(spark, sf_dir):
 
 
 @register(
+    "dedup_url",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || upper(source) || '.Example.COM/cat'
+               || (doc_id % 5) || '/?z=' || (doc_id % 2) || '&id='
+               || (doc_id % 10) || '&utm_source=feed&ref=r' || doc_id
+               || '#frag' AS url
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(url, '^[A-Za-z]+://', ''),
+                            '#.*$', '') AS rest
+      FROM u
+    ), p AS (
+      SELECT doc_id, scheme,
+             regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+                            '^www\\.', '') AS host,
+             regexp_replace(rest, '^[^/?]+', '') AS pathq
+      FROM c
+    ), q AS (
+      SELECT doc_id, scheme, host,
+             regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                            '/+$', '') AS path,
+             regexp_extract(pathq, '\\?(.*)$', 1) AS query
+      FROM p
+    ), k AS (
+      SELECT doc_id,
+             scheme || '://' || host || path ||
+               CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url
+      FROM (
+        SELECT doc_id, scheme, host, path,
+               array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 x -> len(x) > 0 AND NOT regexp_matches(x,
+                        '^(utm_[^=]*|ref|fbclid|gclid)='))), '&') AS qs
+        FROM q)
+    )
+    SELECT canon_url, count(*) AS n_pages, min(doc_id) AS keep_id
+    FROM k GROUP BY canon_url
+    """,
+)
+def dedup_url(spark, sf_dir):
+    """Crawl-layer dedup by CANONICAL URL (functions/url.py): documents
+    synthesize deliberately-messy absolute URLs (upper-case scheme and
+    www host, trailing slash, unordered query, per-doc tracking params,
+    fragment); canonicalization lowercases scheme/host, strips www./
+    slash/fragment/trackers and SORTS surviving params, so page
+    identities collide before any text is compared — the step crawl
+    pipelines run ahead of fetch and byte-level dedup. One narrow
+    expression chain + a hash aggregate on the canonical key; the
+    oracle replays the identical RE2-subset regex logic in SQL."""
+    from poc_spark.functions.url import canonicalize_url
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM/cat"),
+        (did % 5).cast("string"),
+        F.lit("/?z="),
+        (did % 2).cast("string"),
+        F.lit("&id="),
+        (did % 10).cast("string"),
+        F.lit("&utm_source=feed&ref=r"),
+        did.cast("string"),
+        F.lit("#frag"),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", canonicalize_url(url).alias("canon_url")
+    )
+    return pages.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("doc_id").alias("keep_id"),
+    )
+
+
+@register(
     "dedup_ngram_spans",
     """
     WITH toks AS (
@@ -4159,6 +4238,10 @@ _TAIL = [
     # q_grouping_sets; the PPM decode→frame-grid path stays witnessed
     # in-head by mm_decode (same parser) and mm_audio_energy ---
     "mm_frame_sample",
+    # --- r5 rotation (twelfth batch): r4-driver-green, demoted for
+    # dedup_url; the compare-within-bucket topology stays witnessed
+    # in-head by dedup_minhash_lsh / dedup_simhash / sim_ann_lsh ---
+    "dedup_semantic_buckets",
     # --- r5 rotation: r4-driver-green, demoted to free a window slot
     # for sim_ann_join (new in r5); BPE-ish counting stays witnessed by
     # the text_token_count/text_chunking family's historical greens ---

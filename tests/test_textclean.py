@@ -99,3 +99,35 @@ def test_strip_boilerplate_preserves_line_order(spark):
     got = {r["doc_id"]: r for r in strip_boilerplate(df, min_docs=2).collect()}
     assert got[1]["clean_text"] == "z last\na first\nm middle"
     assert got[1]["n_removed"] == 2
+
+
+def test_canonicalize_url_rules(spark):
+    """RFC-subset canonicalization: case, www, fragment, trailing
+    slash, tracker stripping, parameter sorting — and what must NOT
+    change (path case, non-tracker params, https vs http distinction)."""
+    from pyspark.sql import functions as F
+
+    from poc_spark.functions.url import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Site.COM/A/B/?b=2&a=1&utm_source=x#frag",
+         "https://site.com/A/B?a=1&b=2"),
+        ("http://site.com/a", "http://site.com/a"),        # already canonical
+        ("https://www.site.com/", "https://site.com"),     # root slash
+        ("https://site.com/p?utm_campaign=c&ref=r&fbclid=f&gclid=g",
+         "https://site.com/p"),                            # only trackers
+        ("https://site.com/p?refx=keep&id=1",
+         "https://site.com/p?id=1&refx=keep"),             # ref != refx
+        ("HTTP://Site.com#only-frag", "http://site.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
