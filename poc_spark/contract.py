@@ -2480,6 +2480,54 @@ def _jsonl_oracle(sf_base: str) -> str:
     """
 
 
+def csv_export_path(sf_dir: str) -> str:
+    return os.path.join(
+        _REPO_ROOT, ".tmp", "csvx", os.path.basename(os.path.normpath(sf_dir))
+    )
+
+
+def _csv_oracle(sf_base: str) -> str:
+    root = os.path.join(_REPO_ROOT, ".tmp", "csvx", sf_base)
+    return f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM read_csv('{root}/*.csv', header = true,
+                  columns = {{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                              'lang': 'VARCHAR', 'source': 'VARCHAR',
+                              'n_chars': 'BIGINT'}})
+    GROUP BY source
+    """
+
+
+@register("src_csv_roundtrip", _csv_oracle("sf0.01"))
+def src_csv_roundtrip(spark, sf_dir):
+    """CSV source/sink interop, completing the parquet/JSONL/CSV format
+    trio: documents export as RFC-4180-quoted CSV part files with
+    headers (sources/csvfile.py — doubled-quote escaping, multiLine
+    read for quoted embedded newlines, PERMISSIVE + quarantine), read
+    back schema-first, and aggregate with the same order-insensitive
+    content checksum as the JSONL twin. The oracle parses the SAME
+    files with DuckDB's independent CSV reader — quoting, headers, and
+    typing all cross-engine checked on the written artifact."""
+    from poc_spark.sources.csvfile import read_csv, write_csv
+    from poc_spark.sources.jsonl import DOCUMENTS_SCHEMA
+
+    path = csv_export_path(sf_dir)
+    if not os.path.exists(path):
+        write_csv(_t(spark, sf_dir, "documents"), path)
+    docs = read_csv(spark, path, DOCUMENTS_SCHEMA)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+        ).alias("content_sum"),
+    )
+
+
 @register("src_jsonl_roundtrip", _jsonl_oracle("sf0.01"))
 def src_jsonl_roundtrip(spark, sf_dir):
     """JSONL source/sink interop — the standard LLM-corpus format:
@@ -4242,6 +4290,10 @@ _TAIL = [
     # dedup_url; the compare-within-bucket topology stays witnessed
     # in-head by dedup_minhash_lsh / dedup_simhash / sim_ann_lsh ---
     "dedup_semantic_buckets",
+    # --- r5 rotation (thirteenth batch): r4-driver-green, demoted for
+    # src_csv_roundtrip; the hash-shard-partitioned window shape stays
+    # witnessed in-head by sample_weighted_k's ranked selection ---
+    "sample_pack",
     # --- r5 rotation: r4-driver-green, demoted to free a window slot
     # for sim_ann_join (new in r5); BPE-ish counting stays witnessed by
     # the text_token_count/text_chunking family's historical greens ---
@@ -4393,4 +4445,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["sim_ivf_kmeans"] = _ivf_oracle(sf_base)
     out["sim_ivf_join"] = _ivf_join_oracle(sf_base)
     out["src_jsonl_roundtrip"] = _jsonl_oracle(sf_base)
+    out["src_csv_roundtrip"] = _csv_oracle(sf_base)
     return out

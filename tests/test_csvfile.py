@@ -1,0 +1,50 @@
+"""CSV source/sink: RFC-4180 round-trip, quoting/newline survival,
+corrupt-row quarantine."""
+
+from __future__ import annotations
+
+from poc_spark.sources.csvfile import CORRUPT_COL, read_csv, write_csv
+from poc_spark.sources.jsonl import DOCUMENTS_SCHEMA
+
+
+def test_csv_roundtrip_lossless(spark, sf_dir, tmp_path_repo):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path_repo / "docs_csv")
+    write_csv(docs, path)
+    back = read_csv(spark, path, DOCUMENTS_SCHEMA)
+    a = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    b = sorted(back.collect(), key=lambda r: r["doc_id"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_csv_quoting_newlines_unicode(spark, tmp_path_repo):
+    """Embedded delimiters, doubled quotes, NEWLINES inside quoted
+    fields, Hebrew/emoji — the cases naive CSV handling corrupts."""
+    rows = [
+        (1, 'a,b,"quoted",c', "en", "s", 0),
+        (2, "line1\nline2", "en", "s", 0),
+        (3, "שלום 🦆", "he", "s", 0),
+    ]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    path = str(tmp_path_repo / "tricky")
+    write_csv(df, path)
+    back = {r["doc_id"]: r["text"] for r in
+            read_csv(spark, path, DOCUMENTS_SCHEMA).collect()}
+    assert back == {1: rows[0][1], 2: rows[1][1], 3: rows[2][1]}
+
+
+def test_csv_corrupt_rows_quarantine(spark, tmp_path_repo):
+    p = tmp_path_repo / "mixed.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,ok,en,s,2\n"
+        "not_a_number,bad,en,s,3\n"
+        "2,also ok,en,s,7\n"
+    )
+    good = read_csv(spark, str(p), DOCUMENTS_SCHEMA)
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    full = read_csv(spark, str(p), DOCUMENTS_SCHEMA, keep_corrupt=True)
+    rows = full.collect()
+    quarantined = [r for r in rows if r[CORRUPT_COL] is not None]
+    assert len(quarantined) == 1
+    assert "not_a_number" in quarantined[0][CORRUPT_COL]
