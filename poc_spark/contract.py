@@ -2458,48 +2458,59 @@ def ivf_index_path(sf_dir: str) -> str:
     )
 
 
-def jsonl_export_path(sf_dir: str) -> str:
+def _export_path(subdir: str, sf_dir: str) -> str:
     return os.path.join(
-        _REPO_ROOT, ".tmp", "jsonl", os.path.basename(os.path.normpath(sf_dir))
+        _REPO_ROOT, ".tmp", subdir, os.path.basename(os.path.normpath(sf_dir))
     )
+
+
+# one source of truth for both file-format roundtrip oracles: only the
+# reader clause differs between the JSONL and CSV twins
+_ROUNDTRIP_COLS = (
+    "{'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR', "
+    "'source': 'VARCHAR', 'n_chars': 'BIGINT'}"
+)
+
+
+def _roundtrip_oracle(reader_clause: str) -> str:
+    return f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM {reader_clause}
+    GROUP BY source
+    """
+
+
+def jsonl_export_path(sf_dir: str) -> str:
+    return _export_path("jsonl", sf_dir)
 
 
 def _jsonl_oracle(sf_base: str) -> str:
     root = os.path.join(_REPO_ROOT, ".tmp", "jsonl", sf_base)
-    return f"""
-    SELECT source,
-           count(*) AS n_docs,
-           sum(n_chars)::BIGINT AS sum_chars,
-           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
-             AS content_sum
-    FROM read_json('{root}/*.json', format = 'newline_delimited',
-                   columns = {{'doc_id': 'BIGINT', 'text': 'VARCHAR',
-                               'lang': 'VARCHAR', 'source': 'VARCHAR',
-                               'n_chars': 'BIGINT'}})
-    GROUP BY source
-    """
-
-
-def csv_export_path(sf_dir: str) -> str:
-    return os.path.join(
-        _REPO_ROOT, ".tmp", "csvx", os.path.basename(os.path.normpath(sf_dir))
+    return _roundtrip_oracle(
+        f"read_json('{root}/*.json', format = 'newline_delimited', "
+        f"columns = {_ROUNDTRIP_COLS})"
     )
 
 
+def csv_export_path(sf_dir: str) -> str:
+    return _export_path("csvx", sf_dir)
+
+
 def _csv_oracle(sf_base: str) -> str:
+    # nullstr + allow_quoted_nulls=false pin the NULL-vs-empty-string
+    # distinction to the writer's contract (sources/csvfile.NULL_TOKEN:
+    # NULL rides unquoted \\N, '' rides quoted "") — DuckDB's default
+    # would otherwise parse quoted "" as NULL and the content checksum
+    # would diverge on the first empty text (r5 self-review)
     root = os.path.join(_REPO_ROOT, ".tmp", "csvx", sf_base)
-    return f"""
-    SELECT source,
-           count(*) AS n_docs,
-           sum(n_chars)::BIGINT AS sum_chars,
-           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
-             AS content_sum
-    FROM read_csv('{root}/*.csv', header = true,
-                  columns = {{'doc_id': 'BIGINT', 'text': 'VARCHAR',
-                              'lang': 'VARCHAR', 'source': 'VARCHAR',
-                              'n_chars': 'BIGINT'}})
-    GROUP BY source
-    """
+    return _roundtrip_oracle(
+        f"read_csv('{root}/*.csv', header = true, nullstr = '\\N', "
+        f"allow_quoted_nulls = false, columns = {_ROUNDTRIP_COLS})"
+    )
 
 
 @register("src_csv_roundtrip", _csv_oracle("sf0.01"))
@@ -2515,9 +2526,10 @@ def src_csv_roundtrip(spark, sf_dir):
     from poc_spark.sources.csvfile import read_csv, write_csv
     from poc_spark.sources.jsonl import DOCUMENTS_SCHEMA
 
+    # always re-export (mode overwrite): an exists-skip would keep the
+    # check green against a STALE artifact after a writer change
     path = csv_export_path(sf_dir)
-    if not os.path.exists(path):
-        write_csv(_t(spark, sf_dir, "documents"), path)
+    write_csv(_t(spark, sf_dir, "documents"), path)
     docs = read_csv(spark, path, DOCUMENTS_SCHEMA)
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2547,9 +2559,10 @@ def src_jsonl_roundtrip(spark, sf_dir):
         write_jsonl,
     )
 
+    # always re-export (mode overwrite): an exists-skip would keep the
+    # check green against a STALE artifact after a writer change
     path = jsonl_export_path(sf_dir)
-    if not os.path.exists(path):
-        write_jsonl(_t(spark, sf_dir, "documents"), path)
+    write_jsonl(_t(spark, sf_dir, "documents"), path)
     docs = read_jsonl(spark, path, DOCUMENTS_SCHEMA)
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

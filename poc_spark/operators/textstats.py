@@ -349,6 +349,30 @@ def unigram_logprob(
     )
 
 
+# the perplexity self-dispatch thresholds on the SCORED plan's
+# Catalyst estimate, which is much wider per row than the raw-scan
+# estimate the lag operators' 24 MiB key was calibrated for (measured:
+# ~700 B/doc at sf0.01/sf0.1 vs ~22 B/row for event scans). 700 B x
+# the ~1.1M-row policy point ≈ 768 MiB — same row-count crossover,
+# different byte denominator (r5 self-review: reusing the 24 MiB key
+# directly tripped chunked ~30x too early).
+_SCORED_MIN_BYTES_KEY = "spark.poc.ntile.minScoredBytes"
+_SCORED_DEFAULT_MIN_BYTES = 768 * 1024 * 1024
+
+
+def _should_chunk(scored: DataFrame) -> bool:
+    from poc_spark.plans.dispatch import CHUNK_FORCE_KEY, estimated_size_bytes
+
+    conf = scored.sparkSession.conf
+    force = conf.get(CHUNK_FORCE_KEY, None)
+    if force is not None:
+        return force.strip().lower() == "true"
+    threshold = int(
+        conf.get(_SCORED_MIN_BYTES_KEY, str(_SCORED_DEFAULT_MIN_BYTES))
+    )
+    return estimated_size_bytes(scored) >= threshold
+
+
 def perplexity_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -380,14 +404,8 @@ def perplexity_buckets(
     from pyspark.sql import Window
 
     scored = unigram_logprob(df, text_col, id_col)
-    if num_chunks is None:
-        from poc_spark.plans.dispatch import use_chunked
-
-        # the post-agg plan keeps a finite Catalyst estimate
-        # (measured: ~6 B/doc scales linearly), so the same
-        # size-threshold dispatch the lag operators use applies
-        if use_chunked(scored):
-            num_chunks = 32
+    if num_chunks is None and _should_chunk(scored):
+        num_chunks = 32
     if num_chunks:
         from poc_spark.plans.ntile import chunked_ntile
 

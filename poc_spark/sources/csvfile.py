@@ -10,7 +10,10 @@ CSV-specific hazards the options below pin down:
     `multiLine=true` on read;
   - headers: written and expected, so column order is self-describing;
   - nulls: empty-string vs NULL ambiguity fixed by an explicit
-    nullValue sentinel (default '' like Spark, pinned here).
+    sentinel pinned on BOTH sides — NULL rides as the unquoted token
+    `\\N` (NULL_TOKEN), empty string as quoted `""`; readers
+    (including DuckDB's: nullstr='\\N', allow_quoted_nulls=false)
+    must distinguish the two or a null column silently becomes ''.
 """
 
 from __future__ import annotations
@@ -21,14 +24,21 @@ from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
 
+# NULL sentinel: written unquoted, so quoted "" stays an empty STRING
+NULL_TOKEN = "\\N"
+
 
 def write_csv(df: DataFrame, path: str) -> None:
     """Directory of CSV part files, RFC-4180 quoting (doubled quotes),
-    header row per file — one file per task, never coalesce(1)."""
+    header row per file — one file per task, never coalesce(1). NULLs
+    write as the unquoted `\\N` sentinel, empty strings as quoted ""
+    (see module doc)."""
     (
         df.write.mode("overwrite")
         .option("header", True)
         .option("escape", '"')
+        .option("nullValue", NULL_TOKEN)
+        .option("emptyValue", '""')
         .csv(path)
     )
 
@@ -50,6 +60,8 @@ def read_csv(
         .option("header", True)
         .option("escape", '"')
         .option("multiLine", True)
+        .option("nullValue", NULL_TOKEN)
+        .option("emptyValue", "")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)

@@ -48,3 +48,37 @@ def test_csv_corrupt_rows_quarantine(spark, tmp_path_repo):
     quarantined = [r for r in rows if r[CORRUPT_COL] is not None]
     assert len(quarantined) == 1
     assert "not_a_number" in quarantined[0][CORRUPT_COL]
+
+
+def test_csv_null_vs_empty_string_distinct(spark, tmp_path_repo):
+    """NULL and '' must survive the round-trip as DIFFERENT values:
+    NULL rides as unquoted \\N, empty string as quoted "" (the default
+    readers of other engines collapse them — the module pins both
+    sides, and the src_csv_roundtrip oracle pins DuckDB's)."""
+    from pyspark.sql import types as T
+
+    rows = [(1, None), (2, ""), (3, "x")]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path_repo / "nulls")
+    write_csv(df, path)
+    back = {r["doc_id"]: r["text"] for r in
+            read_csv(spark, path, schema).collect()}
+    assert back == {1: None, 2: "", 3: "x"}
+
+    # DuckDB reads the same artifact with the pinned options and agrees
+    import duckdb
+
+    got = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM read_csv('{path}/*.csv', "
+            "header = true, nullstr = '\\N', allow_quoted_nulls = false, "
+            "columns = {'doc_id': 'BIGINT', 'text': 'VARCHAR'})"
+        ).fetchall()
+    )
+    assert got == {1: None, 2: "", 3: "x"}

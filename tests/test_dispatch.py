@@ -131,16 +131,23 @@ def test_partitioned_windows_never_dispatch(spark, events, forced):
 
 def test_perplexity_buckets_self_dispatches(spark, sf_dir):
     """Force-flag flips the CCNet bucketing onto the chunked ntile;
-    output must stay bit-equal to the global-window form either way."""
+    output must stay bit-equal to the global-window form either way —
+    AND the baseline must really take the global path (else this
+    compares chunked to chunked vacuously): the global plan carries an
+    ntile window, the chunked one a row_number window."""
     from poc_spark.operators.textstats import perplexity_buckets
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    glob = {(r["id"], r["bucket"]) for r in perplexity_buckets(docs).collect()}
+    base = perplexity_buckets(docs)
+    base_plan = base._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" in base_plan, base_plan  # global path at test scale
+    glob = {(r["id"], r["bucket"]) for r in base.collect()}
     spark.conf.set("spark.poc.chunkedWindow.force", "true")
     try:
-        forced = {
-            (r["id"], r["bucket"]) for r in perplexity_buckets(docs).collect()
-        }
+        forced_df = perplexity_buckets(docs)
+        forced_plan = forced_df._jdf.queryExecution().executedPlan().toString()
+        assert "ntile" not in forced_plan, forced_plan  # chunked path
+        forced = {(r["id"], r["bucket"]) for r in forced_df.collect()}
     finally:
         spark.conf.unset("spark.poc.chunkedWindow.force")
     assert forced == glob

@@ -83,7 +83,9 @@ def test_streaming_jsonl_ingest_equals_batch(spark, sf_dir, tmp_path_repo):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # assert the return value: on timeout the sink is still writing and
+    # the parquet read below would race it with a confusing diff
+    assert q.awaitTermination(300), "streaming ingest did not finish"
     landed = sorted(
         tuple(r) for r in spark.read.parquet(out).collect()
     )
