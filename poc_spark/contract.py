@@ -2573,6 +2573,139 @@ def src_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def hive_export_path(sf_dir: str) -> str:
+    return _export_path("hivedocs", sf_dir)
+
+
+def _hive_oracle(sf_base: str) -> str:
+    # DuckDB re-reads the SAME partitioned tree Spark wrote, deriving
+    # `lang` from the directory names (hive_partitioning = true) — a
+    # cross-engine check of the lake layout itself, not just the rows
+    root = os.path.join(_REPO_ROOT, ".tmp", "hivedocs", sf_base)
+    return f"""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM read_parquet('{root}/*/*.parquet', hive_partitioning = true)
+    WHERE lang IN ('en', 'de')
+    GROUP BY lang, source
+    """
+
+
+@register("sink_hive_partitioned", _hive_oracle("sf0.01"))
+def sink_hive_partitioned(spark, sf_dir):
+    """Hive-partitioned parquet lake layout — THE 100 TB scan-avoidance
+    lever: documents are written `partitionBy(lang)` (sources/lake.py,
+    directory level per value), then read back with a two-language
+    filter that resolves at file-LISTING time — `.explain` shows the
+    predicate under PartitionFilters and the scan enumerates only
+    `lang=en/` and `lang=de/`, never decoding the other 3/5 of the
+    corpus (tests/test_lake.py pins the pruned-plan shape). The oracle
+    re-reads the SAME directory tree with DuckDB's independent
+    `hive_partitioning` reader, so layout, directory naming, and
+    value round-trip are all cross-engine checked."""
+    from poc_spark.sources.lake import read_partitioned, write_partitioned
+
+    # always re-export (mode overwrite): an exists-skip would keep the
+    # check green against a STALE artifact after a writer change
+    path = hive_export_path(sf_dir)
+    write_partitioned(_t(spark, sf_dir, "documents"), path, ["lang"])
+    docs = read_partitioned(spark, path)
+    return (
+        docs.filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast(
+                    "long"
+                )
+            ).alias("content_sum"),
+        )
+    )
+
+
+def _compact_paths(sf_dir: str) -> tuple[str, str]:
+    return _export_path("frag", sf_dir), _export_path("compacted", sf_dir)
+
+
+def _compact_oracle(sf_base: str) -> str:
+    root = os.path.join(_REPO_ROOT, ".tmp", "compacted", sf_base)
+    return _roundtrip_oracle(f"read_parquet('{root}/*.parquet')")
+
+
+@register("lake_compact", _compact_oracle("sf0.01"))
+def lake_compact(spark, sf_dir):
+    """Small-files compaction, the standing 100 TB lake-maintenance
+    op: a deliberately fragmented copy of documents (64 KB-sized part
+    files — the shape a streaming ingest leaves behind) is rewritten
+    into ceil(bytes/target) uniform files sized from the source
+    LISTING alone (sources/lake.py compact — no data scan before the
+    single round-robin shuffle). The aggregate runs over the COMPACTED
+    tree and the oracle re-reads the same tree with DuckDB, so the
+    rewrite is value-lossless cross-engine; tests/test_lake.py pins
+    the file-count math (64 fragments → ceil(n/target) files) and
+    size uniformity."""
+    from poc_spark.sources.lake import compact
+
+    frag, compacted = _compact_paths(sf_dir)
+    # fragment: the many-small-files input shape (64 tiny parts)
+    _t(spark, sf_dir, "documents").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(frag)
+    compact(spark, frag, compacted, target_bytes=4 * 1024 * 1024)
+    docs = spark.read.parquet(compacted)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+        ).alias("content_sum"),
+    )
+
+
+def orc_export_path(sf_dir: str) -> str:
+    return _export_path("orc", sf_dir)
+
+
+# DuckDB has no ORC reader, so the oracle aggregates the ORIGINAL
+# documents view — a full value-level losslessness check of the ORC
+# write→read cycle (the CSV/JSONL twins cover cross-engine parsing of
+# the artifact itself). The `documents` view is pre-registered at
+# whatever scale the checker runs, so no per-sf re-rendering is needed.
+_ORC_ORACLE = _roundtrip_oracle("documents")
+
+
+@register("src_orc_roundtrip", _ORC_ORACLE)
+def src_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink round-trip, completing the native-format
+    coverage (parquet/JSONL/CSV/ORC): documents export as ORC part
+    files (sources/lake.py — stripe layout, parallel sink), read back
+    schema-first (no footer-merge inference pass), and aggregate with
+    the same order-insensitive content checksum as the other format
+    twins. The oracle aggregates the ORIGINAL parquet table, pinning
+    the ORC cycle lossless for every row, column, and byte of text —
+    any writer/reader corruption diverges the 40-bit md5 checksum."""
+    from poc_spark.sources.jsonl import DOCUMENTS_SCHEMA
+    from poc_spark.sources.lake import read_orc, write_orc
+
+    # always re-export (mode overwrite): an exists-skip would keep the
+    # check green against a STALE artifact after a writer change
+    path = orc_export_path(sf_dir)
+    write_orc(_t(spark, sf_dir, "documents"), path)
+    docs = read_orc(spark, path, DOCUMENTS_SCHEMA)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+        ).alias("content_sum"),
+    )
+
+
 def _ivf_oracle(sf_base: str) -> str:
     root = os.path.join(_REPO_ROOT, ".tmp", "ivf", sf_base)
     return f"""
@@ -4351,6 +4484,19 @@ _TAIL = [
     # over the same parsed props ---
     "mm_resize",
     "q_json_extract",
+    # --- r5 rotation (fourteenth batch): both r4-driver-green, demoted
+    # for sink_hive_partitioned + src_orc_roundtrip; the 5-gram
+    # broadcast-semi decontamination stays witnessed in-head by
+    # pipeline_training_prep (same broadcast semi/anti stages), the
+    # iterative min-degree peel by graph_components/graph_pagerank's
+    # in-head iterative loops ---
+    "text_decontaminate",
+    "graph_kcore",
+    # --- r5 rotation (fifteenth batch): r4-driver-green, demoted for
+    # lake_compact; the pigeonhole band-bucket join stays witnessed
+    # in-head by dedup_minhash_lsh and sim_ann_lsh (same
+    # candidate-by-bucket + exact-verify topology) ---
+    "dedup_simhash",
     # --- kept from earlier rounds: driver-green already (r01/r02), simple
     # capabilities evidenced by retained head rows ---
     "op_src_doc_scan",  # ordered scan+limit; evidenced by q3_top_revenue
@@ -4459,4 +4605,6 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["sim_ivf_join"] = _ivf_join_oracle(sf_base)
     out["src_jsonl_roundtrip"] = _jsonl_oracle(sf_base)
     out["src_csv_roundtrip"] = _csv_oracle(sf_base)
+    out["sink_hive_partitioned"] = _hive_oracle(sf_base)
+    out["lake_compact"] = _compact_oracle(sf_base)
     return out

@@ -1,0 +1,108 @@
+"""Data-lake layout sinks/sources: hive-partitioned parquet and ORC.
+
+At 100 TB the dominant cost of every downstream query is the scan, and
+the single biggest lever is NOT reading most of the data at all. Two
+layout tools live here:
+
+  - **Hive-partitioned parquet** (`partitionBy` directory layout,
+    `lang=en/part-*.parquet`): a filter on the partition column becomes
+    partition PRUNING — Spark enumerates only the matching directories,
+    so a two-language query over a five-language corpus touches 2/5 of
+    the files before a single row is decoded. This is the standard
+    lake layout every engine (Spark, DuckDB, Trino, Hive) agrees on,
+    which the contract entry exploits: DuckDB re-reads the SAME
+    directory tree with `hive_partitioning = true` as the oracle.
+    Partition columns must be low-cardinality (lang, date, source
+    bucket) — partitioning by a high-cardinality key creates millions
+    of tiny files and kills the NameNode/listing; that guidance is the
+    caller's contract, not enforced here.
+  - **ORC** round-trip: Spark's second native columnar format (stripe
+    layout, built-in bloom-filter support via `orc.bloom.filter.columns`
+    — handy when a sort-neutral point-lookup column needs skipping
+    structure). Reads are schema-first for the same reason as JSONL:
+    no inference pass over 100 TB. DuckDB has no ORC reader, so the
+    contract oracle checks losslessness against the ORIGINAL parquet
+    table rather than cross-engine parsing the artifact (the CSV/JSONL
+    twins cover cross-engine artifact parsing).
+
+Reference behavior parity: the reference's only persistence is NDJSON
+upload + MySQL/Mongo rows (backend/main.py:137-176); lake layouts are
+part of the 100 TB extension surface, same tier as sources/jsonl.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-layout parquet sink: one directory level per partition
+    column value. Parallel (no coalesce); `overwrite` replaces the
+    whole tree so re-runs can't leave orphan partitions from a
+    previous schema of the world."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a hive-partitioned tree. Partition columns come back typed
+    by directory-name inference (strings stay strings); filters on
+    them prune at file-listing time — `.explain` shows the pruned
+    `PartitionFilters`, and InMemoryFileIndex lists only matching
+    directories."""
+    return spark.read.parquet(path)
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction — the standing maintenance op of every
+    real lake: streaming/ingest jobs leave thousands of KB-sized part
+    files per table, and scan cost at 100 TB is dominated by per-file
+    open/footer/seek overhead (plus driver-side listing memory) long
+    before byte count. Rewrite the directory into
+    `ceil(total_bytes / target_bytes)` uniform files.
+
+    The output file count is sized from the SOURCE LISTING (file
+    status only — no data scan, no inference pass), then one
+    round-robin `repartition(n)` shuffle writes uniform-size parts.
+    Round-robin (not range/hash) is deliberate: compaction must not
+    skew file sizes when the data is skewed on any particular column.
+    Returns n. At cluster scale the same call runs per-partition-dir
+    (compact(part_dir) in a loop or via a driver-side job per
+    partition), keeping each rewrite independent and retryable."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(p)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n).write.mode("overwrite").parquet(dst_path)
+    return n
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (native writer, zlib default). Parallel part files,
+    overwrite semantics — same sink discipline as write_jsonl."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Schema-first ORC scan: explicit StructType skips footer-based
+    schema merging across part files (a listing+footer pass that grows
+    with file count) and pins the types the pipeline was tested with."""
+    return spark.read.schema(schema).orc(path)

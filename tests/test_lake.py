@@ -1,0 +1,148 @@
+"""Lake layouts: hive-partitioned parquet (pruning pinned in the
+physical plan) and ORC round-trip losslessness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from poc_spark.sources.jsonl import DOCUMENTS_SCHEMA
+from poc_spark.sources.lake import (
+    read_orc,
+    read_partitioned,
+    write_orc,
+    write_partitioned,
+)
+
+
+def test_partitioned_roundtrip_lossless(spark, sf_dir, tmp_path_repo):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path_repo / "hive")
+    write_partitioned(docs, path, ["lang"])
+    back = read_partitioned(spark, path)
+    # partition col comes back last; reorder by name before comparing
+    cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+    a = sorted(docs.select(*cols).collect(), key=lambda r: r["doc_id"])
+    b = sorted(back.select(*cols).collect(), key=lambda r: r["doc_id"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_partition_filter_prunes_at_listing(spark, sf_dir, tmp_path_repo):
+    """The lang filter must land in PartitionFilters (resolved at file
+    listing), NOT PushedFilters (row-group skipping after the file is
+    already opened) — the difference between reading 2/5 and 5/5 of a
+    100 TB corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path_repo / "hive")
+    write_partitioned(docs, path, ["lang"])
+    pruned = read_partitioned(spark, path).filter(
+        F.col("lang").isin("en", "de")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    part_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "lang" in part_line
+    # and the pruned scan must agree with the unpruned truth
+    expect = docs.filter(F.col("lang").isin("en", "de")).count()
+    assert pruned.count() == expect
+
+
+def test_partitioned_overwrite_removes_stale_partitions(
+    spark, tmp_path_repo
+):
+    """Static overwrite replaces the TREE: a value present in run 1 but
+    absent in run 2 must not survive as an orphan directory."""
+    path = str(tmp_path_repo / "hive")
+    df1 = spark.createDataFrame(
+        [(1, "a", "en", "s", 1), (2, "b", "xx", "s", 1)], DOCUMENTS_SCHEMA
+    )
+    write_partitioned(df1, path, ["lang"])
+    df2 = spark.createDataFrame([(3, "c", "en", "s", 1)], DOCUMENTS_SCHEMA)
+    write_partitioned(df2, path, ["lang"])
+    langs = {r["lang"] for r in read_partitioned(spark, path).collect()}
+    assert langs == {"en"}
+
+
+def test_compact_file_count_and_content(spark, sf_dir, tmp_path_repo):
+    """64 tiny fragments → ceil(total/target) files, content-lossless."""
+    import math
+
+    from poc_spark.sources.lake import compact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frag = str(tmp_path_repo / "frag")
+    out = str(tmp_path_repo / "compacted")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = len(list((tmp_path_repo / "frag").glob("*.parquet")))
+    assert n_frag == 64
+
+    total = sum(
+        p.stat().st_size for p in (tmp_path_repo / "frag").glob("*.parquet")
+    )
+    target = 256 * 1024
+    n = compact(spark, frag, out, target_bytes=target)
+    assert n == max(1, math.ceil(total / target))
+    files = list((tmp_path_repo / "compacted").glob("*.parquet"))
+    assert len(files) == n
+
+    a = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    b = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r["doc_id"]
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_compact_round_robin_uniform_rows(spark, sf_dir, tmp_path_repo):
+    """Round-robin repartition must spread rows evenly across output
+    files even when the data is skewed on every column — no file may
+    hold more than ~2x its fair share."""
+    from poc_spark.sources.lake import compact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frag = str(tmp_path_repo / "frag")
+    out = str(tmp_path_repo / "compacted")
+    docs.repartition(16).write.mode("overwrite").parquet(frag)
+    total_bytes = sum(
+        p.stat().st_size for p in (tmp_path_repo / "frag").glob("*.parquet")
+    )
+    n = compact(
+        spark, frag, out, target_bytes=max(1, total_bytes // 4)
+    )
+    if n < 2:  # corpus too small to split at this sf; count check only
+        return
+    import collections
+
+    import pyspark.sql.functions as SF
+
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(SF.input_file_name())
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in per_file]
+    assert len(counts) == n
+    fair = sum(counts) / n
+    assert max(counts) <= 2 * fair
+
+
+def test_orc_roundtrip_lossless(spark, sf_dir, tmp_path_repo):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path_repo / "orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path, DOCUMENTS_SCHEMA)
+    a = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    b = sorted(back.collect(), key=lambda r: r["doc_id"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_orc_preserves_unicode_and_nulls(spark, tmp_path_repo):
+    rows = [(1, "שלום 🦆\nline2", "he", None, None), (2, None, "en", "s", 0)]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    path = str(tmp_path_repo / "orc")
+    write_orc(df, path)
+    back = sorted(
+        read_orc(spark, path, DOCUMENTS_SCHEMA).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in back] == rows
