@@ -2667,6 +2667,60 @@ def lake_compact(spark, sf_dir):
     )
 
 
+def clustered_export_path(sf_dir: str) -> str:
+    return _export_path("clustered", sf_dir)
+
+
+def _clustered_oracle(sf_base: str) -> str:
+    root = os.path.join(_REPO_ROOT, ".tmp", "clustered", sf_base)
+    return f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM read_parquet('{root}/*.parquet')
+    WHERE n_chars BETWEEN 200 AND 400
+    GROUP BY source
+    """
+
+
+@register("sink_clustered_parquet", _clustered_oracle("sf0.01"))
+def sink_clustered_parquet(spark, sf_dir):
+    """Range-clustered parquet layout — file/row-group skipping on a
+    column too high-cardinality to be a directory key: documents are
+    written `repartitionByRange(n_chars) + sortWithinPartitions`
+    (sources/lake.py write_clustered — disjoint per-file value ranges,
+    tight row-group min/max), then a selective range predicate runs
+    over the read-back. The filter lands in PushedFilters with tight
+    footer stats, so non-matching files are skipped on metadata alone
+    (tests/test_lake.py pins the disjoint-range layout and the pushed
+    filter). The oracle re-reads the SAME files with DuckDB under the
+    same predicate — layout and values cross-engine checked."""
+    from poc_spark.sources.lake import write_clustered
+
+    # always re-export (mode overwrite): an exists-skip would keep the
+    # check green against a STALE artifact after a writer change
+    path = clustered_export_path(sf_dir)
+    write_clustered(
+        _t(spark, sf_dir, "documents"), path, "n_chars", n_files=8
+    )
+    docs = spark.read.parquet(path)
+    return (
+        docs.filter(F.col("n_chars").between(200, 400))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast(
+                    "long"
+                )
+            ).alias("content_sum"),
+        )
+    )
+
+
 def orc_export_path(sf_dir: str) -> str:
     return _export_path("orc", sf_dir)
 
@@ -4497,6 +4551,11 @@ _TAIL = [
     # in-head by dedup_minhash_lsh and sim_ann_lsh (same
     # candidate-by-bucket + exact-verify topology) ---
     "dedup_simhash",
+    # --- r5 rotation (sixteenth batch): r4-driver-green, demoted for
+    # sink_clustered_parquet; the bounded-slice GEMM verify stays
+    # witnessed in-head by sim_knn_join's tiled block-grid kernel and
+    # sim_ann_join's verify stage (same dot-product core) ---
+    "dedup_embedding_cosine",
     # --- kept from earlier rounds: driver-green already (r01/r02), simple
     # capabilities evidenced by retained head rows ---
     "op_src_doc_scan",  # ordered scan+limit; evidenced by q3_top_revenue
@@ -4607,4 +4666,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["src_csv_roundtrip"] = _csv_oracle(sf_base)
     out["sink_hive_partitioned"] = _hive_oracle(sf_base)
     out["lake_compact"] = _compact_oracle(sf_base)
+    out["sink_clustered_parquet"] = _clustered_oracle(sf_base)
     return out

@@ -93,6 +93,29 @@ def compact(
     return n
 
 
+def write_clustered(
+    df: DataFrame, path: str, cluster_col: str, n_files: int | None = None
+) -> None:
+    """Range-clustered parquet: `repartitionByRange` gives each output
+    file a DISJOINT value range of `cluster_col` (sampled boundaries,
+    deterministic key→partition), and `sortWithinPartitions` makes
+    every row group's min/max stats tight within the file. A range or
+    point predicate on the cluster column then skips whole files and
+    row groups on footer stats alone — the sort-layout complement to
+    hive partitioning, and the right tool when the filter column is
+    too high-cardinality to be a directory key (ids, timestamps,
+    sizes). The single-column form of Z-order clustering (multi-column
+    interleave lives in q_zorder_cells)."""
+    part = (
+        df.repartitionByRange(n_files, cluster_col)
+        if n_files
+        else df.repartitionByRange(cluster_col)
+    )
+    part.sortWithinPartitions(cluster_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def write_orc(df: DataFrame, path: str) -> None:
     """ORC sink (native writer, zlib default). Parallel part files,
     overwrite semantics — same sink discipline as write_jsonl."""

@@ -126,6 +126,51 @@ def test_compact_round_robin_uniform_rows(spark, sf_dir, tmp_path_repo):
     assert max(counts) <= 2 * fair
 
 
+def test_clustered_files_have_disjoint_ranges(spark, sf_dir, tmp_path_repo):
+    """repartitionByRange must give each output file a disjoint
+    n_chars interval — the property file-level skipping rests on."""
+    from poc_spark.sources.lake import write_clustered
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path_repo / "clustered")
+    write_clustered(docs, path, "n_chars", n_files=4)
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+    # and content survives the clustered rewrite
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert (
+        back.agg(F.sum("n_chars")).first()[0]
+        == docs.agg(F.sum("n_chars")).first()[0]
+    )
+
+
+def test_clustered_range_filter_is_pushed(spark, sf_dir, tmp_path_repo):
+    from poc_spark.sources.lake import write_clustered
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path_repo / "clustered")
+    write_clustered(docs, path, "n_chars", n_files=4)
+    q = spark.read.parquet(path).filter(
+        F.col("n_chars").between(200, 400)
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pushed = next(
+        line for line in plan.splitlines() if "PushedFilters" in line
+    )
+    assert "GreaterThanOrEqual(n_chars" in pushed
+    assert "LessThanOrEqual(n_chars" in pushed
+    expect = docs.filter(F.col("n_chars").between(200, 400)).count()
+    assert q.count() == expect
+
+
 def test_orc_roundtrip_lossless(spark, sf_dir, tmp_path_repo):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     path = str(tmp_path_repo / "orc")
