@@ -2721,6 +2721,64 @@ def sink_clustered_parquet(spark, sf_dir):
     )
 
 
+def evolved_export_path(sf_dir: str) -> str:
+    return _export_path("evolved", sf_dir)
+
+
+def _evolved_oracle(sf_base: str) -> str:
+    root = os.path.join(_REPO_ROOT, ".tmp", "evolved", sf_base)
+    return f"""
+    SELECT source,
+           count(*) AS n_docs,
+           count(quality) AS n_scored,
+           sum(coalesce(quality, 0)) AS sum_quality,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM read_parquet('{root}/*.parquet', union_by_name = true)
+    GROUP BY source
+    """
+
+
+@register("src_schema_evolution", _evolved_oracle("sf0.01"))
+def src_schema_evolution(spark, sf_dir):
+    """Schema evolution over an accreting corpus directory — the
+    decade-scale reality of a 100 TB lake: batch 1 (even doc_ids)
+    lands with the original five columns, batch 2 (odd doc_ids) adds
+    a `quality` score column, and NO history is rewritten. The
+    mergeSchema read (sources/lake.py read_evolved) unions the footer
+    schemas, surfacing NULL quality for pre-evolution rows; the
+    aggregate counts scored rows and folds quality with a NULL-safe
+    coalesce. The oracle re-reads the SAME mixed-schema files with
+    DuckDB's independent `union_by_name` reader, so column alignment
+    across heterogeneous footers is cross-engine checked."""
+    from poc_spark.sources.lake import read_evolved
+
+    path = evolved_export_path(sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    # always re-export (mode overwrite then append): an exists-skip
+    # would keep the check green against a STALE artifact
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode(
+        "overwrite"
+    ).parquet(path)
+    # /1024.0: dyadic-exact doubles, so per-group sums are bit-identical
+    # across engines regardless of accumulation order (no rounding
+    # fences needed — see the duckdb-oracle-equality float rules)
+    docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", F.col("n_chars") / F.lit(1024.0)
+    ).write.mode("append").parquet(path)
+    evolved = read_evolved(spark, path)
+    return evolved.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("quality").alias("n_scored"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(0.0))).alias(
+            "sum_quality"
+        ),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+        ).alias("content_sum"),
+    )
+
+
 def orc_export_path(sf_dir: str) -> str:
     return _export_path("orc", sf_dir)
 
@@ -4556,6 +4614,11 @@ _TAIL = [
     # witnessed in-head by sim_knn_join's tiled block-grid kernel and
     # sim_ann_join's verify stage (same dot-product core) ---
     "dedup_embedding_cosine",
+    # --- r5 rotation (seventeenth batch): r4-driver-green, demoted
+    # for src_schema_evolution; the duplicated-substring-span signal
+    # stays witnessed in-head by dedup_ngram_jaccard and
+    # dedup_containment (same shingle explode + gram-hash machinery) ---
+    "dedup_ngram_spans",
     # --- kept from earlier rounds: driver-green already (r01/r02), simple
     # capabilities evidenced by retained head rows ---
     "op_src_doc_scan",  # ordered scan+limit; evidenced by q3_top_revenue
@@ -4667,4 +4730,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["sink_hive_partitioned"] = _hive_oracle(sf_base)
     out["lake_compact"] = _compact_oracle(sf_base)
     out["sink_clustered_parquet"] = _clustered_oracle(sf_base)
+    out["src_schema_evolution"] = _evolved_oracle(sf_base)
     return out

@@ -116,6 +116,18 @@ def write_clustered(
     ).parquet(path)
 
 
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: a long-lived corpus directory accretes
+    batches over years, and later batches add columns (a new quality
+    score, a new provenance field). `mergeSchema` unions the footer
+    schemas across part files — rows from older files surface NULL for
+    columns they predate, no rewrite of petabytes of history required.
+    Costs a footer read per file at planning time (not a data scan);
+    for hot paths, pin the merged schema explicitly once known. The
+    cross-engine twin is DuckDB's `union_by_name = true`."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def write_orc(df: DataFrame, path: str) -> None:
     """ORC sink (native writer, zlib default). Parallel part files,
     overwrite semantics — same sink discipline as write_jsonl."""

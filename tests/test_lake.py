@@ -171,6 +171,40 @@ def test_clustered_range_filter_is_pushed(spark, sf_dir, tmp_path_repo):
     assert q.count() == expect
 
 
+def test_schema_evolution_merge(spark, tmp_path_repo):
+    """Later batches add a column; mergeSchema surfaces NULL for rows
+    that predate it, and old rows keep their values untouched."""
+    from pyspark.sql import types as T
+
+    from poc_spark.sources.lake import read_evolved
+
+    path = str(tmp_path_repo / "evolved")
+    old = spark.createDataFrame(
+        [(1, "a", "en", "s", 1)], DOCUMENTS_SCHEMA
+    )
+    old.write.mode("overwrite").parquet(path)
+    new_schema = T.StructType(
+        DOCUMENTS_SCHEMA.fields
+        + [T.StructField("quality", T.DoubleType())]
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "en", "s", 1, 0.5)], new_schema
+    )
+    new.write.mode("append").parquet(path)
+
+    rows = {
+        r["doc_id"]: r
+        for r in read_evolved(spark, path).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1]["quality"] is None
+    assert rows[2]["quality"] == 0.5
+    assert rows[1]["text"] == "a" and rows[2]["text"] == "b"
+    # a plain (non-merge) read of the same dir may pick either footer;
+    # the merged read must expose the UNION schema deterministically
+    assert "quality" in read_evolved(spark, path).columns
+
+
 def test_orc_roundtrip_lossless(spark, sf_dir, tmp_path_repo):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     path = str(tmp_path_repo / "orc")
