@@ -2484,6 +2484,25 @@ def _roundtrip_oracle(reader_clause: str) -> str:
     """
 
 
+def _content_sum_expr():
+    """The Spark twin of _roundtrip_oracle's checksum column: 40-bit
+    md5 slice summed as long (overflow-safe per the md5-60 rule).
+    One definition so a width change can't diverge per entry."""
+    return F.sum(
+        F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
+    ).alias("content_sum")
+
+
+def _content_agg(df, *group_cols: str):
+    """Spark side of _roundtrip_oracle: order-insensitive per-group
+    content checksum over (n_docs, sum_chars, content_sum)."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        _content_sum_expr(),
+    )
+
+
 def jsonl_export_path(sf_dir: str) -> str:
     return _export_path("jsonl", sf_dir)
 
@@ -2531,13 +2550,7 @@ def src_csv_roundtrip(spark, sf_dir):
     path = csv_export_path(sf_dir)
     write_csv(_t(spark, sf_dir, "documents"), path)
     docs = read_csv(spark, path, DOCUMENTS_SCHEMA)
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.sum(
-            F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
-        ).alias("content_sum"),
-    )
+    return _content_agg(docs, "source")
 
 
 @register("src_jsonl_roundtrip", _jsonl_oracle("sf0.01"))
@@ -2564,13 +2577,7 @@ def src_jsonl_roundtrip(spark, sf_dir):
     path = jsonl_export_path(sf_dir)
     write_jsonl(_t(spark, sf_dir, "documents"), path)
     docs = read_jsonl(spark, path, DOCUMENTS_SCHEMA)
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.sum(
-            F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
-        ).alias("content_sum"),
-    )
+    return _content_agg(docs, "source")
 
 
 def hive_export_path(sf_dir: str) -> str:
@@ -2613,18 +2620,8 @@ def sink_hive_partitioned(spark, sf_dir):
     path = hive_export_path(sf_dir)
     write_partitioned(_t(spark, sf_dir, "documents"), path, ["lang"])
     docs = read_partitioned(spark, path)
-    return (
-        docs.filter(F.col("lang").isin("en", "de"))
-        .groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-            F.sum(
-                F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast(
-                    "long"
-                )
-            ).alias("content_sum"),
-        )
+    return _content_agg(
+        docs.filter(F.col("lang").isin("en", "de")), "lang", "source"
     )
 
 
@@ -2658,13 +2655,7 @@ def lake_compact(spark, sf_dir):
     ).parquet(frag)
     compact(spark, frag, compacted, target_bytes=4 * 1024 * 1024)
     docs = spark.read.parquet(compacted)
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.sum(
-            F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
-        ).alias("content_sum"),
-    )
+    return _content_agg(docs, "source")
 
 
 def clustered_export_path(sf_dir: str) -> str:
@@ -2706,18 +2697,8 @@ def sink_clustered_parquet(spark, sf_dir):
         _t(spark, sf_dir, "documents"), path, "n_chars", n_files=8
     )
     docs = spark.read.parquet(path)
-    return (
-        docs.filter(F.col("n_chars").between(200, 400))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-            F.sum(
-                F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast(
-                    "long"
-                )
-            ).alias("content_sum"),
-        )
+    return _content_agg(
+        docs.filter(F.col("n_chars").between(200, 400)), "source"
     )
 
 
@@ -2773,9 +2754,7 @@ def src_schema_evolution(spark, sf_dir):
         F.sum(F.coalesce(F.col("quality"), F.lit(0.0))).alias(
             "sum_quality"
         ),
-        F.sum(
-            F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
-        ).alias("content_sum"),
+        _content_sum_expr(),
     )
 
 
@@ -2809,13 +2788,7 @@ def src_orc_roundtrip(spark, sf_dir):
     path = orc_export_path(sf_dir)
     write_orc(_t(spark, sf_dir, "documents"), path)
     docs = read_orc(spark, path, DOCUMENTS_SCHEMA)
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.sum(
-            F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("long")
-        ).alias("content_sum"),
-    )
+    return _content_agg(docs, "source")
 
 
 def _ivf_oracle(sf_base: str) -> str:

@@ -87,6 +87,15 @@ def compact(
         for f in fs.listStatus(p)
         if f.getPath().getName().endswith(".parquet")
     )
+    if total == 0:
+        # fail fast rather than silently rewrite an unexpectedly-shaped
+        # source (e.g. a hive-partitioned tree, whose files sit one
+        # level down) into a single mis-sized file — compact each
+        # partition directory instead
+        raise ValueError(
+            f"compact: no .parquet files directly under {src_path}; "
+            "for partitioned trees, compact per partition directory"
+        )
     n = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(src_path)
     df.repartition(n).write.mode("overwrite").parquet(dst_path)
@@ -106,9 +115,14 @@ def write_clustered(
     too high-cardinality to be a directory key (ids, timestamps,
     sizes). The single-column form of Z-order clustering (multi-column
     interleave lives in q_zorder_cells)."""
+    if n_files is not None and n_files < 1:
+        # a falsy 0 must not silently fall back to the default
+        # shuffle-partition count — that produces hundreds of tiny
+        # files, the exact anti-pattern compact() exists to fix
+        raise ValueError(f"write_clustered: n_files must be >= 1, got {n_files}")
     part = (
         df.repartitionByRange(n_files, cluster_col)
-        if n_files
+        if n_files is not None
         else df.repartitionByRange(cluster_col)
     )
     part.sortWithinPartitions(cluster_col).write.mode(
