@@ -210,6 +210,66 @@ def test_schema_evolution_merge(spark, tmp_path_repo):
     assert "quality" in read_evolved(spark, path).columns
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    values=st.lists(
+        # tiny value domain → heavy duplication, the adversarial case
+        # for range layout (equal keys must never split across files)
+        st.integers(min_value=0, max_value=9),
+        min_size=1,
+        max_size=200,
+    ),
+    n_files=st.integers(min_value=1, max_value=6),
+)
+def test_clustered_disjointness_property(spark, values, n_files):
+    """Property: for ANY value multiset and file count, the clustered
+    layout keeps per-file n_chars ranges strictly disjoint and loses
+    no rows. Duplicate-heavy domains are the stress case — a range
+    partitioner that ever split an equal-key run would fail here."""
+    import pathlib
+    import shutil
+    import uuid
+
+    from poc_spark.sources.lake import write_clustered
+
+    rows = [(i, "x", "en", "s", v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    base = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / ".tmp"
+        / "pytest"
+        / f"hypo_{uuid.uuid4().hex[:12]}"
+    )
+    try:
+        write_clustered(df, str(base), "n_chars", n_files=n_files)
+        back = spark.read.parquet(str(base))
+        got = sorted(r["n_chars"] for r in back.collect())
+        assert got == sorted(values)
+        per_file = (
+            back.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+            )
+            .collect()
+        )
+        spans = sorted((r["lo"], r["hi"]) for r in per_file)
+        for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+            assert hi_prev < lo_next
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_orc_roundtrip_lossless(spark, sf_dir, tmp_path_repo):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     path = str(tmp_path_repo / "orc")
