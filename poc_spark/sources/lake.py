@@ -102,6 +102,43 @@ def compact(
     return n
 
 
+def compact_partitioned(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Per-partition compaction of a hive tree: each `key=value`
+    directory is compacted independently into its twin under
+    `dst_root`, preserving the partition layout. Independent rewrites
+    are the point at scale — each partition job is retryable on its
+    own, a failed partition doesn't invalidate the others, and the
+    driver loop parallelizes trivially (at 100 TB, submit the per-dir
+    jobs through a thread pool; Spark's scheduler interleaves them).
+    Returns {partition_dir_name: n_output_files}."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_root)
+    fs = p.getFileSystem(conf)
+    out: dict[str, int] = {}
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and "=" in name):
+            continue
+        out[name] = compact(
+            spark,
+            f"{src_root}/{name}",
+            f"{dst_root}/{name}",
+            target_bytes=target_bytes,
+        )
+    if not out:
+        raise ValueError(
+            f"compact_partitioned: no key=value partition directories "
+            f"under {src_root}"
+        )
+    return out
+
+
 def write_clustered(
     df: DataFrame, path: str, cluster_col: str, n_files: int | None = None
 ) -> None:

@@ -128,6 +128,36 @@ def test_compact_round_robin_uniform_rows(spark, sf_dir, tmp_path_repo):
     assert max(counts) <= 2 * fair
 
 
+def test_compact_partitioned_tree(spark, sf_dir, tmp_path_repo):
+    """Hive-tree compaction preserves the partition layout and the
+    data; the flat compact() refuses the tree outright."""
+    import pytest as pt
+
+    from poc_spark.sources.lake import compact, compact_partitioned
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path_repo / "hive_frag")
+    dst = str(tmp_path_repo / "hive_compacted")
+    docs.repartition(8).write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(src)
+
+    with pt.raises(ValueError, match="per partition"):
+        compact(spark, src, dst)
+
+    per_part = compact_partitioned(spark, src, dst)
+    assert set(per_part) == {
+        f"lang={r['lang']}" for r in docs.select("lang").distinct().collect()
+    }
+    back = spark.read.option("basePath", dst).parquet(
+        *[f"{dst}/{p}" for p in per_part]
+    )
+    cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+    a = sorted(docs.select(*cols).collect(), key=lambda r: r["doc_id"])
+    b = sorted(back.select(*cols).collect(), key=lambda r: r["doc_id"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_clustered_files_have_disjoint_ranges(spark, sf_dir, tmp_path_repo):
     """repartitionByRange must give each output file a disjoint
     n_chars interval — the property file-level skipping rests on."""
