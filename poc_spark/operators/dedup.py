@@ -911,10 +911,13 @@ def minhash_lsh_pairs(
     # lineage per pointer-jumping round, and without this barrier the
     # full bench measured clusters 5.3 s -> 9.3 s and the pipeline
     # 5.7 s -> 10.4 s. Historical note: r2's apparent 1.37 s for this
-    # operator was FLATTERED by a cache leak — .cache() without
-    # unpersist let bench run 2 reuse run 1's cached shingles via
-    # CacheManager plan matching; the honest steady-state floor for
-    # this plan at sf0.1 is ~2.3 s.
+    # operator is not reproducible by any measured variant — even
+    # forcing full CacheManager reuse of the shingle table (the r2-era
+    # .cache() leak shape) only recovers the shingle-scan slice; the
+    # rest of the delta is cross-container compute spread. Full
+    # stage-level attribution, alternative-plan timings, and the leak
+    # reproduction live in MINHASH_PROFILE.json
+    # (tools/profile_minhash.py); honest floor at sf0.1 is ~2.0-2.5 s.
     sigs = minhash_signatures(
         df, num_hashes, shingle_n, text_col, id_col, shingles_df=shing
     ).localCheckpoint(eager=False)
