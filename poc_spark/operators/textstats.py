@@ -513,3 +513,158 @@ def hashed_linear_score(
         F.col("n_toks").cast("long").alias("n_toks"),
         F.round(total / F.col("n_toks").cast("double"), 6).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real merge-table BPE (GPT-2 merges.txt format: ordered (left, right)
+# pairs; rank = list position). The reference's text path has no
+# tokenizer; this is north-star extension surface — the one text
+# primitive a training-data pipeline applies to every byte it ships.
+# ---------------------------------------------------------------------------
+
+# A small deterministic merge table in the public merges.txt SHAPE
+# (ordered pairs over an initial character alphabet, later merges may
+# reference earlier merge outputs, e.g. t+h -> th, th+e -> the). Small
+# and literal so the identical table embeds in the DuckDB oracle; a
+# production run loads the real 50k-row GPT-2 merges file into the same
+# structure — nothing below depends on the table's size.
+DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "u"), ("i", "t"),
+    ("i", "s"), ("a", "l"), ("a", "r"), ("s", "t"), ("l", "e"),
+    ("o", "m"), ("c", "h"), ("q", "u"), ("qu", "e"),
+)
+
+# slice() length for "rest of the array": must stay well under int32
+# max — slice(arr, 2, 2147483647) silently overflows start+length and
+# returns nulls (measured), so "unbounded" is spelled 1<<20 here (no
+# word has a million symbols).
+_REST = 1 << 20
+
+
+def _bpe_min_rank(merge_keys: Column) -> Column:
+    """Rank (1-based position in the merge table) of the best mergeable
+    adjacent pair in the space-joined segmentation `s`, NULL if no pair
+    is mergeable — the BPE loop condition, shared by the step and the
+    convergence test."""
+    syms = F.split(F.col("s"), " ")
+    pair_keys = F.zip_with(
+        syms,
+        F.slice(syms, 2, _REST),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    present = F.filter(
+        F.transform(pair_keys, lambda k: F.array_position(merge_keys, k)),
+        lambda r: r > 0,
+    )
+    return F.array_min(present)
+
+
+def bpe_segment_vocab(
+    vocab: DataFrame,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
+    word_col: str = "word",
+    max_iterations: int = 64,
+) -> DataFrame:
+    """(word, s) — exact merge-table BPE segmentation of each DISTINCT
+    word; `s` is the token sequence joined by single spaces.
+
+    Semantics (GPT-2 apply loop): repeatedly pick the PRESENT adjacent
+    pair with the lowest merge rank and merge all its non-overlapping
+    occurrences left-to-right, until no adjacent pair is in the table.
+    The left-to-right pass is a string fold: append the next symbol
+    with a space normally, without one when it completes the chosen
+    pair at the boundary — so the accumulated string IS the state, and
+    the identical fold runs in DuckDB's list_reduce for the oracle
+    (tests/test_textstats.py pins hand-computed tokenizations).
+
+    Plan shape (the 100 TB story): this runs on the DISTINCT-WORD
+    table, never the corpus — Zipf makes the vocabulary executor-small
+    no matter how big the scan is, and `bpe_apply` maps it back over
+    the corpus with one broadcast join. Each iteration is a NARROW
+    projection (split / zip_with / fold — no shuffle, no Python);
+    the only per-iteration actions are the lazy checkpoint and an
+    O(|vocab|) convergence count, and iterations are bounded by the
+    longest word's merge count, not corpus size.
+    """
+    merge_keys = F.array(*[F.lit(f"{left} {right}") for left, right in merges])
+    state = vocab.select(
+        F.col(word_col).alias("word"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.split(F.col(word_col), ""), lambda c: F.length(c) > 0
+            ),
+        ).alias("s"),
+    )
+    for _ in range(max_iterations):
+        syms = F.split(F.col("s"), " ")
+        minr = _bpe_min_rank(merge_keys)
+        best = F.element_at(merge_keys, minr.cast("int"))
+        left = F.element_at(F.split(best, " "), 1)
+        right = F.element_at(F.split(best, " "), 2)
+        merged = F.aggregate(
+            F.slice(syms, 2, _REST),
+            F.element_at(syms, 1),
+            lambda acc, x: F.when(
+                (x == right)
+                & (
+                    (acc == left)
+                    | acc.endswith(F.concat(F.lit(" "), left))
+                ),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        state = state.select(
+            "word",
+            F.when(minr.isNull(), F.col("s")).otherwise(merged).alias("s"),
+        ).localCheckpoint(eager=False)
+        if state.filter(_bpe_min_rank(merge_keys).isNotNull()).count() == 0:
+            break
+    return state
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens, bpe_text) — apply merge-table
+    BPE to every document: `bpe_text` is the document re-joined from
+    its per-word token sequences (order-preserving), `n_bpe_tokens` the
+    resulting token count.
+
+    Vocabulary-factored: segment DISTINCT words once
+    (bpe_segment_vocab), broadcast-join the small (word -> s) map back
+    onto the exploded corpus, and reassemble per document with an
+    ordered fold over (position, tokens) structs. The corpus-side plan
+    is explode -> broadcast join -> one hash aggregate: linear, no
+    per-row Python, vocabulary work amortized across every occurrence."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    seg = bpe_segment_vocab(words.select("word").distinct(), merges)
+    seg = seg.select(
+        "word",
+        "s",
+        F.size(F.split(F.col("s"), " ")).cast("long").alias("n_toks"),
+    )
+    per = (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
+                ),
+            ).alias("bpe_text"),
+        )
+    )
+    return per.select("doc_id", "n_words", "n_bpe_tokens", "bpe_text")

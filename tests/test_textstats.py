@@ -278,3 +278,41 @@ def test_perplexity_buckets_terciles(spark, sf_dir):
     assert sorted((r["id"], r["bucket"]) for r in out) == sorted(
         (r["id"], r["bucket"]) for r in again
     )
+
+
+def test_bpe_segment_vocab_hand_computed(spark):
+    """Pin exact GPT-2-style apply semantics against hand-derived
+    tokenizations under DEFAULT_BPE_MERGES (rank order matters: e.g. in
+    'question' the rank-8 'o n' merges before the rank-23 'q u', and
+    'qu e' never merges because 'qu es' isn't a rule)."""
+    from poc_spark.operators.textstats import bpe_segment_vocab
+
+    expected = {
+        "the": "the",          # t+h -> th, th+e -> the (cascade)
+        "thing": "th ing",     # t+h, i+n, in+g
+        "standing": "st and ing",
+        "question": "qu es t i on",
+        "banana": "b an an a",  # left-to-right non-overlapping a+n
+        "thethe": "the the",
+        "a": "a",               # single char: no pairs
+        "xyz": "x y z",         # nothing mergeable
+    }
+    vocab = spark.createDataFrame([(w,) for w in expected], "word string")
+    got = {r["word"]: r["s"] for r in bpe_segment_vocab(vocab).collect()}
+    assert got == expected
+
+
+def test_bpe_apply_doc_roundtrip(spark):
+    """bpe_text preserves word order and n_bpe_tokens counts it; words
+    repeat through the vocabulary broadcast without re-segmentation."""
+    from poc_spark.operators.textstats import bpe_apply
+
+    df = spark.createDataFrame(
+        [(1, "the thing standing"), (2, "question the question")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bpe_apply(df).collect()}
+    assert got[1]["bpe_text"] == "the th ing st and ing"
+    assert got[1]["n_words"] == 3 and got[1]["n_bpe_tokens"] == 6
+    assert got[2]["bpe_text"] == "qu es t i on the qu es t i on"
+    assert got[2]["n_words"] == 3 and got[2]["n_bpe_tokens"] == 11
