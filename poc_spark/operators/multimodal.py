@@ -314,12 +314,18 @@ def synthesize_wav_media(
     makes the downstream parse+energy kernel oracle-able end-to-end."""
     did = F.col(id_col)
     n_samples = (F.lit(800) + did % 400).cast("int")
+    # RIFF word alignment: an odd-sized chunk carries a 00 pad byte
+    # (not counted in the chunk's size field, counted in the RIFF
+    # size) — n_samples is odd for ~half the ids, so the container is
+    # strictly spec-valid, not just tolerated-because-data-is-last
+    # (r5 ADVICE)
+    pad = (n_samples % 2).cast("int")
     sample_hex = F.substr(
         F.repeat(F.md5(F.col(text_col)), 75), F.lit(1), n_samples * 2
     )
     hdr = F.concat(
         F.lit("52494646"),                    # 'RIFF'
-        _le_hex(n_samples + 36, 4),           # riff payload size
+        _le_hex(n_samples + pad + 36, 4),     # riff payload size (incl pad)
         F.lit("57415645"),                    # 'WAVE'
         F.lit("666D7420"),                    # 'fmt '
         F.lit("10000000"),                    # fmt chunk size = 16
@@ -330,11 +336,17 @@ def synthesize_wav_media(
         F.lit("0100"),                        # block align
         F.lit("0800"),                        # bits per sample
         F.lit("64617461"),                    # 'data'
-        _le_hex(n_samples, 4),                # data chunk size
+        _le_hex(n_samples, 4),                # data chunk size (excl pad)
     )
     return df.select(
         did.alias("media_id"),
-        F.unhex(F.concat(hdr, sample_hex)).alias("payload"),
+        F.unhex(
+            F.concat(
+                hdr,
+                sample_hex,
+                F.when(pad == 1, F.lit("00")).otherwise(F.lit("")),
+            )
+        ).alias("payload"),
     )
 
 

@@ -48,10 +48,20 @@ def read_csv(
     path: str,
     schema: T.StructType,
     keep_corrupt: bool = False,
+    multi_line: bool = True,
 ) -> DataFrame:
     """Schema-first CSV scan: PERMISSIVE + quarantine column, RFC-4180
-    quoting, multiLine for quoted embedded newlines. Same quarantine
-    caveat as the JSONL reader (QUERY_ONLY_CORRUPT_RECORD_COLUMN)."""
+    quoting. Same quarantine caveat as the JSONL reader
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+
+    `multi_line` (default True) parses quoted embedded newlines
+    correctly but makes every file NON-SPLITTABLE — one task per part
+    file, a real throughput cliff when part files are large (r5
+    ADVICE). For corpora known to have no embedded newlines, pass
+    False to restore line-splittable parallel scans; when True, keep
+    part files bounded at write time (e.g.
+    `df.write.option("maxRecordsPerFile", n)`) so the per-file task
+    granularity stays acceptable."""
     full = T.StructType(
         schema.fields + [T.StructField(CORRUPT_COL, T.StringType())]
     )
@@ -59,7 +69,7 @@ def read_csv(
         spark.read.schema(full)
         .option("header", True)
         .option("escape", '"')
-        .option("multiLine", True)
+        .option("multiLine", multi_line)
         .option("nullValue", NULL_TOKEN)
         .option("emptyValue", "")
         .option("mode", "PERMISSIVE")

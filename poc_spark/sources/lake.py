@@ -55,6 +55,56 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _list_parquet_sizes(spark: SparkSession, path: str) -> list[int]:
+    """Byte sizes of the .parquet files directly under `path` (file
+    status only — no data scan).
+
+    Scheme-less (local-filesystem) paths list via os.scandir, which
+    works everywhere including Spark Connect. Paths with a scheme
+    (s3://, hdfs://) need the Hadoop FileSystem, reached through the
+    py4j gateway internals (sparkContext._jvm) — CLASSIC SPARK ONLY
+    (r5 ADVICE: those handles don't exist under Spark Connect; there,
+    list remote stores with the store's own SDK and pass sizes to the
+    caller)."""
+    if "://" not in path:
+        import os
+
+        with os.scandir(path) as it:
+            return [
+                e.stat().st_size
+                for e in it
+                if e.is_file() and e.name.endswith(".parquet")
+            ]
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    return [
+        f.getLen()
+        for f in fs.listStatus(p)
+        if f.getPath().getName().endswith(".parquet")
+    ]
+
+
+def _list_partition_dirs(spark: SparkSession, root: str) -> list[str]:
+    """Names of `key=value` partition directories directly under
+    `root`. Same local/remote split as _list_parquet_sizes."""
+    if "://" not in root:
+        import os
+
+        with os.scandir(root) as it:
+            return [e.name for e in it if e.is_dir() and "=" in e.name]
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = p.getFileSystem(conf)
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    ]
+
+
 def compact(
     spark: SparkSession,
     src_path: str,
@@ -78,15 +128,7 @@ def compact(
     partition), keeping each rewrite independent and retryable."""
     import math
 
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(src_path)
-    fs = p.getFileSystem(conf)
-    total = sum(
-        f.getLen()
-        for f in fs.listStatus(p)
-        if f.getPath().getName().endswith(".parquet")
-    )
+    total = sum(_list_parquet_sizes(spark, src_path))
     if total == 0:
         # fail fast rather than silently rewrite an unexpectedly-shaped
         # source (e.g. a hive-partitioned tree, whose files sit one
@@ -116,15 +158,8 @@ def compact_partitioned(
     driver loop parallelizes trivially (at 100 TB, submit the per-dir
     jobs through a thread pool; Spark's scheduler interleaves them).
     Returns {partition_dir_name: n_output_files}."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(src_root)
-    fs = p.getFileSystem(conf)
     out: dict[str, int] = {}
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if not (st.isDirectory() and "=" in name):
-            continue
+    for name in _list_partition_dirs(spark, src_root):
         out[name] = compact(
             spark,
             f"{src_root}/{name}",

@@ -249,3 +249,60 @@ def test_wav_rms_ground_truth(spark):
     assert [(r["frame_idx"], r["rms"]) for r in sorted(
         rows, key=lambda r: r["frame_idx"]
     )] == [(0, 50.0), (1, 50.0)]
+
+
+def test_wav_synth_word_alignment(spark, sf_dir):
+    """Odd n_samples payloads carry the RIFF pad byte (r5 ADVICE): the
+    container byte length is always even, the RIFF size field counts
+    the pad, the data size field doesn't — and strict consumers
+    (stdlib wave included) agree on the sample count."""
+    import io
+    import struct
+    import wave
+
+    from poc_spark.operators.multimodal import synthesize_wav_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    rows = synthesize_wav_media(docs).collect()
+    saw_odd = False
+    for r in rows:
+        buf = bytes(r["payload"])
+        n_samples = 800 + r["media_id"] % 400
+        pad = n_samples % 2
+        saw_odd = saw_odd or pad == 1
+        assert len(buf) % 2 == 0
+        assert len(buf) == 44 + n_samples + pad
+        (riff_size,) = struct.unpack("<I", buf[4:8])
+        assert riff_size == len(buf) - 8  # pad counted here
+        (data_size,) = struct.unpack("<I", buf[40:44])
+        assert data_size == n_samples     # but not here
+        if pad:
+            assert buf[-1] == 0
+        assert wave.open(io.BytesIO(buf)).getnframes() == n_samples
+    assert saw_odd  # the fixture must actually exercise the pad path
+
+
+def test_wav_parser_truncated_containers(spark):
+    """Truncated mid-header / mid-chunk / mid-data containers degrade
+    to (None, None) or the readable prefix — never raise (r5 VERDICT
+    optional hardening)."""
+    import struct
+
+    from poc_spark.operators.multimodal import _parse_wav
+
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 8000, 1, 8
+    )
+    data = b"data" + struct.pack("<I", 320) + bytes(range(160)) * 2
+    body = b"WAVE" + fmt + data
+    full = b"RIFF" + struct.pack("<I", len(body)) + body
+    # mid-RIFF-header, mid-fmt, header-only-data, mid-data
+    for cut in (6, 20, len(full) - 325, len(full) - 100):
+        out = _parse_wav(full[:cut])
+        assert isinstance(out, tuple) and len(out) == 2
+    # a chunk whose declared size overruns the buffer must not raise
+    lying = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"data" + struct.pack(
+        "<I", 1 << 30
+    ) + b"\x01\x02"
+    out = _parse_wav(lying)
+    assert isinstance(out, tuple)
