@@ -1196,11 +1196,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
     filtering (jaccard_prefix_pairs). Identical pair set either way
     (pinned vs all-pairs in tests/test_dedup.py); the oracle stays the
     quadratic SQL — DuckDB is the verification engine. Jaccard is
-    int/int — division is bit-identical across engines."""
+    int/int — division is bit-identical across engines.
+
+    `spark.poc.dedup.maxVocab` (default 64) overrides the probe cutoff
+    so the cross-scale gate can force the open-vocab prefix fork
+    against the same oracle (these docs have 31 tokens — a cutoff
+    below that flips the plan, results must not move)."""
     from poc_spark.operators.dedup import jaccard_bitset_pairs
 
     return jaccard_bitset_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.95
+        _t(spark, sf_dir, "documents"),
+        threshold=0.95,
+        max_vocab=int(spark.conf.get("spark.poc.dedup.maxVocab", "64")),
     )
 
 
@@ -1238,10 +1245,15 @@ def dedup_containment(spark, sf_dir):
     materialized on the closed-vocab path (aggregate before expand;
     measured ~4.6 s → sub-second at sf0.1). The oracle stays the
     quadratic SQL. Pair-level exactness: bitset == prefix == all-pairs,
-    and stats == pairs-then-aggregate, pinned in tests/test_dedup.py."""
+    and stats == pairs-then-aggregate, pinned in tests/test_dedup.py.
+    `spark.poc.dedup.maxVocab` flips the fork (see dedup_ngram_jaccard)."""
     from poc_spark.operators.dedup import containment_stats
 
-    return containment_stats(_t(spark, sf_dir, "documents"), threshold=0.95)
+    return containment_stats(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.95,
+        max_vocab=int(spark.conf.get("spark.poc.dedup.maxVocab", "64")),
+    )
 
 
 @register(

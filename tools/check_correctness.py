@@ -73,8 +73,16 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
+    confs: list[str] = []
+    while argv and argv[0] in ("--json", "--conf"):
+        if argv[0] == "--json":
+            json_out = argv[1]
+        else:
+            # --conf k=v (repeatable): session confs applied before the
+            # run — used by the cross-scale gate to force the SCALE side
+            # of adaptive-dispatch forks (chunked windows/ntile, open-
+            # vocab jaccard/containment) against the same oracles
+            confs.append(argv[1])
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -83,6 +91,10 @@ def main() -> int:
     from poc_spark.session import get_spark
 
     spark = get_spark("check-correctness")
+    for kv in confs:
+        k, v = kv.split("=", 1)
+        spark.conf.set(k, v)
+        print(f"CONF {k}={v}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
