@@ -1379,8 +1379,79 @@ def dedup_ngram_spans(spark, sf_dir):
     return duplicated_ngram_spans(
         _t(spark, sf_dir, "documents"), n=13, hash_fn="md5_60"
     ).select(
-        F.col("id").alias("doc_id"), "n_grams", "n_dup_grams", "dup_frac"
+        F.col("id").alias("doc_id"), "n_grams", "n_dup_grams", "dup_frac",
     )
+
+
+@register(
+    "dedup_span_removal",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, nt, unnest(grams) AS gram,
+             generate_subscripts(grams, 1) AS gpos1
+      FROM (
+        SELECT doc_id, len(t) AS nt,
+               CASE
+                 WHEN len(t) >= 13 THEN
+                   list_transform(range(1, len(t) - 11), i ->
+                     array_to_string(t[i:i+12], ' '))
+                 WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                 ELSE [''] END AS grams
+        FROM toks
+      )
+    ), gh AS (
+      SELECT doc_id, nt, gpos1,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+      FROM g
+    ), dup AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM gh GROUP BY h
+      ) WHERE nd >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id,
+             unnest(range(gpos1,
+                          greatest(least(gpos1 + 12, nt), gpos1) + 1)) AS tpos1
+      FROM gh JOIN dup USING (h)
+    ), tok_rows AS (
+      SELECT doc_id, unnest(t) AS tok,
+             generate_subscripts(t, 1) AS tpos1
+      FROM toks
+    ), kept AS (
+      SELECT k.doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(k.tok, ' ' ORDER BY k.tpos1) AS clean_text
+      FROM tok_rows k
+      LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tpos1 = c.tpos1
+      WHERE c.doc_id IS NULL
+      GROUP BY k.doc_id
+    )
+    SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+           (len(t.t) - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+           coalesce(k.clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def dedup_span_removal(spark, sf_dir):
+    """The duplicated-span REMOVAL action (Lee et al. 2022 exact-
+    substring dedup): every token covered by a cross-document
+    duplicated 13-gram is dropped and the document re-joined from the
+    survivors in order — the profile (dedup_ngram_spans) says HOW
+    duplicated a doc is, this produces the scrubbed corpus a training
+    pipeline actually ships. Linear plan: gram explode, distinct-doc
+    count on the md5-60 gram hash (xxhash64 in production), hash join
+    against the duplicated set, bounded sequence-explode of covered
+    positions, one ordered reassembly aggregate. The oracle replays
+    position coverage with 1-based subscripts and an ordered
+    string_agg."""
+    from poc_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"), n=13, hash_fn="md5_60"
+    ).select(F.col("id").alias("doc_id"), "n_tokens", "n_removed", "clean_text")
 
 
 @register(
@@ -4648,7 +4719,9 @@ _TAIL = [
     # to the 50-slot window. Everything below is r3+-witnessed (most
     # r4/r5) and stays covered by this round's committed full-registry
     # local run; capability overlap notes from earlier rotations still
-    # apply (see git history of this block).
+    # apply (see git history of this block). r6 mid-round: q14_promo_revenue
+    # demoted (r3-witnessed filler) for the new dedup_span_removal entry.
+    "q14_promo_revenue",
     "op_graph_flagship",
     "op_graph_partitioned",
     "q1_pricing_summary",

@@ -780,6 +780,90 @@ def duplicated_ngram_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, n_tokens, n_removed, clean_text) — the duplicated-span
+    REMOVAL action to duplicated_ngram_spans' profile: every token
+    covered by at least one cross-document duplicated n-gram (hash in
+    ≥2 distinct docs — Lee et al. 2022 exact-substring dedup at the
+    13-gram granularity) is dropped, and the document is re-joined from
+    the surviving tokens in order. clean_text is whitespace-normalized
+    (single spaces) — the standard output of a token-level scrubber.
+
+    Shape at 100 TB: one gram explode + distinct-doc count on the
+    uniform 60/64-bit gram hash (same two-phase agg as the profile), a
+    hash join of gram occurrences against the duplicated-hash set, a
+    sequence-explode of covered token positions bounded by n × (dup
+    occurrences) — sparse when the corpus is mostly clean — and one
+    ordered per-doc reassembly aggregate. No pairs, nothing quadratic.
+    Docs shorter than n follow word_grams' one-gram convention: if that
+    whole-doc gram is duplicated, the entire document is scrubbed."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    tokpos = base.select(
+        "id", F.posexplode("t").alias("tpos", "tok")
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("nt"),
+        F.posexplode(word_grams(F.lower(F.col(text_col)), n)).alias(
+            "gpos", "gram"
+        ),
+    ).select("id", "nt", "gpos", token_hash(F.col("gram"), hash_fn).alias("h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    covered = (
+        grams.join(dup, "h")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.col("gpos"),
+                    F.greatest(
+                        F.least(F.col("gpos") + F.lit(n - 1), F.col("nt") - 1),
+                        F.col("gpos"),
+                    ),
+                )
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    kept = tokpos.join(covered, ["id", "tpos"], "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("id", F.size("t").cast("long").alias("n_tokens"))
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH (the scale path for near-dup)
 # ---------------------------------------------------------------------------

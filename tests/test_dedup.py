@@ -632,3 +632,56 @@ def test_rounding_margin_boundary_pairs_survive_prefilters(spark):
         }
         assert got[(0, 1)] == 0.666667, fn.__name__
         assert got[(1, 0)] == 1.0, fn.__name__  # {x,y} fully inside {x,y,z}
+
+
+def test_remove_duplicated_spans_hand_built(spark):
+    """n=3 over a tiny corpus with one shared trigram: exactly the
+    tokens covered by the duplicated gram's occurrences vanish, docs
+    without duplicated grams round-trip (whitespace-normalized), and a
+    short doc whose whole-doc gram repeats is scrubbed entirely."""
+    from poc_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            # 'b c d' duplicated across docs 1 and 2
+            (1, "a b c d e"),
+            (2, "b c d x y"),
+            (3, "p q r s t"),     # clean
+            (4, "u v"),           # short doc, whole-doc gram 'u v' unique
+            (5, "u v"),           # duplicate of 4 -> both fully scrubbed
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in remove_duplicated_spans(df, n=3).collect()
+    }
+    # doc 1: gram 'b c d' at gpos 1 covers tpos 1..3 -> keeps 'a', 'e'
+    assert got[1] == (5, 3, "a e")
+    # doc 2: gram at gpos 0 covers 0..2 -> keeps 'x y'
+    assert got[2] == (5, 3, "x y")
+    assert got[3] == (5, 0, "p q r s t")
+    assert got[4] == (2, 2, "")
+    assert got[5] == (2, 2, "")
+
+
+def test_remove_duplicated_spans_consistent_with_profile(spark, sf_dir):
+    """Removal and profile agree on the corpus: docs with dup_frac == 0
+    lose nothing; every doc with dup_frac > 0 loses at least one
+    token; n_removed never exceeds n_tokens."""
+    from poc_spark.operators.dedup import (
+        duplicated_ngram_spans,
+        remove_duplicated_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = {r["id"]: r["dup_frac"] for r in duplicated_ngram_spans(docs).collect()}
+    rem = {r["id"]: r for r in remove_duplicated_spans(docs).collect()}
+    assert set(prof) == set(rem)
+    for i, frac in prof.items():
+        r = rem[i]
+        assert 0 <= r["n_removed"] <= r["n_tokens"]
+        if frac == 0.0:
+            assert r["n_removed"] == 0
+        else:
+            assert r["n_removed"] > 0
