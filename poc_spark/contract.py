@@ -4090,6 +4090,67 @@ def text_unigram_lm(spark, sf_dir):
 
 
 @register(
+    "text_bigram_lm",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ),
+    d2 AS (SELECT * FROM d WHERE len(t) >= 2),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i ->
+                    t[i] || ' ' || t[i+1])) AS bg
+      FROM d2
+    ),
+    dtf AS (SELECT doc_id, bg, count(*)::BIGINT AS tf FROM bg GROUP BY 1, 2),
+    bgc AS (SELECT bg, count(*)::BIGINT AS ba FROM bg GROUP BY 1),
+    cl AS (
+      SELECT string_split(bg, ' ')[1] AS w1, sum(ba)::BIGINT AS cl
+      FROM bgc GROUP BY 1
+    ),
+    uni AS (
+      SELECT w2, count(*)::BIGINT AS cf
+      FROM (SELECT unnest(t) AS w2 FROM d2) GROUP BY 1
+    ),
+    tot AS (SELECT sum(cf)::DOUBLE AS t_total FROM uni),
+    per AS (
+      SELECT f.doc_id,
+             sum(f.tf)::BIGINT AS n_bigrams,
+             list(f.tf::DOUBLE * ln(0.75 * (g.ba::DOUBLE / c.cl::DOUBLE)
+                  + 0.25 * (u.cf::DOUBLE / tot.t_total))
+                  ORDER BY f.bg) AS terms
+      FROM dtf f
+      JOIN bgc g USING (bg)
+      JOIN cl c ON string_split(f.bg, ' ')[1] = c.w1
+      JOIN uni u ON string_split(f.bg, ' ')[2] = u.w2
+      CROSS JOIN tot
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(list_reduce(list_prepend(0.0, terms), (a, b) -> a + b)
+                 / n_bigrams::DOUBLE, 6) AS avg_logprob
+    FROM per
+    """,
+)
+def text_bigram_lm(spark, sf_dir):
+    """Per-document mean BIGRAM log-likelihood with unigram
+    interpolation (λ=0.75) under the corpus model — one order up from
+    text_unigram_lm, the honest small version of the CCNet 5-gram
+    KenLM quality filter (same plumbing, wider model table). Explode +
+    three corpus hash aggregates (bigram, left-context, unigram) +
+    broadcast model joins; the Σ runs as a bigram-ordered fold, λ is
+    dyadic (0.75/0.25), every division double/double — bit-identical
+    across engines. Docs with < 2 tokens have no bigram events and are
+    excluded by both sides."""
+    from poc_spark.operators.textstats import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_perplexity_bucket",
     """
     WITH tok AS (
@@ -4720,8 +4781,10 @@ _TAIL = [
     # r4/r5) and stays covered by this round's committed full-registry
     # local run; capability overlap notes from earlier rotations still
     # apply (see git history of this block). r6 mid-round: q14_promo_revenue
-    # demoted (r3-witnessed filler) for the new dedup_span_removal entry.
+    # demoted (r3-witnessed fillers) for the new dedup_span_removal and
+    # text_bigram_lm entries.
     "q14_promo_revenue",
+    "q13_customer_distribution",
     "op_graph_flagship",
     "op_graph_partitioned",
     "q1_pricing_summary",

@@ -668,3 +668,91 @@ def bpe_apply(
         )
     )
     return per.select("doc_id", "n_words", "n_bpe_tokens", "bpe_text")
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — per-document mean BIGRAM
+    log-likelihood under the corpus bigram model with unigram
+    interpolation (the KenLM-filter shape one order up from
+    unigram_logprob; CCNet-style pipelines use 5-gram KenLM — the
+    Spark plumbing is identical, only the model table widens):
+
+      avg = (1/B) · Σ_bg tf(doc,bg) · ln( λ·c(bg)/c_left(w1)
+                                          + (1-λ)·cf(w2)/T )
+
+    with c = corpus bigram counts, c_left = Σ bigrams starting with
+    w1, cf/T = unigram MLE over the same (≥2-token) corpus. Docs with
+    fewer than two tokens have no bigrams and are excluded — there is
+    no event to score.
+
+    Plan: one explode for bigrams + three corpus-level hash aggregates
+    (bigram, left-context, unigram), then broadcast joins of the
+    doc-level bigram TFs against the model tables — the 100 TB shape
+    again: the model is Zipf-small state, the scan is the cost. The Σ
+    runs as an ordered fold over bigram-sorted structs, so every
+    intermediate double reproduces cross-engine; λ is a dyadic literal
+    (0.75) so the interpolation arithmetic is IEEE-exact both sides."""
+    d = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = d.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t")),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    dtf = bg.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("ba"))
+    cl = (
+        bgc.select(
+            F.element_at(F.split(F.col("bg"), " "), 1).alias("w1"),
+            F.col("ba"),
+        )
+        .groupBy("w1")
+        .agg(F.sum("ba").alias("cl"))
+    )
+    uni = (
+        d.select(F.explode("t").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    total = uni.agg(F.sum("cf").cast("double").alias("t_total"))
+    joined = (
+        dtf.join(F.broadcast(bgc), "bg")
+        .withColumn("w1", F.element_at(F.split(F.col("bg"), " "), 1))
+        .withColumn("w2", F.element_at(F.split(F.col("bg"), " "), 2))
+        .join(F.broadcast(cl), "w1")
+        .join(F.broadcast(uni), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    per = joined.groupBy("id", "t_total").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.array_sort(
+            F.collect_list(F.struct("bg", "tf", "ba", "cl", "cf"))
+        ).alias("arr"),
+    )
+    t = F.col("t_total")
+    ll = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["tf"].cast("double")
+        * F.log(
+            F.lit(lam) * (x["ba"].cast("double") / x["cl"].cast("double"))
+            + F.lit(1.0 - lam) * (x["cf"].cast("double") / t)
+        ),
+    )
+    return per.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(ll / F.col("n_bigrams").cast("double"), 6).alias("avg_logprob"),
+    )

@@ -316,3 +316,49 @@ def test_bpe_apply_doc_roundtrip(spark):
     assert got[1]["n_words"] == 3 and got[1]["n_bpe_tokens"] == 6
     assert got[2]["bpe_text"] == "qu es t i on the qu es t i on"
     assert got[2]["n_words"] == 3 and got[2]["n_bpe_tokens"] == 11
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Exact-value pin against an independent Python reference of the
+    interpolated bigram model (λ=0.75), including the <2-token
+    exclusion and repeated-bigram term frequencies."""
+    import math
+
+    docs = [
+        (1, "a b a b"),      # bigrams: a b (x2), b a
+        (2, "a b c"),        # a b, b c
+        (3, "x"),            # no bigrams -> excluded
+    ]
+    # corpus model over docs 1,2 (doc 3 has no bigrams but also no
+    # tokens in the >=2-token corpus)
+    toks = {1: ["a", "b", "a", "b"], 2: ["a", "b", "c"]}
+    allb = [f"{t[i]} {t[i+1]}" for t in toks.values() for i in range(len(t) - 1)]
+    ba = {b: allb.count(b) for b in set(allb)}
+    cl = {}
+    for b, c in ba.items():
+        cl[b.split()[0]] = cl.get(b.split()[0], 0) + c
+    unis = [w for t in toks.values() for w in t]
+    cf = {w: unis.count(w) for w in set(unis)}
+    T = float(len(unis))
+
+    def ref(doc_toks):
+        bgs = [f"{doc_toks[i]} {doc_toks[i+1]}" for i in range(len(doc_toks) - 1)]
+        tf = {b: bgs.count(b) for b in set(bgs)}
+        total = 0.0
+        for b in sorted(tf):       # bigram-ordered fold
+            w1, w2 = b.split()
+            total += tf[b] * math.log(
+                0.75 * (ba[b] / cl[w1]) + 0.25 * (cf[w2] / T)
+            )
+        return len(bgs), round(total / len(bgs), 6)
+
+    from poc_spark.operators.textstats import bigram_logprob
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_logprob(df).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == ref(toks[1])
+    assert got[2] == ref(toks[2])
