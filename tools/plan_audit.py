@@ -44,6 +44,7 @@ BNLJ_OK = {
     "text_tfidf",  # corpus size N: broadcast 1-row aggregate (idf = ln(N/df))
     "sketch_hll_union",  # bound check: 1-row exact count x 1-row union estimate
     "text_unigram_lm",  # corpus token total T: broadcast 1-row aggregate
+    "text_bigram_lm",  # same corpus total T: broadcast 1-row aggregate
     "sample_temperature",  # c_max: broadcast 1-row aggregate
     "text_perplexity_bucket",  # inherits text_unigram_lm's 1-row total
 }
