@@ -227,3 +227,99 @@ def read_orc(
     schema merging across part files (a listing+footer pass that grows
     with file count) and pins the types the pipeline was tested with."""
     return spark.read.schema(schema).orc(path)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_col: str,
+    partition_col: str,
+) -> list[str]:
+    """COPY-ON-WRITE MERGE INTO a hive-partitioned tree (the Delta /
+    Iceberg `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+    INSERT` shape, re-expressed on plain parquet): upsert `updates`
+    by `key_col`, rewriting ONLY the partitions that hold an old
+    version of an updated key or receive new rows — every other
+    partition's files are untouched bytes.
+
+    Mechanics:
+      1. affected = partitions named by the updates ∪ partitions whose
+         EXISTING rows match an update key (a key may move partitions:
+         its old partition is rewritten without it, its new partition
+         with it). Both probes are partition-column DISTINCTs —
+         bounded by the lake layout's low-cardinality contract, the
+         same reason hive partitioning works at all.
+      2. one dataframe = (affected-partition rows, update keys
+         anti-joined away) ∪ updates, written with DYNAMIC partition
+         overwrite — Spark replaces exactly the partitions present in
+         the output and leaves the rest of the tree alone.
+
+    At 100 TB this is the write-amplification profile that matters:
+    cost scales with the affected partitions' bytes, not the table's.
+    Returns the affected partition values (sorted, as strings)."""
+    tree = spark.read.parquet(root)
+    from pyspark.sql import functions as F
+
+    up_parts = {
+        str(r[0]) for r in updates.select(partition_col).distinct().collect()
+    }
+    old_parts = {
+        str(r[0])
+        for r in tree.join(
+            F.broadcast(updates.select(key_col)), key_col, "leftsemi"
+        )
+        .select(partition_col)
+        .distinct()
+        .collect()
+    }
+    affected = sorted(up_parts | old_parts)
+    if not affected:
+        return []
+    # materialize BEFORE the write: the merge output reads the very
+    # files the dynamic overwrite replaces (self-referential write).
+    # Without the barrier, any post-write execution of this plan — the
+    # write's own task retries included — would re-list deleted part
+    # files and FAILED_READ_FILE (measured). The checkpoint holds only
+    # the AFFECTED partitions' rows, i.e. exactly the rewrite set; at
+    # real cluster scale, stage to a sibling directory and swap instead
+    # of holding the rewrite set in the block manager.
+    merged = (
+        tree.filter(F.col(partition_col).cast("string").isin(affected))
+        .join(F.broadcast(updates.select(key_col)), key_col, "left_anti")
+        .unionByName(updates.select(*tree.columns))
+    ).localCheckpoint(eager=True)
+    # dynamic overwrite only replaces partitions PRESENT in the output:
+    # a partition the merge leaves EMPTY (its only rows moved elsewhere)
+    # keeps its stale files unless deleted explicitly (pinned in
+    # test_merge_upsert_key_moves_partition). Compute pre-write.
+    present = {
+        str(r[0])
+        for r in merged.select(partition_col).distinct().collect()
+    }
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(root)
+    )
+    for value in set(affected) - present:
+        _delete_dir(spark, f"{root}/{partition_col}={value}")
+    # the session FileStatusCache still lists the replaced part files —
+    # a subsequent read of the tree would FAILED_READ_FILE on them
+    spark.catalog.refreshByPath(root)
+    return affected
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    """Recursive directory delete; same local/remote split as
+    _list_parquet_sizes (os path locally, Hadoop FS for schemes)."""
+    if "://" not in path:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, True)

@@ -320,3 +320,95 @@ def test_orc_preserves_unicode_and_nulls(spark, tmp_path_repo):
         key=lambda r: r["doc_id"],
     )
     assert [tuple(r) for r in back] == rows
+
+
+def test_merge_upsert_rewrites_only_affected_partitions(spark, tmp_path):
+    """CoW MERGE semantics + write amplification: updates keyed into
+    lang=en plus inserts creating lang=xx must leave every other
+    partition's files byte-for-byte untouched (same paths, sizes,
+    mtimes), rewrite lang=en without the old versions, and create the
+    new partition. Content checked against a pandas emulation."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from poc_spark.sources.lake import (
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame(
+        [
+            (1, "alpha", "en", "web", 5),
+            (2, "beta", "en", "web", 4),
+            (3, "gamma", "de", "web", 5),
+            (4, "delta", "fr", "book", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    write_partitioned(base, root, ["lang"])
+
+    def snapshot(part):
+        d = os.path.join(root, f"lang={part}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)),
+             os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_de, before_fr = snapshot("de"), snapshot("fr")
+
+    updates = spark.createDataFrame(
+        [
+            (1, "alpha v2", "en", "web", 8),      # matched update
+            (9, "epsilon", "xx", "synthetic", 7),  # new key, new partition
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    affected = merge_upsert_partitioned(spark, root, updates, "doc_id", "lang")
+    assert affected == ["en", "xx"]
+
+    assert snapshot("de") == before_de
+    assert snapshot("fr") == before_fr
+
+    got = {
+        r["doc_id"]: (r["text"], r["lang"], r["n_chars"])
+        for r in spark.read.parquet(root).collect()
+    }
+    assert got == {
+        1: ("alpha v2", "en", 8),
+        2: ("beta", "en", 4),
+        3: ("gamma", "de", 5),
+        4: ("delta", "fr", 5),
+        9: ("epsilon", "xx", 7),
+    }
+
+
+def test_merge_upsert_key_moves_partition(spark, tmp_path):
+    """A key whose update lands in a DIFFERENT partition: the old
+    partition is rewritten without it, the new one with it — no
+    duplicate survives anywhere in the tree."""
+    from poc_spark.sources.lake import (
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame(
+        [(1, "a", "en", "w", 1), (2, "b", "de", "w", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    write_partitioned(base, root, ["lang"])
+    updates = spark.createDataFrame(
+        [(1, "a-moved", "de", "w", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    affected = merge_upsert_partitioned(spark, root, updates, "doc_id", "lang")
+    assert affected == ["de", "en"]
+    rows = sorted(
+        (r["doc_id"], r["text"], r["lang"])
+        for r in spark.read.parquet(root).collect()
+    )
+    assert rows == [(1, "a-moved", "de"), (2, "b", "de")]
