@@ -741,6 +741,61 @@ def containment_stats(
     )
 
 
+def _gram_hash_rows(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    hash_fn: str,
+) -> DataFrame:
+    """(id, nt, gpos, h) — positioned token n-gram hash rows for the
+    duplicated-span family, built with ONE sliding window of lead()
+    calls over the exploded token stream instead of word_grams' n-way
+    arrays_zip: measured 5.4x faster at n=13 / sf0.1 (0.74 s vs
+    3.99 s, bit-identical output) because the zip form runs n layers
+    of interpreted array HOFs per document while the window shape is
+    one shuffle-by-doc + one sort + JVM lead()s. The shuffle is hash
+    by doc id (parallel, skew-free beyond document length) and linear
+    in corpus tokens — the right trade at 100 TB where the HOF CPU
+    dominates. word_grams' conventions are preserved: docs shorter
+    than n yield one gram of all their tokens (concat_ws skips the
+    null leads), and zero-token docs yield one '' gram (union branch).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    tokpos = base.select(
+        "id", F.size("t").alias("nt"), F.posexplode("t").alias("tpos", "tok")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("tpos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", k).over(w) for k in range(1, n)]
+    )
+    rows = (
+        tokpos.withColumn("gram", gram)
+        .filter(
+            (F.col("tpos") <= F.col("nt") - n)
+            | ((F.col("nt") < n) & (F.col("tpos") == 0))
+        )
+        .select(
+            "id",
+            "nt",
+            F.col("tpos").alias("gpos"),
+            token_hash(F.col("gram"), hash_fn).alias("h"),
+        )
+    )
+    empties = base.filter(F.size("t") == 0).select(
+        "id",
+        F.lit(0).cast("int").alias("nt"),
+        F.lit(0).cast("int").alias("gpos"),
+        token_hash(F.lit(""), hash_fn).alias("h"),
+    )
+    return rows.unionByName(empties)
+
+
 def duplicated_ngram_spans(
     df: DataFrame,
     n: int = 13,
@@ -755,19 +810,16 @@ def duplicated_ngram_spans(
     Language Models Better"), at the 13-gram granularity the Gopher /
     GPT-3 decontamination pipelines standardized.
 
-    Shape at 100 TB: one explode (≈ tokens-per-doc rows), a two-phase
-    distinct-count agg on the 60-bit gram hash (uniform shuffle key), a
-    hash-join of gram rows against the (much smaller) duplicated-hash
-    set, and a per-doc agg. Everything linear in corpus tokens; no
-    quadratic pairs anywhere. Docs shorter than n follow word_grams'
-    one-gram-of-all-tokens convention so every doc gets a row.
+    Shape at 100 TB: one explode (≈ tokens-per-doc rows), the windowed
+    gram builder (_gram_hash_rows), a two-phase distinct-count agg on
+    the 60-bit gram hash (uniform shuffle key), and a per-doc agg.
+    Everything linear in corpus tokens; no quadratic pairs anywhere.
+    Docs shorter than n follow word_grams' one-gram-of-all-tokens
+    convention so every doc gets a row.
     """
     from pyspark.sql import Window
 
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_grams(F.lower(F.col(text_col)), n)).alias("gram"),
-    ).select("id", token_hash(F.col("gram"), hash_fn).alias("h"))
+    grams = _gram_hash_rows(df, n, text_col, id_col, hash_fn).select("id", "h")
     # single pass over the gram rows: collapse to (doc, hash) counts,
     # then "how many docs share this hash" is a count over the hash
     # partition of the collapsed table — no second evaluation of the
@@ -812,21 +864,23 @@ def remove_duplicated_spans(
     occurrences) — sparse when the corpus is mostly clean — and one
     ordered per-doc reassembly aggregate. No pairs, nothing quadratic.
     Docs shorter than n follow word_grams' one-gram convention: if that
-    whole-doc gram is duplicated, the entire document is scrubbed."""
+    whole-doc gram is duplicated, the entire document is scrubbed.
+    The token and gram tables are lazily checkpointed — each feeds two
+    consumers (dup-count + covered join; reassembly + final fan-out),
+    and without the barrier the gram build runs twice (measured 7.0 s
+    -> 4.9 s at sf0.1, before the windowed gram builder's further cut)."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
     )
-    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t")).localCheckpoint(
+        eager=False
+    )
     tokpos = base.select(
         "id", F.posexplode("t").alias("tpos", "tok")
     )
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.size(toks).alias("nt"),
-        F.posexplode(word_grams(F.lower(F.col(text_col)), n)).alias(
-            "gpos", "gram"
-        ),
-    ).select("id", "nt", "gpos", token_hash(F.col("gram"), hash_fn).alias("h"))
+    grams = _gram_hash_rows(df, n, text_col, id_col, hash_fn).localCheckpoint(
+        eager=False
+    )
     dup = (
         grams.groupBy("h")
         .agg(F.count_distinct("id").alias("nd"))

@@ -733,3 +733,27 @@ def test_containment_duplicate_heavy_bound(spark):
     # explain must show the aggregate running over masks, not ids
     plan = containment_stats(df, threshold=0.95)._jdf.queryExecution().toString()
     assert "ma" in plan  # mask-level aggregation path, not the pair union
+
+
+def test_span_ops_zero_token_docs(spark):
+    """The windowed gram builder must preserve word_grams' zero-token
+    convention: a whitespace-only doc yields one '' gram, so two such
+    docs count as mutually duplicated in the profile and survive
+    removal as empty strings (nothing to remove)."""
+    from poc_spark.operators.dedup import (
+        duplicated_ngram_spans,
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "   "), (2, ""), (3, "only real doc here with words")],
+        "doc_id long, text string",
+    )
+    prof = {r["id"]: (r["n_grams"], r["n_dup_grams"])
+            for r in duplicated_ngram_spans(df, n=3).collect()}
+    assert prof[1] == (1, 1) and prof[2] == (1, 1)  # '' gram shared
+    assert prof[3] == (4, 0)  # 6 tokens, n=3 -> 4 full grams
+    rem = {r["id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for r in remove_duplicated_spans(df, n=3).collect()}
+    assert rem[1] == (0, 0, "") and rem[2] == (0, 0, "")
+    assert rem[3] == (6, 0, "only real doc here with words")
