@@ -1949,6 +1949,88 @@ def _bpe_sql() -> str:
     """
 
 
+_BPE_LEARN_K = 10
+
+
+def _bpe_learn_sql(k: int) -> str:
+    """Recursive-CTE twin of the Spark BPE learning loop. One reference
+    to `seg` per recursive term (the SQL restriction), so the global
+    per-iteration argmax runs as layered window functions over the
+    pair-exploded rows, then DISTINCT collapses back to word grain.
+    list_concat(..., [NULL]) keeps pairless words alive through the
+    unnest so their segmentations keep folding."""
+    fold = (
+        "list_reduce(string_split(s, ' '), (acc, x) -> CASE WHEN "
+        "x = string_split(best_pair, ' ')[2] AND "
+        "(acc = string_split(best_pair, ' ')[1] OR "
+        "ends_with(acc, ' ' || string_split(best_pair, ' ')[1])) "
+        "THEN acc || x ELSE acc || ' ' || x END)"
+    )
+    return f"""
+    WITH RECURSIVE vocab AS (
+      SELECT word, count(*)::BIGINT AS wc
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> len(x) > 0)) AS word
+        FROM documents
+      ) GROUP BY word
+    ),
+    seg AS (
+      SELECT 0 AS it, word, wc,
+             array_to_string([substr(word, i, 1)
+                              FOR i IN range(1, len(word)+1)], ' ') AS s,
+             NULL::VARCHAR AS best_l, NULL::VARCHAR AS best_r,
+             NULL::BIGINT AS best_c
+      FROM vocab
+      UNION ALL
+      SELECT it + 1, word, wc,
+             CASE WHEN best_pair IS NULL THEN s ELSE {fold} END AS s,
+             string_split(best_pair, ' ')[1],
+             string_split(best_pair, ' ')[2], best_cnt
+      FROM (
+        SELECT DISTINCT it, word, wc, s,
+               first_value(CASE WHEN pcnt IS NULL THEN NULL ELSE pair END)
+                 OVER (ORDER BY pcnt DESC NULLS LAST, pair) AS best_pair,
+               first_value(pcnt)
+                 OVER (ORDER BY pcnt DESC NULLS LAST, pair) AS best_cnt
+        FROM (
+          SELECT it, word, wc, s, pair,
+                 CASE WHEN pair IS NULL THEN NULL
+                      ELSE sum(wc) OVER (PARTITION BY pair) END AS pcnt
+          FROM (
+            SELECT it, word, wc, s, unnest(list_concat(
+              [syms[i] || ' ' || syms[i+1] FOR i IN range(1, len(syms))],
+              [NULL])) AS pair
+            FROM (SELECT it, word, wc, s, string_split(s, ' ') AS syms
+                  FROM seg)
+          )
+        )
+      )
+      WHERE it < {k} AND best_pair IS NOT NULL
+    )
+    SELECT DISTINCT it::BIGINT AS rank, best_l AS left_sym,
+           best_r AS right_sym, best_c AS pair_count
+    FROM seg WHERE it >= 1
+    """
+
+
+@register("text_bpe_learn", _bpe_learn_sql(_BPE_LEARN_K))
+def text_bpe_learn(spark, sf_dir):
+    """LEARN a BPE merge table from the corpus — the training half to
+    text_bpe_apply's serving half: each round merges the
+    word-frequency-weighted most common adjacent symbol pair
+    (count DESC, pair ASC — a total order, so the table is a pure
+    function of the corpus). Vocabulary-factored driver loop: one
+    explode + hash aggregate over the distinct-word table and a 1-row
+    argmax collect per round, never a corpus rescan. The oracle
+    re-derives the identical learner as a recursive CTE whose global
+    per-round argmax runs as layered windows over the pair-exploded
+    vocabulary."""
+    from poc_spark.operators.textstats import bpe_learn
+
+    return bpe_learn(_t(spark, sf_dir, "documents"), num_merges=_BPE_LEARN_K)
+
+
 @register("text_bpe_apply", _bpe_sql())
 def text_bpe_apply(spark, sf_dir):
     """REAL merge-table BPE applied to every document (VERDICT r5 #5):
@@ -4862,6 +4944,10 @@ _TAIL = [
     "q14_promo_revenue",
     "q13_customer_distribution",
     "q10_returned_items",
+    # op_proj_users demoted for text_bpe_learn: projection+rename capability
+    # witnessed in-head by op_src_doc_scan's ordered projection (r2-green,
+    # also 143/143 local r6)
+    "op_proj_users",
     "op_graph_flagship",
     "op_graph_partitioned",
     "q1_pricing_summary",

@@ -756,3 +756,79 @@ def bigram_logprob(
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.round(ll / F.col("n_bigrams").cast("double"), 6).alias("avg_logprob"),
     )
+
+
+def bpe_learn(
+    df: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(rank, left_sym, right_sym, pair_count) — LEARN a BPE merge
+    table from the corpus (the training half; bpe_apply is the serving
+    half): per iteration, count word-frequency-weighted adjacent
+    symbol pairs over the current segmentations (overlapping
+    occurrences all count — the classic convention) and merge the
+    (count DESC, pair ASC) winner everywhere. Deterministic: the
+    tie-break is a total order, so the learned table is a pure
+    function of the corpus.
+
+    Vocabulary-factored like bpe_apply: the loop state is one row per
+    DISTINCT word (Zipf-small at any corpus scale) carrying its corpus
+    frequency; each iteration is one explode + one hash aggregate over
+    pairs of the vocab table plus a single-row argmax collect —
+    num_merges bounded driver round-trips, never a corpus rescan (the
+    corpus is read once to build the word-frequency table)."""
+    words = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    state = words.select(
+        "word",
+        "wc",
+        F.concat_ws(
+            " ", F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
+        ).alias("s"),
+    ).localCheckpoint(eager=False)
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        syms = F.split(F.col("s"), " ")
+        pairs = state.select(
+            "wc",
+            F.explode(
+                F.zip_with(
+                    syms,
+                    F.slice(syms, 2, _REST),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("pair"),
+        ).filter(F.col("pair").contains(" "))
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["pair"].split(" ")
+        merges.append((rank, left, right, best[0]["cnt"]))
+        l_lit, r_lit = F.lit(left), F.lit(right)
+        merged = F.aggregate(
+            F.slice(syms, 2, _REST),
+            F.element_at(syms, 1),
+            lambda acc, x: F.when(
+                (x == r_lit)
+                & ((acc == l_lit) | acc.endswith(F.concat(F.lit(" "), l_lit))),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        state = state.select(
+            "word", "wc", F.coalesce(merged, F.col("s")).alias("s")
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "rank long, left_sym string, right_sym string, pair_count long"
+    )

@@ -362,3 +362,69 @@ def test_bigram_logprob_hand_computed(spark):
     assert set(got) == {1, 2}
     assert got[1] == ref(toks[1])
     assert got[2] == ref(toks[2])
+
+
+def test_bpe_learn_hand_computed(spark):
+    """Pin the learner against an independent Python reference: weighted
+    pair counts, (count DESC, pair ASC) tie-break, cascaded merges."""
+    word_counts = {"the": 5, "then": 2, "than": 3, "banana": 2,
+                   "and": 4, "stand": 1, "a": 7, "x": 1}
+
+    def ref_learn(wc, k):
+        segs = {w: list(w) for w in wc}
+        merges = []
+        for _ in range(k):
+            counts = {}
+            for w, syms in segs.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + wc[w]
+            if not counts:
+                break
+            (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((l, r, c))
+            for w, syms in segs.items():
+                out = [syms[0]]
+                for x in syms[1:]:
+                    if x == r and out[-1] == l:
+                        out[-1] = out[-1] + x
+                    else:
+                        out.append(x)
+                segs[w] = out
+        return merges
+
+    from poc_spark.operators.textstats import bpe_learn
+
+    # corpus reproducing the word frequencies exactly
+    text = " ".join(w for w, c in word_counts.items() for _ in range(c))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_learn(df, num_merges=6).orderBy("rank").collect()
+    ]
+    exp = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(ref_learn(word_counts, 6))]
+    assert got == exp
+
+
+def test_bpe_learn_then_apply_roundtrip(spark):
+    """Merges learned from a corpus, applied back to it via
+    bpe_segment_vocab, reduce every frequent word to fewer symbols than
+    its character split — the learn and apply halves compose."""
+    from poc_spark.operators.textstats import bpe_learn, bpe_segment_vocab
+
+    df = spark.createDataFrame(
+        [(1, "the the the thing then there"), (2, "the thin thing")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_learn(df, num_merges=4).orderBy("rank").collect()
+    ]
+    assert len(merges) == 4
+    vocab = spark.createDataFrame([("the",), ("thing",)], "word string")
+    seg = {r["word"]: r["s"] for r in
+           bpe_segment_vocab(vocab, tuple(merges)).collect()}
+    # 'th' ('t h' weighted 6+) must be the first merge; 'the' collapses
+    assert merges[0] == ("t", "h")
+    assert len(seg["the"].split(" ")) < 3
+    assert len(seg["thing"].split(" ")) < 5
