@@ -3415,6 +3415,48 @@ def pipeline_training_prep(spark, sf_dir):
 # the oracle then exercises the full count/redact/split/strip logic.
 # ---------------------------------------------------------------------------
 
+@register(
+    "text_unicode_normalize",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 2 = 0
+                          THEN ' caf' || chr(233)              -- composed é
+                          ELSE ' cafe' || chr(769) END AS text -- e + U+0301
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(text) AS text_norm,
+           nfc_normalize(text) <> text AS changed
+    FROM u
+    """,
+)
+def text_unicode_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization (textclean.normalize_unicode) — the
+    step that makes composed 'é' and decomposed 'e'+U+0301 hash equal
+    before any dedup. The corpus is ASCII, so the entry SYNTHESIZES the
+    structure deterministically (the PII-scrub convention): even ids
+    get a composed suffix (NFC-invariant, changed=false), odd ids the
+    decomposed spelling (normalizes to the composed form,
+    changed=true). Spark SQL has no normalizer builtin — this is a
+    documented UDF-unavoidable case, an Arrow-batched mapInPandas over
+    Python's unicodedata; the oracle runs DuckDB's independent utf8proc
+    nfc_normalize on the same synthesized text, so the check pins
+    cross-LIBRARY agreement on UAX #15, not just plumbing."""
+    from poc_spark.operators.textclean import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" caf\u00e9")
+            ).otherwise(F.lit(" cafe\u0301")),
+        ).alias("text"),
+    )
+    return normalize_unicode(docs)
+
+
 _PII_SYNTH_SQL = """
       SELECT doc_id,
              text || ' contact u' || doc_id::VARCHAR || '@example.com'
@@ -4948,6 +4990,9 @@ _TAIL = [
     # witnessed in-head by op_src_doc_scan's ordered projection (r2-green,
     # also 143/143 local r6)
     "op_proj_users",
+    # op_fn_sqrt demoted for text_unicode_normalize: scalar-math capability
+    # witnessed in-head by op_fil_substr / q1 expression stacks (r2-green)
+    "op_fn_sqrt",
     "op_graph_flagship",
     "op_graph_partitioned",
     "q1_pricing_summary",

@@ -126,3 +126,44 @@ def strip_boilerplate(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    form: str = "NFC",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text_norm, changed) — Unicode normalization (default
+    NFC), the canonicalization every text pipeline runs before hashing
+    or dedup: composed ('é') and decomposed ('e' + U+0301) spellings of
+    the same grapheme otherwise hash differently and defeat exact
+    dedup. Spark SQL has no normalization builtin, so this is one of
+    the documented UDF-unavoidable cases: an Arrow-batched mapInPandas
+    kernel over Python's unicodedata (UAX #15; DuckDB's utf8proc
+    implementation agrees — the contract oracle pins cross-library
+    equality). `changed` flags rows the normalization actually touched,
+    so the common all-ASCII fast bulk can be routed around downstream."""
+    import pandas as pd
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    def gen(batches):
+        for pdf in batches:
+            src = pdf[text_col]
+            norm = src.map(
+                lambda s: None if s is None else unicodedata.normalize(form, s)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "text_norm": norm,
+                    "changed": norm.ne(src) & src.notna(),
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        gen, "doc_id long, text_norm string, changed boolean"
+    )

@@ -131,3 +131,31 @@ def test_canonicalize_url_rules(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_normalize_unicode_forms(spark):
+    """Composed and decomposed spellings converge under NFC; NFKC folds
+    compatibility forms; `changed` flags exactly the touched rows; None
+    passes through."""
+    from poc_spark.operators.textclean import normalize_unicode
+
+    composed = "caf\u00e9"
+    decomposed = "cafe\u0301"
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, "ascii only"), (4, None),
+         (5, "ﬁsh")],  # fi ligature: NFC keeps, NFKC expands
+        "doc_id long, text string",
+    )
+    nfc = {r["doc_id"]: (r["text_norm"], r["changed"])
+           for r in normalize_unicode(df).collect()}
+    assert nfc[1] == (composed, False)
+    assert nfc[2] == (composed, True)
+    assert nfc[3] == ("ascii only", False)
+    assert nfc[4][0] is None and nfc[4][1] is False
+    assert nfc[5] == ("ﬁsh", False)
+    nfkc = {r["doc_id"]: r["text_norm"]
+            for r in normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[5] == "fish"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(df, form="NFX")
