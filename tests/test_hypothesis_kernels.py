@@ -308,3 +308,98 @@ def test_chunked_ntile_equals_global_property(
         ).collect()
     }
     assert got == want
+
+
+def _ref_bpe_apply(word, merges):
+    syms = list(word)
+    ranks = {f"{l} {r}": i for i, (l, r) in enumerate(merges)}
+    while True:
+        present = [
+            ranks[p]
+            for p in (f"{syms[i]} {syms[i+1]}" for i in range(len(syms) - 1))
+            if p in ranks
+        ]
+        if not present:
+            return syms
+        l, r = merges[min(present)]
+        out = [syms[0]]
+        for x in syms[1:]:
+            if x == r and out[-1] == l:
+                out[-1] = out[-1] + x
+            else:
+                out.append(x)
+        syms = out
+
+
+@settings(**_SETTINGS)
+@given(data=st.data())
+def test_bpe_apply_matches_reference(spark, data):
+    """bpe_segment_vocab == the independent Python reference on random
+    words over the merge alphabet — cascaded merges, repeated letters,
+    and rank-order selection included."""
+    from poc_spark.operators.textstats import (
+        DEFAULT_BPE_MERGES,
+        bpe_segment_vocab,
+    )
+
+    alphabet = "theinganrdoqu"
+    words = data.draw(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=12),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    vocab = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: r["s"] for r in bpe_segment_vocab(vocab).collect()}
+    exp = {w: " ".join(_ref_bpe_apply(w, list(DEFAULT_BPE_MERGES))) for w in words}
+    assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(data=st.data())
+def test_bpe_learn_matches_reference(spark, data):
+    """bpe_learn == the independent Python reference learner on random
+    weighted vocabularies (weighted counts, total-order tie-break)."""
+    from poc_spark.operators.textstats import bpe_learn
+
+    alphabet = "abct"
+    wc = data.draw(
+        st.dictionaries(
+            st.text(alphabet=alphabet, min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=5),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    k = data.draw(st.integers(min_value=1, max_value=4))
+
+    segs = {w: list(w) for w in wc}
+    exp = []
+    for _ in range(k):
+        counts = {}
+        for w, syms in segs.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + wc[w]
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp.append((len(exp) + 1, l, r, c))
+        for w, syms in segs.items():
+            out = [syms[0]]
+            for x in syms[1:]:
+                if x == r and out[-1] == l:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            segs[w] = out
+
+    text = " ".join(w for w, c in wc.items() for _ in range(c))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_learn(df, num_merges=k).orderBy("rank").collect()
+    ]
+    assert got == exp
