@@ -143,7 +143,14 @@ def normalize_unicode(
     kernel over Python's unicodedata (UAX #15; DuckDB's utf8proc
     implementation agrees — the contract oracle pins cross-library
     equality). `changed` flags rows the normalization actually touched,
-    so the common all-ASCII fast bulk can be routed around downstream."""
+    so the common all-ASCII fast bulk can be routed around downstream.
+
+    Scale fast path: pure-ASCII text is invariant under every Unicode
+    normalization form, so ASCII rows (and NULLs) short-circuit as a
+    JVM-only projection - only rows containing a non-ASCII byte ever
+    cross the Arrow boundary. On a mostly-ASCII corpus that keeps the
+    Python lane to a sliver of the scan; equality with the
+    all-rows-through-Python shape is pinned in tests."""
     import pandas as pd
     import unicodedata
 
@@ -164,6 +171,14 @@ def normalize_unicode(
                 }
             )
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+    base = df.select(F.col(id_col).alias(id_col), F.col(text_col))
+    is_ascii = F.col(text_col).rlike(r"^[\x00-\x7F]*$")
+    fast = base.filter(F.col(text_col).isNull() | is_ascii).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text_norm"),
+        F.lit(False).alias("changed"),
+    )
+    slow = base.filter(F.col(text_col).isNotNull() & ~is_ascii).mapInPandas(
         gen, "doc_id long, text_norm string, changed boolean"
     )
+    return fast.unionByName(slow)

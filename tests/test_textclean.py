@@ -159,3 +159,38 @@ def test_normalize_unicode_forms(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="normalization form"):
         normalize_unicode(df, form="NFX")
+
+
+def test_normalize_unicode_fast_path_equality(spark):
+    """The ASCII JVM fast path must produce exactly what the
+    all-rows-through-Python shape would: compare against a direct
+    unicodedata map over the same rows, mixed ASCII/non-ASCII/None."""
+    import unicodedata
+
+    from poc_spark.operators.textclean import normalize_unicode
+
+    rows = [
+        (1, "plain ascii"),
+        (2, "café composed"),
+        (3, "café decomposed"),
+        (4, None),
+        (5, ""),
+        (6, "mixed ascii then Ａ fullwidth"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_norm"], r["changed"])
+           for r in normalize_unicode(df).collect()}
+    for i, t in rows:
+        if t is None:
+            assert got[i] == (None, False)
+        else:
+            n = unicodedata.normalize("NFC", t)
+            assert got[i] == (n, n != t)
+    # the fast path really is JVM-only: the ASCII branch's plan must
+    # not contain a Python evaluation node
+    ascii_only = spark.createDataFrame(rows[:1], "doc_id long, text string")
+    plan = (
+        normalize_unicode(ascii_only)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == 1  # only the (empty) slow lane
