@@ -3150,6 +3150,69 @@ def src_orc_roundtrip(spark, sf_dir):
     return _content_agg(docs, "source")
 
 
+def _ivf_append_oracle(sf_base: str) -> str:
+    # recomputes EVERY vector's nearest-centroid assignment from the
+    # stored centroid artifact (argmax cosine, first-max = lowest id on
+    # ties — mirroring similarity._nearest_centroid), so both the
+    # original build's assignments and the appended batch's are
+    # independently re-derived
+    root = os.path.join(_REPO_ROOT, ".tmp", "ivfapp", sf_base)
+    return f"""
+    WITH cents AS (
+      SELECT centroid_id, center
+      FROM read_parquet('{root}/centroids/*.parquet')
+    ),
+    assigned AS (
+      SELECT e.vec_id,
+             (SELECT centroid_id FROM (
+                SELECT centroid_id,
+                       list_cosine_similarity(center,
+                                              e.embedding::DOUBLE[]) AS s
+                FROM cents ORDER BY s DESC, centroid_id LIMIT 1
+             )) AS centroid
+      FROM embeddings e
+    )
+    SELECT centroid::BIGINT AS centroid,
+           count(*) AS n_vectors,
+           sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_new,
+           sum(vec_id)::BIGINT AS id_sum
+    FROM assigned GROUP BY centroid
+    """
+
+
+@register("sim_ivf_append", _ivf_append_oracle("sf0.01"))
+def sim_ivf_append(spark, sf_dir):
+    """IVF index MAINTENANCE: a fresh index is fit on 80% of the
+    vectors (vec_id % 5 <> 0) under .tmp/ivfapp/<sf>, then the
+    remaining 20% batch is APPENDED without refit
+    (similarity.ivf_append — assign to nearest existing centroid, write
+    only the affected partitions; the continuous-ingestion steady state
+    where nobody re-runs KMeans per batch). The check aggregates the
+    UPDATED on-disk index per centroid (count / new-count / id sum);
+    the oracle independently re-derives every vector's argmax-cosine
+    assignment from the stored centroid artifact — so the fit-time
+    assignments, the append-time assignments, and the partition layout
+    all have to agree. Rebuilt fresh each run (appending twice would
+    duplicate — the sink stale-artifact rule)."""
+    from poc_spark.operators.similarity import build_ivf_index, ivf_append
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _export_path("ivfapp", sf_dir)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    build_ivf_index(emb.filter("vec_id % 5 <> 0"), path, n_centroids=16)
+    ivf_append(spark, path, emb.filter("vec_id % 5 = 0"))
+    vecs = spark.read.parquet(f"{path}/vectors")
+    return vecs.groupBy(F.col("centroid").cast("long").alias("centroid")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(F.col("vec_id") % 5 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum("vec_id").cast("long").alias("id_sum"),
+    )
+
+
 def _ivf_oracle(sf_base: str) -> str:
     root = os.path.join(_REPO_ROOT, ".tmp", "ivf", sf_base)
     return f"""
@@ -4993,6 +5056,9 @@ _TAIL = [
     # op_fn_sqrt demoted for text_unicode_normalize: scalar-math capability
     # witnessed in-head by op_fil_substr / q1 expression stacks (r2-green)
     "op_fn_sqrt",
+    # op_join_point demoted for sim_ivf_append: keyed point-lookup capability
+    # witnessed in-head by op_join_semi (r2-green)
+    "op_join_point",
     "op_graph_flagship",
     "op_graph_partitioned",
     "q1_pricing_summary",
@@ -5118,6 +5184,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     sf_base = os.path.basename(os.path.normpath(sf_dir))
     out["sim_ivf_kmeans"] = _ivf_oracle(sf_base)
     out["sim_ivf_join"] = _ivf_join_oracle(sf_base)
+    out["sim_ivf_append"] = _ivf_append_oracle(sf_base)
     out["src_jsonl_roundtrip"] = _jsonl_oracle(sf_base)
     out["src_csv_roundtrip"] = _csv_oracle(sf_base)
     out["sink_hive_partitioned"] = _hive_oracle(sf_base)

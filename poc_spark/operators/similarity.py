@@ -749,3 +749,32 @@ def ivf_join(
         .filter(F.col("rank") <= F.lit(k))
         .select("id", "neighbor_id", "cos", "rank")
     )
+
+
+def ivf_append(
+    spark,
+    path: str,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append a batch of new vectors to a PERSISTED IVF index without
+    refitting — index maintenance, the vector-side twin of
+    dedup_incremental's probe-a-persisted-index posture: production
+    retrieval ingests continuously, and nobody re-runs KMeans per
+    batch. Each new vector is assigned to its nearest existing centroid
+    (the same argmax-cosine rule build_ivf_index used, so old and new
+    rows are indistinguishable to queries) and appended to that
+    centroid's parquet partition — the write touches ONLY the affected
+    partition directories. Centroid drift is the caller's policy knob:
+    refit when list sizes skew (compare list counts against the fit-time
+    histogram), exactly like any FAISS deployment.
+
+    `mode("append")` + partitionBy keeps existing files as-is; the
+    FileStatusCache refresh makes the new files visible to subsequent
+    reads in this session."""
+    _, cents = load_ivf_index(spark, path)
+    ivf_index(batch, cents, vec_col).write.mode("append").partitionBy(
+        "centroid"
+    ).parquet(f"{path}/vectors")
+    spark.catalog.refreshByPath(f"{path}/vectors")

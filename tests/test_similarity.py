@@ -440,3 +440,49 @@ def test_ivf_join_n_probe_beyond_list_count(spark, sf_dir, tmp_path_repo):
         for r in knn_join_blocked(emb, k=3).collect()
     }
     assert over == exact
+
+
+def test_ivf_append_maintains_index(spark, sf_dir, tmp_path):
+    """Appending a batch to a persisted IVF index: every appended vector
+    lands exactly once in the partition its nearest EXISTING centroid
+    names (no refit — centroids unchanged on disk), old rows are
+    untouched, and a query for an appended vector retrieves it at
+    cos 1.0 when its list is probed."""
+    import pyspark.sql.functions as F
+
+    from poc_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_index,
+        ivf_query,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old, batch = emb.filter("vec_id % 5 <> 0"), emb.filter("vec_id % 5 = 0")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(old, path, n_centroids=8)
+    cents_before = spark.read.parquet(f"{path}/centroids").collect()
+
+    ivf_append(spark, path, batch)
+
+    cents_after = spark.read.parquet(f"{path}/centroids").collect()
+    assert sorted(map(tuple, cents_before)) == sorted(map(tuple, cents_after))
+
+    vecs, cents = load_ivf_index(spark, path)
+    n_old, n_batch = old.count(), batch.count()
+    assert vecs.count() == n_old + n_batch
+    stored = {
+        r["vec_id"]: r["centroid"]
+        for r in vecs.filter("vec_id % 5 = 0").collect()
+    }
+    assert len(stored) == n_batch  # exactly once each
+    expected = {
+        r["vec_id"]: r["centroid"] for r in ivf_index(batch, cents).collect()
+    }
+    assert stored == expected
+
+    probe = batch.limit(1).collect()[0]
+    qv = [float(x) for x in probe["embedding"]]
+    hits = ivf_query(vecs, qv, cents, k=1, n_probe=len(cents)).collect()
+    assert hits[0]["id"] == probe["vec_id"] and hits[0]["cos"] == 1.0
