@@ -3520,6 +3520,35 @@ def text_unicode_normalize(spark, sf_dir):
     return normalize_unicode(docs)
 
 
+@register(
+    "fuzzy_name_join",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def fuzzy_name_join(spark, sf_dir):
+    """Edit-distance ≤ 2 name pairs via PassJoin segment blocking
+    (operators/fuzzy.py) — the record-linkage primitive for metadata
+    cleaning (near-identical author/customer names exact dedup can't
+    see). Sound pigeonhole blocking: k+1 segments per indexed string,
+    candidates from an equi-join on (length, segment-index,
+    segment-text) with ±k position shifts, exact levenshtein verify on
+    candidates only — never all-pairs (a fuzz test pins equality with
+    the quadratic form on random corpora incl. short-string strata).
+    The oracle IS the quadratic form in DuckDB: both engines implement
+    classic unit-cost levenshtein, so distances hash identically."""
+    from poc_spark.operators.fuzzy import edit_distance_join
+
+    c = _t(spark, sf_dir, "customer").filter("c_custkey % 7 = 0")
+    return edit_distance_join(c, k=2, text_col="c_name", id_col="c_custkey")
+
+
 _PII_SYNTH_SQL = """
       SELECT doc_id,
              text || ' contact u' || doc_id::VARCHAR || '@example.com'
@@ -5059,6 +5088,9 @@ _TAIL = [
     # op_join_point demoted for sim_ivf_append: keyed point-lookup capability
     # witnessed in-head by op_join_semi (r2-green)
     "op_join_point",
+    # op_src_doc_scan demoted for fuzzy_name_join: ordered scan+limit
+    # capability witnessed in-head by q3_top_revenue (r2-green)
+    "op_src_doc_scan",
     "op_graph_flagship",
     "op_graph_partitioned",
     "q1_pricing_summary",
