@@ -1655,6 +1655,45 @@ def _ann_join_sql(planes: list[list[float]], probe_bits: int, k: int) -> str:
 _ANN_JOIN_PLANES = random_hyperplanes(64, n_planes=8, seed=42)
 
 
+def _ann_join_filtered_sql(
+    planes: list[list[float]], probe_bits: int, k: int
+) -> str:
+    """_ann_join_sql with the label constraint folded into the
+    candidate predicate — mirroring the Spark side, where the group
+    column joins the bucket key."""
+    sql = _ann_join_sql(planes, probe_bits, k)
+    base = "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,"
+    assert base in sql
+    sql = sql.replace(base, "WITH b AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,", 1)
+    theta = "ON a.vec_id <> c.vec_id"
+    assert theta in sql
+    return sql.replace(theta, "ON a.vec_id <> c.vec_id AND a.label = c.label", 1)
+
+
+@register(
+    "sim_ann_filtered",
+    _ann_join_filtered_sql(_ANN_JOIN_PLANES, probe_bits=1, k=5),
+)
+def sim_ann_filtered(spark, sf_dir):
+    """FILTERED batch ANN join — top-5 approximate neighbors per vector
+    AMONG VECTORS OF THE SAME LABEL (production retrieval is almost
+    always predicate-constrained: same tenant / lang / shard). The
+    label joins the bucket equi-key (ann_join_hyperplane group_cols),
+    so off-label candidates are never generated — a tighter hash join,
+    not a post-filter. The oracle folds the same label equality into
+    the theta twin's candidate predicate."""
+    from poc_spark.operators.similarity import ann_join_hyperplane
+
+    return ann_join_hyperplane(
+        _t(spark, sf_dir, "embeddings"),
+        k=5,
+        planes=_ANN_JOIN_PLANES,
+        probe_bits=1,
+        dim=64,
+        group_cols=["label"],
+    )
+
+
 @register("sim_ann_join", _ann_join_sql(_ANN_JOIN_PLANES, probe_bits=1, k=5))
 def sim_ann_join(spark, sf_dir):
     """Batch ANN join — approximate top-5 neighbors for EVERY vector
@@ -5091,6 +5130,9 @@ _TAIL = [
     # op_src_doc_scan demoted for fuzzy_name_join: ordered scan+limit
     # capability witnessed in-head by q3_top_revenue (r2-green)
     "op_src_doc_scan",
+    # q_union_except demoted for sim_ann_filtered: set-op capability stays
+    # oracled via q_intersect (r5-green) + the 147/147 local runs
+    "q_union_except",
     "op_graph_flagship",
     "op_graph_partitioned",
     "q1_pricing_summary",

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from poc_spark.operators.similarity import (
     ann_hyperplane,
@@ -486,3 +487,37 @@ def test_ivf_append_maintains_index(spark, sf_dir, tmp_path):
     qv = [float(x) for x in probe["embedding"]]
     hits = ivf_query(vecs, qv, cents, k=1, n_probe=len(cents)).collect()
     assert hits[0]["id"] == probe["vec_id"] and hits[0]["cos"] == 1.0
+
+
+def test_ann_join_filtered_within_groups(spark, sf_dir):
+    """Filtered ANN: every neighbor shares the query's label, and for a
+    given query the filtered result equals running the unfiltered join
+    on that label's sub-corpus alone (the group key tightens candidate
+    generation without changing per-group semantics)."""
+    from poc_spark.contract import _ANN_JOIN_PLANES
+    from poc_spark.operators.similarity import ann_join_hyperplane
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    got = ann_join_hyperplane(
+        emb, k=3, planes=_ANN_JOIN_PLANES, probe_bits=1, dim=64,
+        group_cols=["label"],
+    ).collect()
+    assert got
+    for r in got:
+        assert labels[r["id"]] == labels[r["neighbor_id"]]
+
+    some_label = next(iter(set(labels.values())))
+    sub = emb.filter(F.col("label") == some_label)
+    sub_only = {
+        (r["id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in ann_join_hyperplane(
+            sub, k=3, planes=_ANN_JOIN_PLANES, probe_bits=1, dim=64
+        ).collect()
+    }
+    filtered = {
+        (r["id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in got
+        if labels[r["id"]] == some_label and r["rank"] <= 3
+    }
+    assert filtered == sub_only
