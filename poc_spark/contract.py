@@ -2923,6 +2923,89 @@ def _hive_oracle(sf_base: str) -> str:
     """
 
 
+@register(
+    "lake_snapshot_diff",
+    """
+    WITH up AS (
+      SELECT doc_id, text || ' updated' AS text, lang, source,
+             n_chars + 8 AS n_chars
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    ins AS (
+      SELECT doc_id + (SELECT max(doc_id) FROM documents) + 1 AS doc_id,
+             'new doc ' || doc_id::VARCHAR AS text,
+             'xx' AS lang, 'synthetic' AS source,
+             length('new doc ' || doc_id::VARCHAR)::BIGINT AS n_chars
+      FROM documents WHERE doc_id < 20
+    ),
+    b AS (
+      SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+      FROM documents d
+      WHERE d.doc_id % 7 <> 0 AND d.doc_id % 11 <> 3
+      UNION ALL SELECT * FROM up WHERE doc_id % 11 <> 3
+      UNION ALL SELECT * FROM ins
+    ),
+    d AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.text <> b.text OR a.lang <> b.lang
+                       OR a.source <> b.source OR a.n_chars <> b.n_chars
+                  THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT status, count(*) AS n, sum(doc_id)::BIGINT AS id_sum
+    FROM d GROUP BY status
+    """,
+)
+def lake_snapshot_diff(spark, sf_dir):
+    """Snapshot DIFF — the regression check between pipeline runs
+    ("what did this rerun actually change?"): two parquet snapshots of
+    documents (B = A with deterministic updates, inserts, and
+    deletions) are compared row-by-row via sources/lake.snapshot_diff —
+    a full outer join on the key over (key, xxhash64 content
+    fingerprint) projections, so no value columns cross the shuffle.
+    Output: per-status row counts + key checksums. The oracle
+    re-derives snapshot B relationally and classifies by direct value
+    comparison — so the fingerprint-based classification must agree
+    with the value-level truth."""
+    from poc_spark.sources.lake import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    a_root = _export_path("diffa", sf_dir)
+    b_root = _export_path("diffb", sf_dir)
+    docs.write.mode("overwrite").parquet(a_root)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    new_text = F.concat(F.lit("new doc "), F.col("doc_id").cast("string"))
+    updates = docs.filter("doc_id % 7 = 0 AND doc_id % 11 <> 3").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" updated")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(8)).alias("n_chars"),
+    )
+    inserts = docs.filter("doc_id < 20").select(
+        (F.col("doc_id") + F.lit(max_id + 1)).alias("doc_id"),
+        new_text.alias("text"),
+        F.lit("xx").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.length(new_text).cast("long").alias("n_chars"),
+    )
+    b = (
+        docs.filter("doc_id % 7 <> 0 AND doc_id % 11 <> 3")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(updates)
+        .unionByName(inserts)
+    )
+    b.write.mode("overwrite").parquet(b_root)
+    diff = snapshot_diff(spark, a_root, b_root, ["doc_id"])
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 @register("sink_hive_partitioned", _hive_oracle("sf0.01"))
 def sink_hive_partitioned(spark, sf_dir):
     """Hive-partitioned parquet lake layout — THE 100 TB scan-avoidance
@@ -5133,6 +5216,10 @@ _TAIL = [
     # q_union_except demoted for sim_ann_filtered: set-op capability stays
     # oracled via q_intersect (r5-green) + the 147/147 local runs
     "q_union_except",
+    # text_fingerprint demoted for lake_snapshot_diff: md5 content
+    # fingerprinting witnessed in-head by the sampling family's md5-60
+    # buckets and dedup_exact's sha2 (r2-green)
+    "text_fingerprint",
     "op_graph_flagship",
     "op_graph_partitioned",
     "q1_pricing_summary",

@@ -412,3 +412,26 @@ def test_merge_upsert_key_moves_partition(spark, tmp_path):
         for r in spark.read.parquet(root).collect()
     )
     assert rows == [(1, "a-moved", "de"), (2, "b", "de")]
+
+
+def test_snapshot_diff_classification(spark, tmp_path):
+    """Hand-built snapshots: every status class exercised, keys exact;
+    compare_cols defaulting excludes the key."""
+    from poc_spark.sources.lake import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "same", 4), (2, "old", 3), (3, "gone", 4)],
+        "id long, text string, n long",
+    )
+    b = spark.createDataFrame(
+        [(1, "same", 4), (2, "new", 3), (9, "born", 4)],
+        "id long, text string, n long",
+    )
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.parquet(ra)
+    b.write.parquet(rb)
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(spark, ra, rb, ["id"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 9: "added"}
