@@ -2070,6 +2070,137 @@ def text_bpe_learn(spark, sf_dir):
     return bpe_learn(_t(spark, sf_dir, "documents"), num_merges=_BPE_LEARN_K)
 
 
+def _bpe_pipeline_sql(k: int) -> str:
+    """Composed learn-then-apply oracle: the learner's recursive seg
+    CTE (=_bpe_learn_sql) yields the rank-ordered merge keys, a second
+    recursive CTE applies THAT learned table to the vocabulary (the
+    apply loop referencing mk.keys instead of a literal list — DuckDB
+    allows multiple recursive CTEs, each self-referencing only itself),
+    and the corpus re-joins segmentations like _bpe_sql."""
+    fold_learn = (
+        "list_reduce(string_split(s, ' '), (acc, x) -> CASE WHEN "
+        "x = string_split(best_pair, ' ')[2] AND "
+        "(acc = string_split(best_pair, ' ')[1] OR "
+        "ends_with(acc, ' ' || string_split(best_pair, ' ')[1])) "
+        "THEN acc || x ELSE acc || ' ' || x END)"
+    )
+    minr_apply = (
+        "list_min(list_filter("
+        "[list_position(mk.keys, p[1] || ' ' || p[2]) "
+        "FOR p IN list_zip(string_split(s, ' '), string_split(s, ' ')[2:])], "
+        "x -> x > 0))"
+    )
+    return f"""
+    WITH RECURSIVE vocab AS (
+      SELECT word, count(*)::BIGINT AS wc
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> len(x) > 0)) AS word
+        FROM documents
+      ) GROUP BY word
+    ),
+    seg AS (
+      SELECT 0 AS it, word, wc,
+             array_to_string([substr(word, i, 1)
+                              FOR i IN range(1, len(word)+1)], ' ') AS s,
+             NULL::VARCHAR AS best_l, NULL::VARCHAR AS best_r,
+             NULL::BIGINT AS best_c
+      FROM vocab
+      UNION ALL
+      SELECT it + 1, word, wc,
+             CASE WHEN best_pair IS NULL THEN s ELSE {fold_learn} END AS s,
+             string_split(best_pair, ' ')[1],
+             string_split(best_pair, ' ')[2], best_cnt
+      FROM (
+        SELECT DISTINCT it, word, wc, s,
+               first_value(CASE WHEN pcnt IS NULL THEN NULL ELSE pair END)
+                 OVER (ORDER BY pcnt DESC NULLS LAST, pair) AS best_pair,
+               first_value(pcnt)
+                 OVER (ORDER BY pcnt DESC NULLS LAST, pair) AS best_cnt
+        FROM (
+          SELECT it, word, wc, s, pair,
+                 CASE WHEN pair IS NULL THEN NULL
+                      ELSE sum(wc) OVER (PARTITION BY pair) END AS pcnt
+          FROM (
+            SELECT it, word, wc, s, unnest(list_concat(
+              [syms[i] || ' ' || syms[i+1] FOR i IN range(1, len(syms))],
+              [NULL])) AS pair
+            FROM (SELECT it, word, wc, s, string_split(s, ' ') AS syms
+                  FROM seg)
+          )
+        )
+      )
+      WHERE it < {k} AND best_pair IS NOT NULL
+    ),
+    mk AS (
+      SELECT list(best_l || ' ' || best_r ORDER BY it) AS keys
+      FROM (SELECT DISTINCT it, best_l, best_r FROM seg WHERE it >= 1)
+    ),
+    ap AS (
+      SELECT word,
+             array_to_string([substr(word, i, 1)
+                              FOR i IN range(1, len(word)+1)], ' ') AS s
+      FROM vocab
+      UNION ALL
+      SELECT word,
+             list_reduce(string_split(s, ' '),
+               (acc, x) -> CASE
+                 WHEN x = r AND (acc = l OR ends_with(acc, ' ' || l))
+                 THEN acc || x ELSE acc || ' ' || x END) AS s
+      FROM (
+        SELECT word, s,
+               string_split(mk.keys[minr], ' ')[1] AS l,
+               string_split(mk.keys[minr], ' ')[2] AS r
+        FROM (SELECT word, s, {minr_apply} AS minr FROM ap, mk), mk
+        WHERE minr IS NOT NULL
+      )
+    ),
+    final AS (
+      SELECT word, s
+      FROM (SELECT word, s, {minr_apply} AS minr FROM ap, mk)
+      WHERE minr IS NULL
+    ),
+    w AS (
+      SELECT doc_id, unnest(toks) AS word,
+             generate_subscripts(toks, 1) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> len(x) > 0) AS toks
+        FROM documents
+      )
+    )
+    SELECT w.doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(len(string_split(f.s, ' ')))::BIGINT AS n_bpe_tokens,
+           string_agg(f.s, ' ' ORDER BY w.pos) AS bpe_text
+    FROM w JOIN final f USING (word)
+    GROUP BY w.doc_id
+    """
+
+
+@register("pipeline_bpe_train_apply", _bpe_pipeline_sql(_BPE_LEARN_K))
+def pipeline_bpe_train_apply(spark, sf_dir):
+    """END-TO-END tokenizer pipeline: LEARN a merge table from the
+    corpus (text_bpe_learn's loop), then APPLY it back to the same
+    corpus (text_bpe_apply's vocabulary-factored apply) — train your
+    tokenizer and tokenize with it, entirely in-engine. The learned
+    table transits the driver as num_merges rows (bounded by
+    construction); everything else is the two proven vocab-factored
+    loops. The oracle chains both recursive CTEs, the apply referencing
+    the LEARNED key list instead of a literal table."""
+    from poc_spark.operators.textstats import bpe_apply, bpe_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = tuple(
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_learn(docs, num_merges=_BPE_LEARN_K)
+        .orderBy("rank")
+        .collect()
+    )
+    return bpe_apply(docs, merges)
+
+
 @register("text_bpe_apply", _bpe_sql())
 def text_bpe_apply(spark, sf_dir):
     """REAL merge-table BPE applied to every document (VERDICT r5 #5):
@@ -5220,6 +5351,10 @@ _TAIL = [
     # fingerprinting witnessed in-head by the sampling family's md5-60
     # buckets and dedup_exact's sha2 (r2-green)
     "text_fingerprint",
+    # sim_knn_brute demoted for pipeline_bpe_train_apply: exact-kNN
+    # capability witnessed in-head by sim_knn_join's tiled grid (same
+    # kernel arithmetic, r6-green)
+    "sim_knn_brute",
     "op_graph_flagship",
     "op_graph_partitioned",
     "q1_pricing_summary",
