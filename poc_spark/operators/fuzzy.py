@@ -82,10 +82,9 @@ def edit_distance_join(
     )
     idx = long_side.select(
         F.col("id").alias("id_a"),
-        F.col("s").alias("s_a"),
         F.col("len").alias("len_a"),
         F.explode(seg_structs).alias("g"),
-    ).select("id_a", "s_a", "len_a", F.col("g.i").alias("i"), F.col("g.seg").alias("seg"))
+    ).select("id_a", "len_a", F.col("g.i").alias("i"), F.col("g.seg").alias("seg"))
 
     # probe side: (la, i, d) grid per string; substring at the shifted
     # expected position, kept only when fully inside the string
@@ -125,22 +124,35 @@ def edit_distance_join(
         )
         .select(
             "id_b",
-            "s_b",
             la.alias("len_a"),
             i_.alias("i"),
             F.substring(F.col("s_b"), start + 1, slen).alias("seg"),
         )
     )
 
-    dist = F.levenshtein(F.col("s_a"), F.col("s_b"))
-    cand = (
+    # candidates narrow to ID PAIRS before the dedupe: real name data
+    # has constant prefixes ("Customer#..."), which makes one segment
+    # collide for every same-length pair — the candidate set degenerates
+    # toward all-pairs, and a distinct over rows CARRYING both strings
+    # shuffles the strings once per duplicate candidate (measured ~17 s
+    # at sf0.1). Dedupe 16-byte id pairs instead (id_a < id_b first —
+    # the lemma holds in both orientations, so half the rows), then
+    # attach the two strings back with ordinary hash joins (AQE
+    # broadcasts the name table when it is small) and verify last.
+    cand_ids = (
         idx.join(probe, ["len_a", "i", "seg"])
-        .select("id_a", "id_b", "s_a", "s_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
-    long_pairs = cand.filter(
-        (F.col("id_a") < F.col("id_b")) & (dist <= F.lit(k))
-    ).select("id_a", "id_b", dist.cast("long").alias("dist"))
+    names = long_side.select("id", "s")
+    dist = F.levenshtein(F.col("s_a"), F.col("s_b"))
+    long_pairs = (
+        cand_ids.join(names.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")), "id_a")
+        .join(names.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")), "id_b")
+        .filter(dist <= F.lit(k))
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
+    )
 
     # short stratum + short×long cross: LENGTH-band block, expressed as
     # an EQUI-join (one side explodes its ±k band, the other joins on
