@@ -3137,6 +3137,69 @@ def lake_snapshot_diff(spark, sf_dir):
     )
 
 
+@register(
+    "stream_hourly_counts",
+    """
+    SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
+           event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_hourly_counts(spark, sf_dir):
+    """STRUCTURED STREAMING inside the correctness gate (every earlier
+    round noted streaming had no driver-visible evidence — this closes
+    it): the events table is consumed through a real FileStreamSource →
+    tumbling 1-hour window aggregate → availableNow trigger → memory
+    sink, and the terminal state is returned as the entry's DataFrame.
+    Complete-mode final state equals the batch aggregation REGARDLESS
+    of how the trigger split micro-batches, so the check is
+    deterministic while still exercising the streaming machinery
+    (source offsets, window assignment, state store). Watermark
+    LATE-DROP semantics can't be driver-checked this way (a single
+    availableNow pass has no late data by construction) — those stay
+    pinned by the streaming pytest differentials. At 100 TB the memory
+    sink becomes a real sink (kafka/parquet); the bounded per-(hour,
+    type) aggregate is what makes it safe here."""
+    import uuid
+
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    file_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        # same ns -> us NTZ conversion as sources/catalog.load_table
+        stream = stream.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, `ts` div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    qname = "stream_hourly_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 @register("sink_hive_partitioned", _hive_oracle("sf0.01"))
 def sink_hive_partitioned(spark, sf_dir):
     """Hive-partitioned parquet lake layout — THE 100 TB scan-avoidance
@@ -5355,6 +5418,10 @@ _TAIL = [
     # capability witnessed in-head by sim_knn_join's tiled grid (same
     # kernel arithmetic, r6-green)
     "sim_knn_brute",
+    # op_agg_wordfreq demoted for stream_hourly_counts: explode+count
+    # aggregation witnessed in-head by text_token_count and op_topk
+    # (r2-green)
+    "op_agg_wordfreq",
     "op_graph_flagship",
     "op_graph_partitioned",
     "q1_pricing_summary",

@@ -146,3 +146,29 @@ def test_windowed_counts_drop_late_data(spark, tmp_path_repo):
     # window appears exactly once
     assert got2[("2023-10-01 09:00:00", "Alice")] == 2
     assert got2[("2023-10-01 10:00:00", "Bob")] == 1
+
+
+def test_stream_hourly_counts_equals_batch(spark, sf_dir):
+    """The gate's streaming entry: availableNow + complete-mode memory
+    sink terminal state == the plain batch aggregation, and the plan is
+    genuinely streaming (a StreamingQuery ran to completion)."""
+    import pyspark.sql.functions as F
+
+    from poc_spark.contract import stream_hourly_counts
+    from poc_spark.sources.catalog import load_table
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in stream_hourly_counts(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch and len(got) > 0
