@@ -5422,13 +5422,17 @@ _TAIL = [
     # aggregation witnessed in-head by text_token_count and op_topk
     # (r2-green)
     "op_agg_wordfreq",
+    # text_token_count + text_chunking demoted to window the conf-knob
+    # change to dedup_ngram_jaccard / dedup_containment (r6-changed must
+    # sit in-window): token counting witnessed in-head by text_doc_stats,
+    # chunking by pipeline_training_prep's chunk stage (both r2-green)
+    "text_token_count",
+    "text_chunking",
     "op_graph_flagship",
     "op_graph_partitioned",
     "q1_pricing_summary",
     "q_grouping_sets",
     "q_intersect",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
     "dedup_url",
     "dedup_minhash_lsh",
     "sim_ann_lsh",
