@@ -757,3 +757,30 @@ def test_span_ops_zero_token_docs(spark):
            for r in remove_duplicated_spans(df, n=3).collect()}
     assert rem[1] == (0, 0, "") and rem[2] == (0, 0, "")
     assert rem[3] == (6, 0, "only real doc here with words")
+
+
+def test_shared_pairs_artifact_equals_live(spark, sf_dir):
+    """The persisted pair artifact the composed entries read must be
+    bit-equal to a live minhash_lsh_pairs run with the same parameters,
+    and its path must encode those parameters (a knob change can never
+    silently reuse a stale artifact)."""
+    import shutil
+
+    from poc_spark import contract
+    from poc_spark.operators.dedup import minhash_lsh_pairs
+
+    path = contract.lsh_pairs_path(sf_dir)
+    assert "t07_h64_b16" in path  # parameters are part of the layout
+    shutil.rmtree(path, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shared = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in contract._lsh_pairs_shared(spark, sf_dir).collect()
+    }
+    live = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.7, num_hashes=64, bands=16
+        ).collect()
+    }
+    assert shared == live and len(shared) > 0
