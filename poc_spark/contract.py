@@ -3623,6 +3623,76 @@ def dedup_minhash_clusters(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_report",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(a.s || b.s)), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(a.s || b.s)), 6) >= 0.7
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    lab AS (
+      SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+    ),
+    mem AS (
+      SELECT cluster, count(*)::BIGINT AS n_members
+      FROM lab GROUP BY cluster
+    ),
+    edges AS (
+      SELECT l.cluster, count(*)::BIGINT AS n_edges,
+             min(p.jaccard) AS min_jaccard,
+             max(p.jaccard) AS max_jaccard
+      FROM pairs p JOIN lab l ON p.id_a = l.id
+      GROUP BY l.cluster
+    )
+    SELECT m.cluster, m.n_members, e.n_edges, e.min_jaccard, e.max_jaccard
+    FROM mem m JOIN edges e USING (cluster)
+    """,
+)
+def dedup_cluster_report(spark, sf_dir):
+    """Near-dup cluster AUDIT report — what a data curator reviews
+    before committing a dedup policy: per cluster, member count, edge
+    count (how densely connected the group is — n_edges close to
+    n_members-1 means a chain, close to n(n-1)/2 a clique), and the
+    weakest/strongest pair similarity (a low min_jaccard flags chained
+    clusters merging dissimilar docs — the classic transitive-closure
+    failure mode worth eyeballing). Composes the persisted shared pair
+    set -> components -> two aggregates; min/max are order-free, so no
+    float-fold discipline is needed."""
+    from poc_spark.operators.dedup import dedup_clusters
+
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    clusters = dedup_clusters(pairs)
+    mem = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    edges = (
+        pairs.join(
+            clusters.select(F.col("id").alias("id_a"), "cluster"), "id_a"
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    return mem.join(edges, "cluster")
+
+
+@register(
     "dedup_keep_best",
     f"""
     WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
@@ -5422,6 +5492,10 @@ _TAIL = [
     # aggregation witnessed in-head by text_token_count and op_topk
     # (r2-green)
     "op_agg_wordfreq",
+    # mm_payload_stats demoted for dedup_cluster_report: binary payload
+    # aggregation witnessed in-head by mm_decode and mm_audio_energy
+    # (r2-green)
+    "mm_payload_stats",
     # text_token_count + text_chunking demoted to window the conf-knob
     # change to dedup_ngram_jaccard / dedup_containment (r6-changed must
     # sit in-window): token counting witnessed in-head by text_doc_stats,
