@@ -2905,7 +2905,16 @@ def _lsh_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted set. `dedup_minhash_lsh` itself stays a LIVE computation
     (it IS the pair generator); this helper is for the composed
     consumers. Reading back through parquet also truncates lineage for
-    the iterative cluster consumers harder than any checkpoint."""
+    the iterative cluster consumers harder than any checkpoint.
+
+    Staleness contract: the cache key is (parameters, sf_dir) via
+    lsh_pairs_path — NOT code version. A change to minhash_lsh_pairs
+    therefore does not invalidate an existing artifact by itself; what
+    pins freshness is tests/test_dedup.py's artifact-equals-live pin
+    (runs every round's gate) plus `dedup_minhash_lsh` staying a live
+    computation against the same oracle. If you change pair-generation
+    code, delete .tmp/lshpairs_* (or bump the params directory name) in
+    the same commit."""
     path = lsh_pairs_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         minhash_lsh_pairs(

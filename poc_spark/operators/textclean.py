@@ -134,7 +134,7 @@ def normalize_unicode(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, text_norm, changed) — Unicode normalization (default
+    """(<id_col>, text_norm, changed) — Unicode normalization (default
     NFC), the canonicalization every text pipeline runs before hashing
     or dedup: composed ('é') and decomposed ('e' + U+0301) spellings of
     the same grapheme otherwise hash differently and defeat exact
@@ -165,20 +165,25 @@ def normalize_unicode(
             )
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "text_norm": norm,
                     "changed": norm.ne(src) & src.notna(),
                 }
             )
 
+    # The id column passes through untouched in BOTH lanes: derive its
+    # output name AND type from the input schema (a string id must
+    # survive as a string — an earlier revision hardcoded `doc_id long`
+    # and NULLed string ids on the fast path).
+    id_type = df.schema[id_col].dataType.simpleString()
     base = df.select(F.col(id_col).alias(id_col), F.col(text_col))
     is_ascii = F.col(text_col).rlike(r"^[\x00-\x7F]*$")
     fast = base.filter(F.col(text_col).isNull() | is_ascii).select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col),
         F.col(text_col).alias("text_norm"),
         F.lit(False).alias("changed"),
     )
     slow = base.filter(F.col(text_col).isNotNull() & ~is_ascii).mapInPandas(
-        gen, "doc_id long, text_norm string, changed boolean"
+        gen, f"`{id_col}` {id_type}, text_norm string, changed boolean"
     )
     return fast.unionByName(slow)

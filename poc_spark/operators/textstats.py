@@ -622,6 +622,20 @@ def bpe_segment_vocab(
         ).localCheckpoint(eager=False)
         if state.filter(_bpe_min_rank(merge_keys).isNotNull()).count() == 0:
             break
+    else:
+        # The DuckDB recursive-CTE oracle always runs to convergence; a
+        # partial segmentation here would silently diverge from it, so
+        # non-convergence is an error, not a best-effort result. Each
+        # iteration applies >=1 merge to every non-converged word, so
+        # max_iterations bounds merges-per-word, not table size.
+        remaining = state.filter(_bpe_min_rank(merge_keys).isNotNull()).count()
+        if remaining:
+            raise RuntimeError(
+                f"bpe_segment_vocab: {remaining} words still have mergeable "
+                f"pairs after max_iterations={max_iterations}; raise the "
+                "bound (iterations needed = max merges applied to any "
+                "single word)"
+            )
     return state
 
 

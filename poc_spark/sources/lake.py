@@ -338,30 +338,48 @@ def snapshot_diff(
     added / removed / changed / unchanged by null-side and a content
     hash over the compared columns.
 
-    Plan at 100 TB: both sides project to (key, xxhash64(compare
+    Plan at 100 TB: both sides project to (key, fingerprint(compare
     columns)) — the narrowest possible shuffle — then one full outer
     hash join on the key; no value columns cross the shuffle, just the
-    64-bit fingerprints. Returns (key..., status, <coalesced carry
-    columns from the snapshots' shared columns are NOT included — keep
-    it narrow; join back by key for details>)."""
+    fingerprints. The fingerprint is TWO independently-seeded xxhash64
+    values (128 combined bits): this is billed as a regression check,
+    and a single 64-bit hash makes a changed-row false-negative a
+    2^-64-per-pair event — with two seeds the collision tolerance is
+    ~2^-128, below any realistic row count's birthday bound. Returns
+    (key..., status); value columns are deliberately NOT carried —
+    join back by key for details."""
     left = spark.read.parquet(left_root)
     right = spark.read.parquet(right_root)
     if compare_cols is None:
         shared = [c for c in left.columns if c in set(right.columns)]
         compare_cols = [c for c in shared if c not in set(key_cols)]
+    if not compare_cols:
+        raise ValueError(
+            "snapshot_diff: no compare columns — the snapshots share no "
+            "non-key columns, so changed-vs-unchanged is undefined; pass "
+            "compare_cols explicitly"
+        )
     from pyspark.sql import functions as F
 
+    cmp_cols = [F.col(c) for c in compare_cols]
     lh = left.select(
-        *key_cols, F.xxhash64(*[F.col(c) for c in compare_cols]).alias("_lh")
+        *key_cols,
+        F.xxhash64(*cmp_cols).alias("_lh"),
+        F.xxhash64(F.lit("snapdiff:seed2"), *cmp_cols).alias("_lh2"),
     )
     rh = right.select(
-        *key_cols, F.xxhash64(*[F.col(c) for c in compare_cols]).alias("_rh")
+        *key_cols,
+        F.xxhash64(*cmp_cols).alias("_rh"),
+        F.xxhash64(F.lit("snapdiff:seed2"), *cmp_cols).alias("_rh2"),
     )
     joined = lh.join(rh, key_cols, "full_outer")
     status = (
         F.when(F.col("_lh").isNull(), F.lit("added"))
         .when(F.col("_rh").isNull(), F.lit("removed"))
-        .when(F.col("_lh") != F.col("_rh"), F.lit("changed"))
+        .when(
+            (F.col("_lh") != F.col("_rh")) | (F.col("_lh2") != F.col("_rh2")),
+            F.lit("changed"),
+        )
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(*key_cols, status.alias("status"))

@@ -435,3 +435,20 @@ def test_snapshot_diff_classification(spark, tmp_path):
         for r in snapshot_diff(spark, ra, rb, ["id"]).collect()
     }
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 9: "added"}
+
+
+def test_snapshot_diff_no_compare_cols_raises(spark, tmp_path):
+    """Snapshots sharing no non-key columns: changed-vs-unchanged is
+    undefined, so the call must fail loudly instead of hashing zero
+    columns (r6 ADVICE)."""
+    import pytest
+
+    from poc_spark.sources.lake import snapshot_diff
+
+    a = spark.createDataFrame([(1, "x")], "id long, only_left string")
+    b = spark.createDataFrame([(1, 9)], "id long, only_right long")
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.parquet(ra)
+    b.write.parquet(rb)
+    with pytest.raises(ValueError, match="no compare columns"):
+        snapshot_diff(spark, ra, rb, ["id"])

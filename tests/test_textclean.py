@@ -194,3 +194,20 @@ def test_normalize_unicode_fast_path_equality(spark):
         .executedPlan().toString()
     )
     assert plan.count("MapInPandas") == 1  # only the (empty) slow lane
+
+
+def test_normalize_unicode_string_ids(spark):
+    """The id column's name and type pass through from the input schema
+    (r6 ADVICE: a hardcoded `doc_id long` NULLed string ids on the fast
+    path and broke them on the slow one)."""
+    from poc_spark.operators.textclean import normalize_unicode
+
+    df = spark.createDataFrame(
+        [("url-a", "ascii row"), ("url-b", "café")],
+        "url string, text string",
+    )
+    out = normalize_unicode(df, id_col="url")
+    assert out.schema["url"].dataType.simpleString() == "string"
+    got = {r["url"]: (r["text_norm"], r["changed"]) for r in out.collect()}
+    assert got["url-a"] == ("ascii row", False)
+    assert got["url-b"] == ("café", True)

@@ -302,6 +302,25 @@ def test_bpe_segment_vocab_hand_computed(spark):
     assert got == expected
 
 
+def test_bpe_segment_vocab_nonconvergence_raises(spark):
+    """A word still holding mergeable pairs after max_iterations must
+    raise, not silently return a partial segmentation the recursive-CTE
+    oracle (which always converges) would contradict (r6 ADVICE)."""
+    import pytest
+
+    from poc_spark.operators.textstats import bpe_segment_vocab
+
+    # 'aaaaaaaa' under the single rule (a,a) needs 3 rounds of
+    # left-to-right pair merging: 8a -> 4(aa) -> 2(aaaa) -> aaaaaaaa.
+    vocab = spark.createDataFrame([("aaaaaaaa",)], "word string")
+    merges = (("a", "a"), ("aa", "aa"), ("aaaa", "aaaa"))
+    ok = {r["word"]: r["s"]
+          for r in bpe_segment_vocab(vocab, merges, max_iterations=3).collect()}
+    assert ok == {"aaaaaaaa": "aaaaaaaa"}
+    with pytest.raises(RuntimeError, match="still have mergeable"):
+        bpe_segment_vocab(vocab, merges, max_iterations=2)
+
+
 def test_bpe_apply_doc_roundtrip(spark):
     """bpe_text preserves word order and n_bpe_tokens counts it; words
     repeat through the vocabulary broadcast without re-segmentation."""

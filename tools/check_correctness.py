@@ -75,6 +75,10 @@ def main() -> int:
     json_out = None
     confs: list[str] = []
     while argv and argv[0] in ("--json", "--conf"):
+        if len(argv) < 2:
+            print(f"usage: {argv[0]} requires a value "
+                  "(--json OUT.json | --conf key=value)")
+            return 2
         if argv[0] == "--json":
             json_out = argv[1]
         else:
@@ -82,6 +86,9 @@ def main() -> int:
             # run — used by the cross-scale gate to force the SCALE side
             # of adaptive-dispatch forks (chunked windows/ntile, open-
             # vocab jaccard/containment) against the same oracles
+            if "=" not in argv[1]:
+                print(f"usage: --conf value must be key=value, got {argv[1]!r}")
+                return 2
             confs.append(argv[1])
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
