@@ -278,6 +278,281 @@ def resize_ppm(df: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# image: real PNG synthesis + decode (zlib inflate + the five row filters)
+# ---------------------------------------------------------------------------
+
+PNG_DECODED_SCHEMA = (
+    "media_id long, width int, height int, bit_depth int, color_type int, "
+    "n_pixel_bytes long, pixel_sha string"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_encode(pixels: bytes, w: int, h: int, filt_seed: int) -> bytes:
+    """A real PNG encoder (RGB8, non-interlaced) for fixture synthesis:
+    forward-filters each scanline with filter type (filt_seed + row) % 5
+    — so a corpus of synthesized images exercises ALL FIVE standard
+    filters (None/Sub/Up/Average/Paeth) — deflates the filtered stream,
+    and wraps IHDR/IDAT/IEND with correct CRCs. PNG spec (public):
+    RFC 2083 / W3C PNG, filter math per §6."""
+    import struct
+    import zlib
+
+    bpp, stride = 3, w * 3
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        line = pixels[r * stride : (r + 1) * stride]
+        ft = (filt_seed + r) % 5
+        out.append(ft)
+        if ft == 0:
+            out += line
+        elif ft == 1:
+            out += bytes(
+                (line[x] - (line[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ft == 2:
+            out += bytes((line[x] - prev[x]) & 0xFF for x in range(stride))
+        elif ft == 3:
+            out += bytes(
+                (line[x] - (((line[x - bpp] if x >= bpp else 0) + prev[x]) >> 1))
+                & 0xFF
+                for x in range(stride)
+            )
+        else:
+            out += bytes(
+                (
+                    line[x]
+                    - _png_paeth(
+                        line[x - bpp] if x >= bpp else 0,
+                        prev[x],
+                        prev[x - bpp] if x >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corrupt_every: int | None = 17,
+) -> DataFrame:
+    """(media_id, payload) — a REAL binary PNG table synthesized from
+    documents: each payload is a spec-valid PNG (RGB8, IHDR/IDAT/IEND,
+    correct CRC32s, per-row filter type cycling through all five
+    standard filters) whose DECODED pixel bytes are content-derived:
+    unhex of the repeated md5 hex of the text, truncated to w*h*3. The
+    container needs zlib (deflate + CRC) so synthesis runs in the same
+    Arrow-batched mapInPandas lane the decoder uses — but the decoded
+    CONTENT stays reconstructible algebraically in SQL, which is what
+    makes decode_png oracle-able end-to-end despite the compression.
+
+    Rows with id % corrupt_every == 0 are TRUNCATED (last 10 bytes
+    dropped — a torn download) and NULL text yields a NULL payload, so
+    the corpus always carries quarantine cases for the decoder."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                if text is None:
+                    rows.append((did, None))
+                    continue
+                w, h = 4 + did % 13, 3 + did % 7
+                npix = w * h * 3
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest() * 41
+                payload = _png_encode(
+                    bytes.fromhex(hx[: npix * 2]), w, h, filt_seed=did
+                )
+                if corrupt_every and did % corrupt_every == 0:
+                    payload = payload[:-10]
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, "media_id long, payload binary"
+    )
+
+
+def _png_defilter(data: bytes, w: int, h: int, bpp: int) -> bytes:
+    """Reverse the five standard PNG row filters (spec §6). None/Sub/Up
+    are numpy-vectorized per scanline (Sub's recon[x] = raw[x] +
+    recon[x-bpp] is a per-channel cumsum mod 256); Average and Paeth
+    carry an inherent left-to-right data dependency and run as per-byte
+    loops — cost is linear in pixel bytes either way, and each image
+    decodes independently inside its Arrow batch."""
+    import numpy as np
+
+    stride = w * bpp
+    if len(data) != (stride + 1) * h:
+        raise ValueError("inflated size mismatch")
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zeros = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        ft = data[pos]
+        line = np.frombuffer(data[pos + 1 : pos + 1 + stride], dtype=np.uint8)
+        pos += 1 + stride
+        prev = recon[r - 1] if r else zeros
+        if ft == 0:
+            recon[r] = line
+        elif ft == 1:
+            cs = np.cumsum(line.reshape(w, bpp).astype(np.int64), axis=0)
+            recon[r] = (cs & 0xFF).astype(np.uint8).reshape(stride)
+        elif ft == 2:
+            recon[r] = line + prev  # uint8 wraps = mod 256
+        elif ft == 3:
+            out = recon[r]
+            for x in range(stride):
+                a = int(out[x - bpp]) if x >= bpp else 0
+                out[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:
+            out = recon[r]
+            for x in range(stride):
+                a = int(out[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                out[x] = (int(line[x]) + _png_paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+    return recon.tobytes()
+
+
+def _parse_png(buf: bytes) -> tuple:
+    """A real (minimal) PNG decoder: signature, chunk walk with CRC32
+    verification on every chunk, IHDR validation (8-bit greyscale or
+    RGB, no interlace), multi-IDAT concatenation, zlib inflate, and
+    full defiltering of all five row filters. Any corruption —
+    truncation, bad CRC, bad deflate stream, size mismatch — returns
+    the all-null row (quarantine, never a raised task failure)."""
+    import hashlib
+    import struct
+    import zlib
+
+    try:
+        if buf[:8] != _PNG_SIG:
+            raise ValueError("bad signature")
+        pos, ihdr, idat, saw_iend = 8, None, bytearray(), False
+        while pos + 8 <= len(buf):
+            (length,) = struct.unpack(">I", buf[pos : pos + 4])
+            ctype = buf[pos + 4 : pos + 8]
+            body = buf[pos + 8 : pos + 8 + length]
+            crc_bytes = buf[pos + 8 + length : pos + 12 + length]
+            if len(body) != length or len(crc_bytes) != 4:
+                raise ValueError("truncated chunk")
+            (crc,) = struct.unpack(">I", crc_bytes)
+            if zlib.crc32(ctype + body) != crc:
+                raise ValueError(f"bad CRC in {ctype!r}")
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                saw_iend = True
+                break
+            pos += 12 + length
+        # IEND is mandatory (spec §5.6): a stream that ends before it
+        # is a torn download even when IHDR+IDAT happen to be whole
+        if ihdr is None or not idat or not saw_iend:
+            raise ValueError("missing IHDR/IDAT/IEND")
+        w, h, depth, ctype_code, comp, filt, interlace = ihdr
+        if depth != 8 or ctype_code not in (0, 2) or comp or filt or interlace:
+            raise ValueError("unsupported IHDR layout")
+        bpp = 3 if ctype_code == 2 else 1
+        recon = _png_defilter(zlib.decompress(bytes(idat)), w, h, bpp)
+        # fingerprint over the lowercase hex so a SQL oracle can
+        # recompute it from VARCHAR builtins (sha256 over the same text)
+        return (
+            w,
+            h,
+            depth,
+            ctype_code,
+            len(recon),
+            hashlib.sha256(recon.hex().encode("ascii")).hexdigest(),
+        )
+    except Exception:
+        return (None, None, None, None, None, None)
+
+
+def decode_png(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode over mapInPandas — the
+    real-world-codec milestone beyond decode_ppm: PNG containers
+    (signature, CRC-verified chunk walk, zlib inflate, all five
+    standard row filters reversed) parsed per batch with stdlib
+    zlib + numpy only. Output is dims + layout + a pixel-content
+    fingerprint; corrupt/truncated payloads degrade to all-null rows
+    so one torn blob never fails a 100 TB scan. Same batch/partition
+    story as decode_ppm: payloads never transit the driver, batches
+    stay columnar, and spark.sql.execution.arrow.maxRecordsPerBatch
+    bounds batch memory for large blobs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (
+                    mid,
+                    *(
+                        _parse_png(bytes(payload))
+                        if payload is not None
+                        else (None, None, None, None, None, None)
+                    ),
+                )
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "bit_depth",
+                    "color_type",
+                    "n_pixel_bytes",
+                    "pixel_sha",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=PNG_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # audio: real RIFF/WAVE synthesis + parse + windowed frame energy
 # ---------------------------------------------------------------------------
 
