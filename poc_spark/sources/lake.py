@@ -229,37 +229,170 @@ def read_orc(
     return spark.read.schema(schema).orc(path)
 
 
+# ---------------------------------------------------------------------------
+# atomic publish: version-pointer commits for in-place tree rewrites
+# ---------------------------------------------------------------------------
+#
+# In-place mutation of a parquet tree (dynamic partition overwrite,
+# overwrite-mode compaction) deletes files a concurrent reader may have
+# already listed — the reader then sees a half-rewritten tree or dies
+# with FAILED_READ_FILE. On a POSIX filesystem the standard cure is a
+# VERSION POINTER: the table path is a symlink to an immutable
+# versioned directory (`tree -> tree.v000001`); a writer builds the
+# next version beside it (hardlinking untouched files — O(1) per file,
+# no data copy — and staging rewritten partitions), then republishes
+# with one atomic symlink replace. Readers resolve the pointer once
+# and see a complete old tree or a complete new tree, never a mix; a
+# writer crash before the flip leaves the current version untouched.
+# This is the filesystem analogue of a Delta/Iceberg manifest commit —
+# on object stores (s3://...) there is no atomic rename, so there the
+# manifest/log IS the answer and these helpers refuse the path.
+
+_VERSION_RE = r"\.v(\d{6})$"
+
+
+def _require_local(root: str, op: str) -> None:
+    if "://" in root:
+        raise ValueError(
+            f"{op}: atomic version-pointer publish needs POSIX rename "
+            f"semantics; {root!r} is an object-store path — use a "
+            "manifest-based table format (Delta/Iceberg) there"
+        )
+
+
+def _ensure_versioned(root: str) -> str:
+    """Migrate a plain directory to the pointer layout (one-time) and
+    return the CURRENT immutable version directory. The migration
+    rename has a sub-millisecond absence window; it happens once per
+    tree, before any concurrent-reader guarantee is claimed.
+
+    Migration numbers past any existing `root.vNNNNNN` sibling: a tree
+    REPLACED by a plain write (Spark's overwrite swaps the symlink for
+    a real directory) or a crash can leave stale version dirs, and
+    renaming onto one would fail — start a fresh generation instead."""
+    import os
+    import re
+
+    if os.path.islink(root):
+        cur = os.path.join(os.path.dirname(root), os.readlink(root))
+        if not os.path.isdir(cur):
+            raise ValueError(
+                f"version pointer {root} -> {os.readlink(root)} is "
+                "dangling; restore or delete the pointer"
+            )
+        return cur
+    parent, base = os.path.split(root)
+    existing = [
+        int(m.group(1))
+        for e in os.listdir(parent or ".")
+        if (m := re.fullmatch(re.escape(base) + _VERSION_RE[:-1], e))
+    ]
+    v1 = f"{root}.v{max(existing, default=0) + 1:06d}"
+    os.rename(root, v1)
+    tmp = f"{root}.ptr.tmp"
+    if os.path.lexists(tmp):
+        os.unlink(tmp)
+    os.symlink(os.path.basename(v1), tmp)
+    os.replace(tmp, root)
+    return v1
+
+
+def _next_version_dir(root: str, cur: str) -> str:
+    import re
+
+    m = re.search(_VERSION_RE, cur)
+    n = int(m.group(1)) if m else 1
+    return f"{root}.v{n + 1:06d}"
+
+
+def _publish_version(root: str, new_dir: str) -> None:
+    """Atomically repoint `root` at `new_dir` (symlink replace — the
+    one rename readers can never observe half-done), then prune
+    versions older than the PREVIOUS one (kept for readers that
+    resolved the pointer just before the flip)."""
+    import os
+    import re
+    import shutil
+
+    tmp = f"{root}.ptr.tmp"
+    if os.path.lexists(tmp):
+        os.unlink(tmp)
+    os.symlink(os.path.basename(new_dir), tmp)
+    os.replace(tmp, root)
+    parent, base = os.path.split(root)
+    versions = sorted(
+        e
+        for e in os.listdir(parent or ".")
+        if re.fullmatch(re.escape(base) + _VERSION_RE[:-1], e)
+    )
+    for stale in versions[:-2]:
+        shutil.rmtree(os.path.join(parent, stale), ignore_errors=True)
+
+
+def _hardlink_tree(src: str, dst: str) -> None:
+    """Mirror `src` under `dst` with hardlinks — new directory entries
+    over the SAME immutable data blocks (bytes provably shared: same
+    inode). O(#files) metadata ops, zero data movement."""
+    import os
+
+    os.makedirs(dst, exist_ok=True)
+    with os.scandir(src) as it:
+        for e in it:
+            if e.is_dir():
+                _hardlink_tree(e.path, os.path.join(dst, e.name))
+            else:
+                os.link(e.path, os.path.join(dst, e.name))
+
+
 def merge_upsert_partitioned(
     spark: SparkSession,
     root: str,
     updates: DataFrame,
     key_col: str,
     partition_col: str,
+    _pre_publish_hook=None,
 ) -> list[str]:
     """COPY-ON-WRITE MERGE INTO a hive-partitioned tree (the Delta /
     Iceberg `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
     INSERT` shape, re-expressed on plain parquet): upsert `updates`
     by `key_col`, rewriting ONLY the partitions that hold an old
     version of an updated key or receive new rows — every other
-    partition's files are untouched bytes.
+    partition's data bytes are carried into the new version as
+    hardlinks (same inodes, zero copy).
 
-    Mechanics:
+    Mechanics (atomic version-pointer commit — see module section):
       1. affected = partitions named by the updates ∪ partitions whose
          EXISTING rows match an update key (a key may move partitions:
          its old partition is rewritten without it, its new partition
          with it). Both probes are partition-column DISTINCTs —
          bounded by the lake layout's low-cardinality contract, the
          same reason hive partitioning works at all.
-      2. one dataframe = (affected-partition rows, update keys
-         anti-joined away) ∪ updates, written with DYNAMIC partition
-         overwrite — Spark replaces exactly the partitions present in
-         the output and leaves the rest of the tree alone.
+      2. the merge output — (affected-partition rows, update keys
+         anti-joined away) ∪ updates — is STAGED to a sibling
+         directory. The current version is immutable, so the
+         self-referential-write hazard (and the localCheckpoint
+         barrier the in-place form needed) does not exist.
+      3. the next version directory = hardlinks of every untouched
+         partition + the staged affected partitions renamed in; a
+         partition the merge EMPTIES is simply never added. One
+         atomic symlink replace publishes it.
 
-    At 100 TB this is the write-amplification profile that matters:
-    cost scales with the affected partitions' bytes, not the table's.
-    Returns the affected partition values (sorted, as strings)."""
-    tree = spark.read.parquet(root)
+    Concurrent readers see the complete old tree or the complete new
+    tree, never a mix (pinned in tests/test_lake.py with a
+    pre-publish hook). At 100 TB the write-amplification profile is
+    unchanged: rewrite cost scales with the affected partitions'
+    bytes, carry cost is O(#files) metadata. Returns the affected
+    partition values (sorted, as strings). `_pre_publish_hook` is a
+    test seam, called after staging and before the flip."""
+    import os
+    import shutil
+    import uuid
+
     from pyspark.sql import functions as F
+
+    _require_local(root, "merge_upsert_partitioned")
+    cur = _ensure_versioned(root)
+    tree = spark.read.parquet(cur)
 
     up_parts = {
         str(r[0]) for r in updates.select(partition_col).distinct().collect()
@@ -276,53 +409,81 @@ def merge_upsert_partitioned(
     affected = sorted(up_parts | old_parts)
     if not affected:
         return []
-    # materialize BEFORE the write: the merge output reads the very
-    # files the dynamic overwrite replaces (self-referential write).
-    # Without the barrier, any post-write execution of this plan — the
-    # write's own task retries included — would re-list deleted part
-    # files and FAILED_READ_FILE (measured). The checkpoint holds only
-    # the AFFECTED partitions' rows, i.e. exactly the rewrite set; at
-    # real cluster scale, stage to a sibling directory and swap instead
-    # of holding the rewrite set in the block manager.
     merged = (
         tree.filter(F.col(partition_col).cast("string").isin(affected))
         .join(F.broadcast(updates.select(key_col)), key_col, "left_anti")
         .unionByName(updates.select(*tree.columns))
-    ).localCheckpoint(eager=True)
-    # dynamic overwrite only replaces partitions PRESENT in the output:
-    # a partition the merge leaves EMPTY (its only rows moved elsewhere)
-    # keeps its stale files unless deleted explicitly (pinned in
-    # test_merge_upsert_key_moves_partition). Compute pre-write.
-    present = {
-        str(r[0])
-        for r in merged.select(partition_col).distinct().collect()
-    }
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(root)
     )
-    for value in set(affected) - present:
-        _delete_dir(spark, f"{root}/{partition_col}={value}")
-    # the session FileStatusCache still lists the replaced part files —
-    # a subsequent read of the tree would FAILED_READ_FILE on them
+    stage = f"{root}.stage-{uuid.uuid4().hex[:8]}"
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            stage
+        )
+        new_dir = _next_version_dir(root, cur)
+        shutil.rmtree(new_dir, ignore_errors=True)  # orphan from a crash
+        os.makedirs(new_dir)
+        prefix = f"{partition_col}="
+        with os.scandir(cur) as it:
+            for e in it:
+                if e.is_dir() and e.name.startswith(prefix):
+                    if e.name[len(prefix):] in set(affected):
+                        continue  # rewritten (or emptied) below
+                    _hardlink_tree(e.path, os.path.join(new_dir, e.name))
+                elif e.is_file():
+                    os.link(e.path, os.path.join(new_dir, e.name))
+        with os.scandir(stage) as it:
+            for e in it:
+                if e.is_dir() and e.name.startswith(prefix):
+                    os.rename(e.path, os.path.join(new_dir, e.name))
+        if _pre_publish_hook is not None:
+            _pre_publish_hook()
+        _publish_version(root, new_dir)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    # the session FileStatusCache still lists the old pointer target
     spark.catalog.refreshByPath(root)
     return affected
 
 
-def _delete_dir(spark: SparkSession, path: str) -> None:
-    """Recursive directory delete; same local/remote split as
-    _list_parquet_sizes (os path locally, Hadoop FS for schemes)."""
-    if "://" not in path:
-        import shutil
+def compact_inplace(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    _pre_publish_hook=None,
+) -> int:
+    """In-place small-files compaction with the same atomic
+    version-pointer commit as merge_upsert_partitioned: the compacted
+    rewrite lands in the next version directory and one symlink
+    replace publishes it, so a reader mid-compaction sees the old
+    fragmented tree or the new compacted one — never a partially
+    deleted directory (which is exactly what overwrite-mode in-place
+    compaction produces). Sizing math identical to compact():
+    ceil(listing bytes / target_bytes) round-robin files. Returns n."""
+    import math
 
-        shutil.rmtree(path, ignore_errors=True)
-        return
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(conf).delete(p, True)
+    _require_local(root, "compact_inplace")
+    cur = _ensure_versioned(root)
+    total = sum(_list_parquet_sizes(spark, cur))
+    if total == 0:
+        raise ValueError(
+            f"compact_inplace: no .parquet files directly under {root}; "
+            "for partitioned trees, compact per partition directory"
+        )
+    n = max(1, math.ceil(total / target_bytes))
+    new_dir = _next_version_dir(root, cur)
+    import shutil
+
+    shutil.rmtree(new_dir, ignore_errors=True)
+    # the unpublished version dir is invisible to readers: safe to
+    # write into directly, and a crash here leaves only an orphan
+    spark.read.parquet(cur).repartition(n).write.mode("overwrite").parquet(
+        new_dir
+    )
+    if _pre_publish_hook is not None:
+        _pre_publish_hook()
+    _publish_version(root, new_dir)
+    spark.catalog.refreshByPath(root)
+    return n
 
 
 def snapshot_diff(

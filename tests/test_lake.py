@@ -452,3 +452,163 @@ def test_snapshot_diff_no_compare_cols_raises(spark, tmp_path):
     b.write.parquet(rb)
     with pytest.raises(ValueError, match="no compare columns"):
         snapshot_diff(spark, ra, rb, ["id"])
+
+
+# ---------------------------------------------------------------------------
+# atomic version-pointer publish (VERDICT r6 #5)
+# ---------------------------------------------------------------------------
+
+
+def _tree_content(spark, root):
+    return sorted(
+        (r["doc_id"], r["text"], r["lang"], r["n_chars"])
+        for r in spark.read.parquet(root).collect()
+    )
+
+
+def test_merge_upsert_reader_sees_old_or_new_never_mix(spark, tmp_path):
+    """The VERDICT r6 #5 'done' criterion: snapshot the LIVE tree (as
+    any concurrent reader resolves it, through `root`) at the moment
+    the rewrite is fully staged but not yet published — it must be
+    byte-identical to the pre-merge tree; after publish it is the
+    complete merged tree. And the untouched partition's data is
+    PROVABLY the same bytes: same inode, hardlinked across versions."""
+    import os
+
+    from poc_spark.sources.lake import (
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame(
+        [(1, "a", "en", "w", 1), (2, "b", "de", "w", 1),
+         (3, "c", "fr", "w", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    write_partitioned(base, root, ["lang"])
+    before = _tree_content(spark, root)
+    mid_snapshots = []
+
+    def hook():
+        # a "concurrent reader": list + read the tree through the
+        # pointer while the new version is fully staged
+        spark.catalog.refreshByPath(root)
+        mid_snapshots.append(_tree_content(spark, root))
+
+    updates = spark.createDataFrame(
+        [(1, "a2", "en", "w", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    merge_upsert_partitioned(
+        spark, root, updates, "doc_id", "lang", _pre_publish_hook=hook
+    )
+    assert mid_snapshots == [before]  # mid-write reader: the OLD tree
+    after = _tree_content(spark, root)
+    assert after == [(1, "a2", "en", 9), (2, "b", "de", 1),
+                     (3, "c", "fr", 1)]
+
+    # untouched partitions are hardlinks of the previous version's files
+    def inodes(d):
+        return {f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    v1, v2 = f"{root}.v000001", f"{root}.v000002"
+    assert os.path.islink(root) and os.readlink(root).endswith("v000002")
+    for part in ("lang=de", "lang=fr"):
+        assert inodes(os.path.join(v1, part)) == inodes(
+            os.path.join(v2, part)
+        )
+    # the rewritten partition is new files, not shared ones
+    assert not set(inodes(os.path.join(v1, "lang=en")).values()) & set(
+        inodes(os.path.join(v2, "lang=en")).values()
+    )
+
+
+def test_merge_upsert_crash_before_publish_leaves_old_tree(spark, tmp_path):
+    """A writer crash after staging but before the pointer flip must
+    leave the published tree untouched, and a retry must succeed."""
+    import pytest
+
+    from poc_spark.sources.lake import (
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame(
+        [(1, "a", "en", "w", 1), (2, "b", "de", "w", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    write_partitioned(base, root, ["lang"])
+    before = _tree_content(spark, root)
+    updates = spark.createDataFrame(
+        [(1, "a2", "en", "w", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def crash():
+        raise RuntimeError("writer died before publish")
+
+    with pytest.raises(RuntimeError, match="before publish"):
+        merge_upsert_partitioned(
+            spark, root, updates, "doc_id", "lang", _pre_publish_hook=crash
+        )
+    spark.catalog.refreshByPath(root)
+    assert _tree_content(spark, root) == before
+    # retry (no hook) completes and publishes
+    merge_upsert_partitioned(spark, root, updates, "doc_id", "lang")
+    assert _tree_content(spark, root) == [(1, "a2", "en", 9),
+                                          (2, "b", "de", 1)]
+
+
+def test_compact_inplace_atomic_and_cross_engine(spark, tmp_path):
+    """In-place compaction: mid-rewrite readers see the old fragmented
+    tree (same files, same content); after publish, n uniform files
+    with identical content — and DuckDB resolves the version pointer
+    like any POSIX reader (the oracle-compatibility pin)."""
+    import os
+
+    import duckdb
+
+    from poc_spark.sources.lake import compact_inplace
+
+    root = str(tmp_path / "frag")
+    df = spark.range(0, 5000).selectExpr(
+        "id AS doc_id", "repeat('x', 100) AS text"
+    )
+    df.repartition(16).write.parquet(root)
+    assert len([f for f in os.listdir(root) if f.endswith(".parquet")]) == 16
+    want = sorted(r["doc_id"] for r in spark.read.parquet(root).collect())
+    mid = []
+
+    def hook():
+        spark.catalog.refreshByPath(root)
+        files = [f for f in os.listdir(root) if f.endswith(".parquet")]
+        rows = sorted(r["doc_id"] for r in spark.read.parquet(root).collect())
+        mid.append((len(files), rows))
+
+    n = compact_inplace(
+        spark, root, target_bytes=1 << 30, _pre_publish_hook=hook
+    )
+    assert n == 1
+    assert mid == [(16, want)]  # mid-write: old fragmented tree intact
+    assert (
+        len([f for f in os.listdir(root) if f.endswith(".parquet")]) == 1
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(root).collect()
+    ) == want
+    got = duckdb.sql(
+        f"SELECT count(*), sum(doc_id) FROM read_parquet('{root}/*.parquet')"
+    ).fetchone()
+    assert got == (5000, sum(range(5000)))
+
+
+def test_atomic_publish_refuses_object_store_paths(spark):
+    import pytest
+
+    from poc_spark.sources.lake import compact_inplace
+
+    with pytest.raises(ValueError, match="manifest-based"):
+        compact_inplace(spark, "s3://bucket/tree")
