@@ -792,7 +792,17 @@ def bpe_learn(
     frequency; each iteration is one explode + one hash aggregate over
     pairs of the vocab table plus a single-row argmax collect —
     num_merges bounded driver round-trips, never a corpus rescan (the
-    corpus is read once to build the word-frequency table)."""
+    corpus is read once to build the word-frequency table).
+
+    Measured cost model (BPE_SCALE.json, r7, local[32]): the loop is
+    O(num_merges) SEQUENTIAL driver round-trips — ~1-2 Spark jobs and
+    0.22-0.36 s per merge round on a 20k-word vocabulary (the lazy
+    localCheckpoint materializes inside the argmax action), i.e. a
+    production 32k-merge vocabulary is ~3 h of driver-loop scheduling
+    regardless of cluster size. Exact BPE is inherently sequential in
+    merge order; to go faster, learn on a frequency-capped vocabulary
+    sample or batch k non-overlapping merges per round (both change
+    the learned table and are therefore policy, not defaults)."""
     words = (
         df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
