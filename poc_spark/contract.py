@@ -2357,6 +2357,50 @@ def mm_png_decode(spark, sf_dir):
 
 
 @register(
+    "mm_png_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (4 + doc_id % 13)::INT AS w,
+             (3 + doc_id % 7)::INT AS h,
+             (doc_id % 17 = 0 OR text IS NULL) AS bad,
+             substr(repeat(md5(text), 41), 1,
+                    (2 * (4 + doc_id % 13) * (3 + doc_id % 7) * 3)::INT) AS hx
+      FROM documents
+    )
+    SELECT media_id,
+           CASE WHEN bad THEN NULL ELSE w END AS width,
+           CASE WHEN bad THEN NULL ELSE h END AS height,
+           CASE WHEN bad THEN NULL ELSE 8::INT END AS out_w,
+           CASE WHEN bad THEN NULL ELSE 6::INT END AS out_h,
+           CASE WHEN bad THEN NULL ELSE sha256(array_to_string(
+             list_transform(range(0, 6 * 8 * 3), i ->
+               substr(hx,
+                      2 * (3 * ((((i // 3) // 8) * h // 6) * w
+                                + (((i // 3) % 8) * w // 8))
+                           + (i % 3)) + 1,
+                      2)),
+             '')) END AS resized_sha
+    FROM m
+    """,
+)
+def mm_png_resize(spark, sf_dir):
+    """Decode→transform COMPOSITION on the real-world codec: every
+    synthesized PNG is fully decoded (CRC walk, inflate, defilter) and
+    nearest-neighbor resized to 8×6 in one numpy gather per payload
+    (multimodal.resize_png — resize_ppm's twin one codec up). The
+    oracle replays the exact gather as substring index arithmetic over
+    the algebraically-known decoded content (2 hex chars per pixel
+    byte), so the row/col mapping AND the defiltered pixel values are
+    cross-engine verified through the resize; corrupt/NULL payloads
+    stay all-null quarantine rows."""
+    from poc_spark.operators.multimodal import resize_png, synthesize_png_media
+
+    media = synthesize_png_media(_t(spark, sf_dir, "documents"))
+    return resize_png(media, out_w=8, out_h=6)
+
+
+@register(
     "mm_frame_sample",
     """
     SELECT doc_id AS media_id,
@@ -3250,6 +3294,113 @@ def stream_hourly_counts(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+@register(
+    "stream_click_attribution",
+    """
+    WITH i AS (
+      SELECT user_id AS ad_id, ts AS imp_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id AS ad_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT c.ad_id, imp_ts, click_ts
+      FROM c JOIN i ON c.ad_id = i.ad_id
+       AND click_ts >= imp_ts
+       AND click_ts <= imp_ts + INTERVAL 24 HOURS
+    )
+    SELECT ad_id, count(*) AS n_pairs,
+           (epoch_us(max(click_ts)) % 1000000007) AS max_click_mod,
+           sum(epoch_us(click_ts) - epoch_us(imp_ts))::BIGINT
+             AS sum_delta_us
+    FROM p GROUP BY ad_id
+    """,
+)
+def stream_click_attribution(spark, sf_dir):
+    """STREAM-STREAM interval join inside the correctness gate (the r6
+    verdict noted it was pytest-differential only): impressions (view
+    events) and clicks (click events) are consumed as two REAL
+    FileStreamSources and joined by streaming/joins.attribute_clicks —
+    watermarks on both sides, two-sided time bound, per-key state —
+    under an availableNow trigger into an append-mode memory sink; the
+    sink's materialized pair set is then rolled up per ad and compared
+    to the oracle's relational interval join. An INNER stream-stream
+    join emits every match regardless of micro-batch split, and the
+    generous watermarks mean no intra-run eviction, so the terminal
+    pair set is deterministic while the streaming machinery (two
+    sources, symmetric join state, append sink) genuinely runs.
+    Watermark EVICTION semantics stay pinned by the streaming pytest
+    differentials (a single availableNow pass has no late data)."""
+    import uuid
+
+    from pyspark.sql.types import LongType
+
+    from poc_spark.streaming.joins import attribute_clicks
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    file_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+
+    def source():
+        # Watermarks demand TIMESTAMP (LTZ). Pin the naive/ns value AS
+        # a UTC instant via timestamp_micros(epoch µs) — session-
+        # timezone-proof, so unix_micros() below equals DuckDB's
+        # epoch_us() over the same naive values.
+        s = (
+            spark.readStream.schema(file_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if isinstance(s.schema["ts"].dataType, LongType):
+            s = s.withColumn("ts", F.expr("timestamp_micros(`ts` div 1000)"))
+        else:
+            s = s.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+                ),
+            )
+        return s
+
+    imps = source().filter("event_type = 'view'").select(
+        F.col("user_id").alias("ad_id"), "ts"
+    )
+    clks = source().filter("event_type = 'click'").select(
+        F.col("user_id").alias("ad_id"), "ts"
+    )
+    joined = attribute_clicks(
+        imps,
+        clks,
+        key="ad_id",
+        attribution_window="24 hours",
+        imp_watermark="90 days",
+        click_watermark="90 days",
+    )
+    qname = "stream_attr_" + uuid.uuid4().hex[:12]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = spark.table(qname)
+    return pairs.groupBy("ad_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.unix_micros(F.max("click_ts")) % F.lit(1000000007)).alias(
+            "max_click_mod"
+        ),
+        F.sum(F.unix_micros("click_ts") - F.unix_micros("imp_ts"))
+        .cast("long")
+        .alias("sum_delta_us"),
+    )
 
 
 @register("sink_hive_partitioned", _hive_oracle("sf0.01"))
@@ -5513,6 +5664,16 @@ _TAIL = [
     # registry order. Everything below is r4+-witnessed AND green in
     # this round's committed full-registry local runs; capability
     # overlap notes from earlier rotations remain in git history.
+    #
+    # r7 mid-round: two of the r4-witnessed fillers demoted for the
+    # two r7-new entries mm_png_resize (decode→resize composition on
+    # the real codec) and stream_click_attribution (stream-stream
+    # interval join in-gate). sample_pack's greedy packing stays
+    # covered by its oracle in the full local runs; text_repetition's
+    # n-gram fraction stack is capability-witnessed in-head by
+    # text_tfidf/text_bigrams' n-gram aggregates.
+    "sample_pack",
+    "text_repetition",
     "op_agg_nodes",
     "op_lag_edge",
     "op_limit_n",

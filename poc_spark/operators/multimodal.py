@@ -455,14 +455,11 @@ def _png_defilter(data: bytes, w: int, h: int, bpp: int) -> bytes:
     return recon.tobytes()
 
 
-def _parse_png(buf: bytes) -> tuple:
-    """A real (minimal) PNG decoder: signature, chunk walk with CRC32
-    verification on every chunk, IHDR validation (8-bit greyscale or
-    RGB, no interlace), multi-IDAT concatenation, zlib inflate, and
-    full defiltering of all five row filters. Any corruption —
-    truncation, bad CRC, bad deflate stream, size mismatch — returns
-    the all-null row (quarantine, never a raised task failure)."""
-    import hashlib
+def _decode_png(buf: bytes) -> tuple | None:
+    """Core PNG decode: (width, height, depth, color_type, recon_bytes)
+    — the fully defiltered pixel block — or None on ANY corruption.
+    Shared by the fingerprint parser (_parse_png) and the resize
+    kernel, so both quarantine identically."""
     import struct
     import zlib
 
@@ -497,18 +494,95 @@ def _parse_png(buf: bytes) -> tuple:
             raise ValueError("unsupported IHDR layout")
         bpp = 3 if ctype_code == 2 else 1
         recon = _png_defilter(zlib.decompress(bytes(idat)), w, h, bpp)
-        # fingerprint over the lowercase hex so a SQL oracle can
-        # recompute it from VARCHAR builtins (sha256 over the same text)
-        return (
-            w,
-            h,
-            depth,
-            ctype_code,
-            len(recon),
-            hashlib.sha256(recon.hex().encode("ascii")).hexdigest(),
-        )
+        return (w, h, depth, ctype_code, recon)
     except Exception:
+        return None
+
+
+def _parse_png(buf: bytes) -> tuple:
+    """A real (minimal) PNG decoder: signature, chunk walk with CRC32
+    verification on every chunk, IHDR validation (8-bit greyscale or
+    RGB, no interlace), multi-IDAT concatenation, zlib inflate, and
+    full defiltering of all five row filters. Any corruption —
+    truncation, bad CRC, bad deflate stream, size mismatch — returns
+    the all-null row (quarantine, never a raised task failure)."""
+    import hashlib
+
+    d = _decode_png(buf)
+    if d is None:
         return (None, None, None, None, None, None)
+    w, h, depth, ctype_code, recon = d
+    # fingerprint over the lowercase hex so a SQL oracle can recompute
+    # it from VARCHAR builtins (sha256 over the same text)
+    return (
+        w,
+        h,
+        depth,
+        ctype_code,
+        len(recon),
+        hashlib.sha256(recon.hex().encode("ascii")).hexdigest(),
+    )
+
+
+PNG_RESIZED_SCHEMA = (
+    "media_id long, width int, height int, out_w int, out_h int, "
+    "resized_sha string"
+)
+
+
+def resize_png(df: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
+    """REAL nearest-neighbor resize on DECODED PNG pixels — the
+    decode→transform composition on a real-world codec (resize_ppm's
+    twin one codec up): full PNG decode per payload (CRC walk, inflate,
+    defilter via _decode_png), then the same one-gather numpy resize —
+    src_row = floor(r·H/out_h), src_col = floor(c·W/out_w) over the
+    (H, W, bpp) plane — and a fingerprint of the resized bytes (hex-
+    hashed, so a SQL oracle replays the exact gather by substring
+    index arithmetic over the algebraically-known decoded content).
+    Corrupt payloads quarantine as all-null rows, same as decode_png."""
+    import hashlib
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = _decode_png(bytes(payload)) if payload is not None else None
+                if d is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                w, h, _, ctype_code, recon = d
+                bpp = 3 if ctype_code == 2 else 1
+                px = np.frombuffer(recon, dtype=np.uint8).reshape(h, w, bpp)
+                rr = (np.arange(out_h) * h) // out_h
+                cc = (np.arange(out_w) * w) // out_w
+                resized = px[rr][:, cc, :]
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        out_w,
+                        out_h,
+                        hashlib.sha256(
+                            resized.tobytes().hex().encode("ascii")
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "out_w",
+                    "out_h",
+                    "resized_sha",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=PNG_RESIZED_SCHEMA)
 
 
 def decode_png(df: DataFrame) -> DataFrame:

@@ -474,3 +474,37 @@ def test_png_decoder_malformed_quarantined():
     for i, c in enumerate(cases):
         out = _parse_png(c)
         assert out == (None, None, None, None, None, None), (i, out)
+
+
+def test_png_resize_ground_truth_and_quarantine():
+    """resize_png's gather must equal the direct numpy resize of the
+    known decoded pixels; corrupt payloads produce all-null rows."""
+    import hashlib
+
+    import numpy as np
+
+    from poc_spark.operators.multimodal import _png_encode, resize_png
+
+    did, w, h = 5, 4 + 5 % 13, 3 + 5 % 7  # 9 x 8
+    hx = (hashlib.md5(b"doc five").hexdigest() * 41)[: w * h * 3 * 2]
+    px = bytes.fromhex(hx)
+    png = _png_encode(px, w, h, filt_seed=did)
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    rr = (np.arange(6) * h) // 6
+    cc = (np.arange(8) * w) // 8
+    want = hashlib.sha256(
+        arr[rr][:, cc, :].tobytes().hex().encode()
+    ).hexdigest()
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({"media_id": [did, 99], "payload": [png, png[:-7]]})
+    from poc_spark.session import get_spark
+
+    spark = get_spark("test")
+    df = spark.createDataFrame(pdf)
+    got = {r["media_id"]: r for r in resize_png(df).collect()}
+    assert (got[did]["width"], got[did]["height"]) == (w, h)
+    assert got[did]["resized_sha"] == want
+    assert got[99]["resized_sha"] is None and got[99]["width"] is None
