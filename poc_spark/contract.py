@@ -3636,6 +3636,82 @@ def lake_merge_upsert(spark, sf_dir):
     return _content_agg(spark.read.parquet(root), "lang", "source")
 
 
+@register(
+    "lake_time_travel",
+    """
+    WITH up AS (
+      SELECT doc_id, text || ' v2' AS text, lang, source,
+             n_chars + 3 AS n_chars
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    merged AS (
+      SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+      FROM documents d WHERE d.doc_id % 5 <> 0
+      UNION ALL SELECT * FROM up
+    ),
+    prev AS (
+      SELECT 'prev' AS snapshot, lang, count(*) AS n_docs,
+             sum(n_chars)::BIGINT AS sum_chars,
+             sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+               AS content_sum
+      FROM documents GROUP BY lang
+    ),
+    cur AS (
+      SELECT 'cur' AS snapshot, lang, count(*) AS n_docs,
+             sum(n_chars)::BIGINT AS sum_chars,
+             sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+               AS content_sum
+      FROM merged GROUP BY lang
+    )
+    SELECT * FROM prev UNION ALL SELECT * FROM cur
+    """,
+)
+def lake_time_travel(spark, sf_dir):
+    """Time travel on the version-pointer lake (`VERSION AS OF` on
+    plain parquet — sources/lake.py read_version/list_versions): a
+    fresh partitioned base is written, one CoW merge commits an update
+    to every doc_id % 5 == 0 row, and the check then reads BOTH
+    retained snapshots — the pre-merge version by its commit number
+    and the current one through the pointer — returning per-snapshot
+    per-lang content aggregates. The oracle derives the two states
+    relationally (original table = prev, merge-emulated state = cur),
+    so this pins that published versions are immutable: the old
+    snapshot must still byte-hash to the ORIGINAL content after the
+    commit, and the pointer must serve the merged content. Reference
+    parity: the reference has no snapshot/versioning at all (its ETL
+    mutates MySQL in place, backend/main.py:380-384); this is the
+    extension lake layer's audit/reproducibility surface."""
+    from poc_spark.sources.lake import (
+        list_versions,
+        merge_upsert_partitioned,
+        read_version,
+        write_partitioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _export_path("timetravel", sf_dir)
+    # fresh base every run (the sink stale-artifact rule); the merge's
+    # publish prunes any version dirs a previous run left behind, so
+    # list_versions afterwards sees exactly [base, merged]
+    write_partitioned(docs, root, ["lang"])
+    updates = docs.filter("doc_id % 5 = 0").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(3)).alias("n_chars"),
+    )
+    merge_upsert_partitioned(spark, root, updates, "doc_id", "lang")
+    versions = list_versions(root)
+    prev = read_version(spark, root, versions[0])
+    cur = read_version(spark, root, None)
+    return _content_agg(prev, "lang").select(
+        F.lit("prev").alias("snapshot"), "*"
+    ).unionByName(
+        _content_agg(cur, "lang").select(F.lit("cur").alias("snapshot"), "*")
+    )
+
+
 def orc_export_path(sf_dir: str) -> str:
     return _export_path("orc", sf_dir)
 
@@ -5672,6 +5748,12 @@ _TAIL = [
     # covered by its oracle in the full local runs; text_repetition's
     # n-gram fraction stack is capability-witnessed in-head by
     # text_tfidf/text_bigrams' n-gram aggregates.
+    #
+    # r7 late additions (lake_time_travel, ...) each demote one more
+    # r4-witnessed filler: q_session_window's gap-based sessionization
+    # is capability-witnessed by q_user_sessions (same session_window
+    # core) and stays oracled in the full local runs.
+    "q_session_window",
     "sample_pack",
     "text_repetition",
     "op_agg_nodes",

@@ -612,3 +612,63 @@ def test_atomic_publish_refuses_object_store_paths(spark):
 
     with pytest.raises(ValueError, match="manifest-based"):
         compact_inplace(spark, "s3://bucket/tree")
+
+
+def test_time_travel_previous_version_is_frozen(spark, tmp_path):
+    """Published versions are immutable: after a commit, reading the
+    previous version number serves the PRE-commit content; the pointer
+    serves the new content; a second commit prunes the oldest version,
+    which must then raise with the retained list."""
+    import pytest
+
+    from poc_spark.sources.lake import (
+        list_versions,
+        merge_upsert_partitioned,
+        read_version,
+        version_dir,
+        write_partitioned,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame(
+        [
+            (1, "alpha", "en", "web", 5),
+            (2, "beta", "en", "web", 4),
+            (3, "gamma", "de", "web", 5),
+        ],
+        schema,
+    )
+    write_partitioned(base, root, ["lang"])
+
+    def state(df):
+        return {r["doc_id"]: (r["text"], r["n_chars"]) for r in df.collect()}
+
+    orig = state(spark.read.parquet(root))
+
+    up1 = spark.createDataFrame([(1, "alpha v2", "en", "web", 8)], schema)
+    merge_upsert_partitioned(spark, root, up1, "doc_id", "lang")
+    v_base, v_one = list_versions(root)
+
+    # time travel to the pre-commit snapshot: exact original content
+    assert state(read_version(spark, root, v_base)) == orig
+    # pointer (and version=None) serve the committed state
+    after1 = {**orig, 1: ("alpha v2", 8)}
+    assert state(read_version(spark, root, None)) == after1
+    assert state(read_version(spark, root, v_one)) == after1
+
+    # second commit: base version is pruned (retention = current+prev)
+    up2 = spark.createDataFrame([(2, "beta v3", "en", "web", 7)], schema)
+    merge_upsert_partitioned(spark, root, up2, "doc_id", "lang")
+    assert list_versions(root) == [v_one, v_one + 1]
+    with pytest.raises(ValueError, match="not retained"):
+        version_dir(root, v_base)
+    # v_one is now the frozen previous: still exactly the post-commit-1
+    # state even though the pointer moved on
+    assert state(read_version(spark, root, v_one)) == after1
+    assert state(read_version(spark, root, None)) == {
+        **after1,
+        2: ("beta v3", 7),
+    }
