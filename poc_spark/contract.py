@@ -3712,6 +3712,85 @@ def lake_time_travel(spark, sf_dir):
     )
 
 
+@register(
+    "lake_cdc_apply",
+    """
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 22 = 0 THEN 'R'
+                  WHEN o_orderkey % 5 = 0 THEN 'U'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 22 = 0 THEN 0
+                  WHEN o_orderkey % 5 = 0 THEN o_custkey + 1
+                  ELSE o_custkey END AS o_custkey
+      FROM orders
+      WHERE o_orderkey % 11 <> 0 OR o_orderkey % 22 = 0
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           sum(o_orderkey)::BIGINT AS key_sum,
+           sum(o_custkey)::BIGINT AS cust_sum
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def lake_cdc_apply(spark, sf_dir):
+    """CDC changelog compaction (sources/lake.py cdc_latest_state —
+    the Debezium-feed apply): a four-epoch changelog is synthesized
+    over orders — full insert image (seq 1), an update for every
+    o_orderkey % 5 == 0 key (seq 2), a delete tombstone for every
+    % 11 == 0 key (seq 3), and a RE-INSERT for every % 22 == 0 key
+    (seq 4, resurrecting a deleted key — the CDC semantics corner) —
+    then compacted to final state with ONE max_by(struct, seq) hash
+    aggregation (map-side partial merge; no window shuffle of the full
+    log). The oracle derives the final state independently via direct
+    relational CASE/filter logic, so last-event-wins, tombstone
+    shadowing, and re-insert resurrection are all verified against a
+    path that never sees the log. Keys in both the %5 and %11 classes
+    (e.g. 55·k) pin that a seq-3 delete beats a seq-2 update.
+    Reference parity: the reference applies row mutations imperatively
+    to MySQL (backend/main.py:380-384); this is the replayable-log
+    equivalent at lake scale."""
+    from poc_spark.sources.lake import cdc_latest_state
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    ins = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_custkey",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    upd = o.filter("o_orderkey % 5 = 0").select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_custkey") + F.lit(1)).cast("long").alias("o_custkey"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = o.filter("o_orderkey % 11 = 0").select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    reins = o.filter("o_orderkey % 22 = 0").select(
+        "o_orderkey",
+        F.lit("R").alias("o_orderstatus"),
+        F.lit(0).cast("long").alias("o_custkey"),
+        F.lit(4).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    log = ins.unionByName(upd).unionByName(dels).unionByName(reins)
+    state = cdc_latest_state(log, ["o_orderkey"], "seq", "op")
+    return state.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("o_custkey").cast("long").alias("cust_sum"),
+    )
+
+
 def orc_export_path(sf_dir: str) -> str:
     return _export_path("orc", sf_dir)
 
@@ -5752,8 +5831,11 @@ _TAIL = [
     # r7 late additions (lake_time_travel, ...) each demote one more
     # r4-witnessed filler: q_session_window's gap-based sessionization
     # is capability-witnessed by q_user_sessions (same session_window
-    # core) and stays oracled in the full local runs.
+    # core) and stays oracled in the full local runs; text_bpe_count's
+    # regex token counting is capability-witnessed in-head by the real
+    # BPE entries (text_bpe_apply/learn) and text_token_count.
     "q_session_window",
+    "text_bpe_count",
     "sample_pack",
     "text_repetition",
     "op_agg_nodes",

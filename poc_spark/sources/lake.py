@@ -605,3 +605,50 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(*key_cols, status.alias("status"))
+
+
+def cdc_latest_state(
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Changelog compaction (the Debezium/CDC-feed apply): given a log
+    of insert/update/delete events carrying full row images and a
+    per-key total-ordering sequence column, derive the final table
+    state — the LAST event per key wins, and a key whose last event is
+    a delete is absent (a later re-insert resurrects it, the standard
+    CDC semantics). Returns key columns + data columns; `seq_col` and
+    `op_col` are consumed.
+
+    Plan at 100 TB: ONE hash aggregation on the key — `max_by(struct
+    (op, data...), seq)` — with map-side partial merge, so each
+    executor pre-compacts its slice of the log before the shuffle and
+    only one candidate row per (task, key) crosses the wire. That
+    beats the window-rank formulation (row_number over key), which
+    shuffles every log event. Deletes are filtered AFTER the argmax so
+    tombstones correctly shadow earlier images.
+
+    Correctness contract: `seq_col` must be a total order per key
+    (duplicate (key, seq) pairs make the argmax nondeterministic —
+    upstream CDC systems guarantee this via LSN/offset). Reference
+    parity: the reference mutates MySQL in place per row
+    (backend/main.py:380-384); this is the replayable-log equivalent.
+    """
+    from pyspark.sql import functions as F
+
+    consumed = set(key_cols) | {seq_col, op_col}
+    data_cols = [c for c in changelog.columns if c not in consumed]
+    last = changelog.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(
+                F.col(op_col).alias("_op"),
+                *[F.col(c) for c in data_cols],
+            ),
+            F.col(seq_col),
+        ).alias("_last")
+    )
+    return last.filter(F.col("_last._op") != delete_op).select(
+        *key_cols, *[F.col(f"_last.{c}").alias(c) for c in data_cols]
+    )

@@ -672,3 +672,32 @@ def test_time_travel_previous_version_is_frozen(spark, tmp_path):
         **after1,
         2: ("beta v3", 7),
     }
+
+
+def test_cdc_latest_state_semantics(spark):
+    """Last-event-wins, tombstone shadowing, and re-insert
+    resurrection — fed in scrambled order so only the seq column (not
+    input order) can determine the outcome. The plan must be a single
+    hash aggregation (map-side partial max_by), never a window sort."""
+    from poc_spark.sources.lake import cdc_latest_state
+
+    log = spark.createDataFrame(
+        [
+            (2, "y", 2, "U"),      # k=2: shadowed by the later delete
+            (1, "a", 1, "I"),
+            (3, "re", 4, "I"),     # k=3: resurrected after a delete
+            (2, None, 3, "D"),
+            (4, None, 1, "D"),     # k=4: only ever a tombstone
+            (1, "b", 2, "U"),      # k=1: plain last-wins
+            (3, "m", 1, "I"),
+            (2, "x", 1, "I"),
+            (3, None, 2, "D"),
+        ],
+        "k long, val string, seq int, op string",
+    )
+    state = cdc_latest_state(log, ["k"], "seq", "op")
+    assert {r["k"]: r["val"] for r in state.collect()} == {1: "b", 3: "re"}
+    assert state.columns == ["k", "val"]
+    plan = state._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "max_by" in plan or "MaxBy" in plan
