@@ -3791,6 +3791,70 @@ def lake_cdc_apply(spark, sf_dir):
     )
 
 
+@register(
+    "lake_rollup_incremental",
+    """
+    WITH li AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    )
+    SELECT ship_month, l_returnflag,
+           count(*) AS n_rows,
+           sum(qty)::BIGINT AS sum_qty
+    FROM li GROUP BY ship_month, l_returnflag
+    """,
+)
+def lake_rollup_incremental(spark, sf_dir):
+    """Incremental rollup maintenance (sources/lake.py
+    rollup_incremental — the hypertable continuous-aggregate shape):
+    a per-(ship-month, returnflag) rollup of lineitem is BUILT from
+    history before 1999-06-16, then the remainder arrives as a delta
+    and is merged in by summing partials — touching only the months
+    the delta lands in (the split is mid-month, so 1999-06 exists in
+    BOTH halves and pins the partial-partition merge, count+count /
+    sum+sum). The check reads the maintained rollup table; the oracle
+    aggregates ALL of lineitem directly in one pass — so the
+    incremental path must land bit-identical to the from-scratch
+    answer, the soundness property of incremental view maintenance.
+    Untouched-month byte-identity and commit atomicity are pinned in
+    tests/test_lake.py. Reference parity: the reference recomputes
+    per request (backend/main.py:255-342); this is the standing
+    aggregate a 100 TB deployment keeps instead."""
+    from poc_spark.sources.lake import (
+        rollup_incremental,
+        rollup_partial,
+        write_partitioned,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_shipdate",
+    )
+    root = _export_path("rollup", sf_dir)
+    base = li.filter(F.col("l_shipdate") < "1999-06-16").drop("l_shipdate")
+    delta = li.filter(F.col("l_shipdate") >= "1999-06-16").drop("l_shipdate")
+    # fresh base every run (the sink stale-artifact rule); the commit
+    # prunes version dirs a previous run left behind
+    write_partitioned(
+        rollup_partial(base, "ship_month", ["l_returnflag"], ["qty"]),
+        root,
+        ["ship_month"],
+    )
+    rollup_incremental(
+        spark, root, delta, "ship_month", ["l_returnflag"], ["qty"]
+    )
+    return spark.read.parquet(root).select(
+        "ship_month",
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_qty").cast("long").alias("sum_qty"),
+    )
+
+
 def orc_export_path(sf_dir: str) -> str:
     return _export_path("orc", sf_dir)
 
@@ -5834,8 +5898,12 @@ _TAIL = [
     # core) and stays oracled in the full local runs; text_bpe_count's
     # regex token counting is capability-witnessed in-head by the real
     # BPE entries (text_bpe_apply/learn) and text_token_count.
+    # mm_frame_sample's fixed-stride binary slicing is capability-
+    # witnessed in-head by the richer real-codec chain (mm_decode,
+    # mm_png_decode/resize).
     "q_session_window",
     "text_bpe_count",
+    "mm_frame_sample",
     "sample_pack",
     "text_repetition",
     "op_agg_nodes",

@@ -414,6 +414,32 @@ def merge_upsert_partitioned(
         .join(F.broadcast(updates.select(key_col)), key_col, "left_anti")
         .unionByName(updates.select(*tree.columns))
     )
+    _commit_partitions(
+        spark, root, cur, merged, partition_col, affected, _pre_publish_hook
+    )
+    return affected
+
+
+def _commit_partitions(
+    spark: SparkSession,
+    root: str,
+    cur: str,
+    merged: DataFrame,
+    partition_col: str,
+    affected: list[str],
+    _pre_publish_hook=None,
+) -> None:
+    """Shared commit core of the copy-on-write tree writers
+    (merge_upsert_partitioned, rollup_incremental): stage `merged`
+    (the full new content of the affected partitions) to a sibling
+    directory, assemble the next version as hardlinks of every
+    untouched partition plus the staged rewrites, and publish with one
+    atomic symlink replace. A partition the rewrite EMPTIES is simply
+    never added."""
+    import os
+    import shutil
+    import uuid
+
     stage = f"{root}.stage-{uuid.uuid4().hex[:8]}"
     try:
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(
@@ -442,6 +468,101 @@ def merge_upsert_partitioned(
         shutil.rmtree(stage, ignore_errors=True)
     # the session FileStatusCache still lists the old pointer target
     spark.catalog.refreshByPath(root)
+
+
+def rollup_partial(
+    df: DataFrame,
+    partition_col: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """The mergeable partial-aggregate shape of a rollup table row:
+    (partition, keys..., count, sum_<c>...). Used both to BUILD the
+    initial rollup (aggregate everything, write partitioned) and to
+    pre-aggregate a delta before incremental maintenance. Only
+    decomposable aggregates belong here (count/sum — min/max merge the
+    same way; avg derives as sum/count at read time), which is exactly
+    why the rollup can be maintained without re-reading history."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(partition_col, *key_cols).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def rollup_incremental(
+    spark: SparkSession,
+    agg_root: str,
+    delta: DataFrame,
+    partition_col: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+    _pre_publish_hook=None,
+) -> list[str]:
+    """Incremental maintenance of a partitioned additive rollup — the
+    hypertable continuous-aggregate / materialized-rollup shape: a
+    rollup table (built once via `rollup_partial` + write_partitioned)
+    is kept current as raw data arrives by touching ONLY the
+    partitions the delta lands in, never re-reading history.
+
+    Steps, each chosen for the 100 TB profile:
+      1. the delta is partial-aggregated with `rollup_partial` — a
+         map-side-combining hash agg, so a billion-row append crosses
+         the shuffle as at most (#partitions × #keys) rows;
+      2. affected partitions = the delta partials' DISTINCT partition
+         values (bounded by the lake layout's low-cardinality
+         contract);
+      3. the EXISTING rollup rows for only those partitions are read
+         back (partition pruning at listing time), unioned with the
+         delta partials, and re-aggregated by summing — count+count,
+         sum+sum: the merge of two partials is a partial, the algebra
+         that makes incremental view maintenance sound for
+         decomposable aggregates;
+      4. the merged partitions commit through the same atomic
+         version-pointer publish as merge_upsert_partitioned
+         (_commit_partitions): untouched rollup partitions are
+         hardlink-carried byte-for-byte, readers see old or new,
+         never a mix.
+
+    Maintenance cost scales with the DELTA (plus the affected rollup
+    partitions' few rows), not with table history — appending one day
+    to ten years of rollup rewrites one day's partition. Returns the
+    affected partition values. Reference parity: the reference
+    recomputes every analysis from scratch per request
+    (backend/main.py:255-342); this is the standing-aggregate answer
+    to the same workload."""
+    from pyspark.sql import functions as F
+
+    _require_local(agg_root, "rollup_incremental")
+    cur = _ensure_versioned(agg_root)
+    partials = rollup_partial(
+        delta, partition_col, key_cols, sum_cols, count_col
+    )
+    affected = sorted(
+        str(r[0])
+        for r in partials.select(partition_col).distinct().collect()
+    )
+    if not affected:
+        return []
+    old = spark.read.parquet(cur).filter(
+        F.col(partition_col).cast("string").isin(affected)
+    )
+    merged = old.unionByName(partials).groupBy(partition_col, *key_cols).agg(
+        F.sum(count_col).alias(count_col),
+        *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+    _commit_partitions(
+        spark,
+        agg_root,
+        cur,
+        merged,
+        partition_col,
+        affected,
+        _pre_publish_hook,
+    )
     return affected
 
 

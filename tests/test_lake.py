@@ -701,3 +701,75 @@ def test_cdc_latest_state_semantics(spark):
     plan = state._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "max_by" in plan or "MaxBy" in plan
+
+
+def test_rollup_incremental_merges_partials_and_carries_rest(spark, tmp_path):
+    """Incremental maintenance == from-scratch recompute, while
+    untouched months' files are carried byte-for-byte (same name,
+    size, mtime — hardlinks); an empty delta is a no-op."""
+    import os
+
+    from poc_spark.sources.lake import (
+        rollup_incremental,
+        rollup_partial,
+        write_partitioned,
+    )
+
+    schema = "month string, k string, v long"
+    base = spark.createDataFrame(
+        [
+            ("2024-01", "a", 10),
+            ("2024-01", "b", 1),
+            ("2024-02", "a", 5),
+            ("2024-03", "b", 7),
+        ],
+        schema,
+    )
+    delta = spark.createDataFrame(
+        [
+            ("2024-02", "a", 2),   # merges into an existing (month, key)
+            ("2024-02", "b", 3),   # new key in an existing month
+            ("2024-04", "a", 9),   # brand-new month partition
+        ],
+        schema,
+    )
+    root = str(tmp_path / "rollup")
+    write_partitioned(
+        rollup_partial(base, "month", ["k"], ["v"]), root, ["month"]
+    )
+
+    def snapshot(month):
+        d = os.path.join(root, f"month={month}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)),
+             os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before = {m: snapshot(m) for m in ("2024-01", "2024-03")}
+
+    affected = rollup_incremental(spark, root, delta, "month", ["k"], ["v"])
+    assert affected == ["2024-02", "2024-04"]
+    for m, snap in before.items():
+        assert snapshot(m) == snap, f"untouched month {m} was rewritten"
+
+    def state(df):
+        return {
+            (r["month"], r["k"]): (r["n_rows"], r["sum_v"])
+            for r in df.collect()
+        }
+
+    want = state(
+        rollup_partial(base.unionByName(delta), "month", ["k"], ["v"])
+    )
+    assert state(spark.read.parquet(root)) == want
+
+    # empty delta: no partitions touched, content unchanged
+    assert (
+        rollup_incremental(
+            spark, root, delta.filter("1=0"), "month", ["k"], ["v"]
+        )
+        == []
+    )
+    assert state(spark.read.parquet(root)) == want
