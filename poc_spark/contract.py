@@ -3976,6 +3976,88 @@ def _ivf_oracle(sf_base: str) -> str:
     """
 
 
+def _semdedup_oracle(sf_base: str) -> str:
+    # re-derives EVERY step from the stored centroid artifact: cluster
+    # assignment (argmax cosine, lowest-id tie — mirrors
+    # similarity._nearest_centroid), centroid similarity, the
+    # within-cluster domination rule, and the per-cluster keep
+    # aggregates — so the Spark plan's assignment, priority order, and
+    # anti-join all have to agree with an independent SQL derivation
+    root = os.path.join(_REPO_ROOT, ".tmp", "ivf", sf_base)
+    return f"""
+    WITH cents AS (
+      SELECT centroid_id, center
+      FROM read_parquet('{root}/centroids/*.parquet')
+    ),
+    pri AS (
+      SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+             (SELECT centroid_id FROM (
+                SELECT centroid_id,
+                       list_cosine_similarity(center,
+                                              e.embedding::DOUBLE[]) AS s
+                FROM cents ORDER BY s DESC, centroid_id LIMIT 1
+             )) AS centroid
+      FROM embeddings e
+    ),
+    pc AS (
+      SELECT p.id, p.v, p.centroid,
+             round(list_cosine_similarity(c.center, p.v), 6) AS cos_c
+      FROM pri p JOIN cents c ON c.centroid_id = p.centroid
+    ),
+    dropped AS (
+      SELECT DISTINCT b.id
+      FROM pc a JOIN pc b ON a.centroid = b.centroid
+       AND (a.cos_c < b.cos_c OR (a.cos_c = b.cos_c AND a.id < b.id))
+       AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    ),
+    kept AS (SELECT * FROM pc WHERE id NOT IN (SELECT id FROM dropped))
+    SELECT n.centroid::BIGINT AS centroid, n.n_vectors,
+           k.n_kept, k.kept_id_sum
+    FROM (SELECT centroid, count(*) AS n_vectors
+          FROM pc GROUP BY centroid) n
+    JOIN (SELECT centroid, count(*) AS n_kept,
+                 sum(id)::BIGINT AS kept_id_sum
+          FROM kept GROUP BY centroid) k
+      ON n.centroid = k.centroid
+    """
+
+
+@register("dedup_semdedup", _semdedup_oracle("sf0.01"))
+def dedup_semdedup(spark, sf_dir):
+    """SemDeDup with real k-means clusters (Abbas et al. 2023 —
+    dedup.semdedup_prune), completing the semantic-dedup family:
+    dedup_semantic_buckets is the hyperplane-cluster variant, this is
+    the published k-means form, riding the SAME persisted fit-once
+    IVF index as the sim_ivf_* entries (.tmp/ivf/<sf>, built on first
+    use). Every vector is dropped iff a same-cluster neighbor with
+    cosine ≥ 0.35 has higher keep priority (the paper's
+    lowest-similarity-to-centroid rule, id tie-break). The check
+    returns per-cluster (n_vectors, n_kept, kept_id_sum); the oracle
+    re-derives assignment, priority, domination, and the keep set
+    from the stored centroid artifact — run oracle_sql_for(sf_dir)
+    for non-sf0.01 scales."""
+    from poc_spark.operators.dedup import semdedup_prune
+    from poc_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = ivf_index_path(sf_dir)
+    if not os.path.exists(f"{path}/centroids"):
+        build_ivf_index(emb, path, n_centroids=16)
+    index_df, cents = load_ivf_index(spark, path)
+    kept = semdedup_prune(index_df, cents, threshold=0.35)
+    totals = index_df.groupBy(
+        F.col("centroid").cast("long").alias("centroid")
+    ).agg(F.count(F.lit(1)).alias("n_vectors"))
+    kept_agg = kept.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("id").cast("long").alias("kept_id_sum"),
+    )
+    return totals.join(kept_agg, "centroid")
+
+
 @register("sim_ivf_kmeans", _ivf_oracle("sf0.01"))
 def sim_ivf_kmeans(spark, sf_dir):
     """IVF ANN against a PERSISTED index (fit-once / query-many): on
@@ -5901,9 +5983,13 @@ _TAIL = [
     # mm_frame_sample's fixed-stride binary slicing is capability-
     # witnessed in-head by the richer real-codec chain (mm_decode,
     # mm_png_decode/resize).
+    # dedup_semantic_buckets' within-cluster semantic dedup is
+    # capability-witnessed in-head by dedup_semdedup (same topology,
+    # real k-means clusters).
     "q_session_window",
     "text_bpe_count",
     "mm_frame_sample",
+    "dedup_semantic_buckets",
     "sample_pack",
     "text_repetition",
     "op_agg_nodes",
@@ -6043,6 +6129,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out = oracle_sql()
     sf_base = os.path.basename(os.path.normpath(sf_dir))
     out["sim_ivf_kmeans"] = _ivf_oracle(sf_base)
+    out["dedup_semdedup"] = _semdedup_oracle(sf_base)
     out["sim_ivf_join"] = _ivf_join_oracle(sf_base)
     out["sim_ivf_append"] = _ivf_append_oracle(sf_base)
     out["src_jsonl_roundtrip"] = _jsonl_oracle(sf_base)

@@ -1420,6 +1420,92 @@ def semantic_bucket_pairs(
     )
 
 
+def semdedup_prune(
+    index_df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """SemDeDup with REAL k-means clusters (Abbas et al. 2023, the
+    published form — semantic_bucket_pairs is the hyperplane-bucket
+    variant): given an assigned IVF index (vec, cluster) and its
+    centroids, drop every vector that has a cosine-≥-threshold
+    neighbor of HIGHER KEEP PRIORITY in the SAME cluster, where
+    priority follows the paper's rule — keep the duplicate-group
+    member with the LOWEST similarity to its cluster centroid (ties
+    broken by id, making the whole decision deterministic). Returns
+    the kept set (id, centroid, cos_c).
+
+    Shape at 100 TB: centroids broadcast (k rows), cluster assignment
+    is already materialized in the index, and the only join is the
+    within-cluster self-join on the cluster key — SemDeDup's defining
+    trade: Σ|cluster|² comparisons instead of n², bounded by fitting
+    k to n/target_cluster_size at build time (build_ivf_index). The
+    priority comparison rides the same join condition, so "dropped"
+    falls out as one distinct over dominated ids and "kept" as one
+    anti-join — no iteration, no driver-side loop. All cosines are
+    rounded to 6 before any comparison (the cross-engine float rule),
+    so the keep decision is reproducible in plain SQL against the
+    stored centroid artifact."""
+    spark = index_df.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "centroid long, center array<double>",
+    )
+    scored = (
+        index_df.select(
+            F.col(id_col).alias("id"),
+            F.col(centroid_col).cast("long").alias("centroid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .join(F.broadcast(cdf), "centroid")
+        .withColumn(
+            "cos_c",
+            F.round(
+                _dot(F.col("v"), F.col("center"))
+                / (F.col("nrm") * _norm(F.col("center"))),
+                6,
+            ),
+        )
+        .drop("center")
+        .localCheckpoint(eager=False)  # feeds both join sides + kept
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    pair_cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    # a dominates b: same cluster, a keeps priority (lower centroid
+    # similarity, id tie-break), and the pair is a near-duplicate. The
+    # expensive pair_cos conjunct sits LAST (measured join-condition
+    # ordering rule).
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.centroid") == F.col("b.centroid"))
+            & (
+                (F.col("a.cos_c") < F.col("b.cos_c"))
+                | (
+                    (F.col("a.cos_c") == F.col("b.cos_c"))
+                    & (F.col("a.id") < F.col("b.id"))
+                )
+            )
+            & (pair_cos >= F.lit(threshold)),
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return scored.join(dominated, "id", "left_anti").select(
+        "id", "centroid", "cos_c"
+    )
+
+
 # ---------------------------------------------------------------------------
 # cluster formation: pairs → dedup groups
 # ---------------------------------------------------------------------------

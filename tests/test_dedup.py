@@ -784,3 +784,41 @@ def test_shared_pairs_artifact_equals_live(spark, sf_dir):
         ).collect()
     }
     assert shared == live and len(shared) > 0
+
+
+def test_semdedup_prune_domination_rule(spark):
+    """Hand-computed SemDeDup keep decisions on unit vectors at known
+    angles: within a duplicate chain a-b-c (a~b and b~c above
+    threshold, a~c below), the lowest-centroid-similarity member (a)
+    survives and BOTH b and c drop — c is dominated by b even though
+    b itself is dropped (pairwise domination, not greedy-on-kept).
+    Vectors in a different cluster never interact."""
+    import math
+
+    from poc_spark.operators.dedup import semdedup_prune
+
+    def u(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    # cluster 0 (angle < 45): priority = lowest cos-to-centroid first
+    rows = [
+        (1, u(40.0), 0),   # a: cos_c=cos40 — top priority
+        (2, u(25.0), 0),   # b: cos(a,b)=cos15>tau -> dropped by a
+        (3, u(5.0), 0),    # c: cos(b,c)=cos20>tau -> dropped by b;
+                           #    cos(a,c)=cos35<tau
+        (4, u(80.0), 1),   # d: cluster 1
+        (5, u(50.0), 1),   # e: cos(d,e)=cos30<tau -> both kept
+    ]
+    idx = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, centroid long"
+    )
+    tau = 0.93  # cos15=.966, cos20=.940 above; cos30=.866, cos35=.819 below
+    kept = semdedup_prune(idx, cents, threshold=tau)
+    got = {r["id"]: r["centroid"] for r in kept.collect()}
+    assert got == {1: 0, 4: 1, 5: 1}
+    # cos_c is the rounded similarity to the OWN centroid
+    cos_c = {r["id"]: r["cos_c"] for r in kept.collect()}
+    assert cos_c[1] == round(math.cos(math.radians(40.0)), 6)
+    assert cos_c[4] == round(math.cos(math.radians(10.0)), 6)
