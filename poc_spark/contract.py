@@ -3297,6 +3297,71 @@ def stream_hourly_counts(spark, sf_dir):
 
 
 @register(
+    "stream_rollup_maintenance",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_rows,
+           sum(user_id)::BIGINT AS sum_user_id
+    FROM events GROUP BY day, event_type
+    """,
+)
+def stream_rollup_maintenance(spark, sf_dir):
+    """Streaming × lake composition: CONTINUOUS rollup maintenance
+    (streaming/ingest.py maintain_rollup_stream). The events table is
+    re-laid as a 4-file landing directory, drained by a REAL
+    FileStreamSource under availableNow with maxFilesPerTrigger=1 —
+    so the backlog commits as ~4 independent micro-batches — and each
+    batch merges into a per-(day, event_type) partitioned rollup via
+    lake.rollup_incremental (partial-agg the batch, sum-merge only
+    the affected day partitions, atomic version-pointer publish;
+    first batch bootstraps the tree). The check reads the terminal
+    rollup tree; the oracle is the one-shot batch aggregate over ALL
+    events — equal only if every micro-batch's increment landed
+    exactly once and the sum/count merges are associative across an
+    arbitrary batch split. This is the steady-state ingestion shape a
+    100 TB deployment runs instead of the reference's per-request
+    recompute (backend/main.py:255-342)."""
+    from poc_spark.sources.lake import drop_tree
+    from poc_spark.streaming.ingest import maintain_rollup_stream
+
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    landing = _export_path("stream_rollup_src", sf_dir)
+    agg_root = _export_path("stream_rollup_agg", sf_dir)
+    # fresh source layout AND rollup tree each run (stale-artifact
+    # rule — replaying onto an existing rollup would double-count)
+    ev.repartition(4).write.mode("overwrite").parquet(landing)
+    drop_tree(agg_root)
+    n_batches = maintain_rollup_stream(
+        spark,
+        landing,
+        spark.read.parquet(landing).schema,
+        agg_root,
+        lambda df: df.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "user_id",
+        ),
+        "day",
+        ["event_type"],
+        ["user_id"],
+        max_files_per_trigger=1,
+    )
+    if n_batches < 2:
+        raise RuntimeError(
+            f"stream_rollup_maintenance: expected a multi-batch drain, "
+            f"got {n_batches} — the incremental-merge claim needs >1"
+        )
+    # the hive directory value day=2024-01-01 type-infers back as
+    # DATE; the oracle's strftime yields VARCHAR — pin the string
+    return spark.read.parquet(agg_root).select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_user_id").cast("long").alias("sum_user_id"),
+    )
+
+
+@register(
     "stream_click_attribution",
     """
     WITH i AS (
@@ -5986,10 +6051,15 @@ _TAIL = [
     # dedup_semantic_buckets' within-cluster semantic dedup is
     # capability-witnessed in-head by dedup_semdedup (same topology,
     # real k-means clusters).
+    # graph_triangles' per-edge adjacency intersection is capability-
+    # witnessed by the r6-green graph_degrees family (components/
+    # pagerank/kcore share the edge-table machinery) and stays oracled
+    # in the full local runs.
     "q_session_window",
     "text_bpe_count",
     "mm_frame_sample",
     "dedup_semantic_buckets",
+    "graph_triangles",
     "sample_pack",
     "text_repetition",
     "op_agg_nodes",

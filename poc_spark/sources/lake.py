@@ -534,13 +534,23 @@ def rollup_incremental(
     recomputes every analysis from scratch per request
     (backend/main.py:255-342); this is the standing-aggregate answer
     to the same workload."""
+    import os
+
     from pyspark.sql import functions as F
 
     _require_local(agg_root, "rollup_incremental")
-    cur = _ensure_versioned(agg_root)
     partials = rollup_partial(
         delta, partition_col, key_cols, sum_cols, count_col
     )
+    if not os.path.lexists(agg_root):
+        # bootstrap: the first delta IS the rollup (the streaming
+        # foreachBatch consumer's first micro-batch lands here)
+        write_partitioned(partials, agg_root, [partition_col])
+        return sorted(
+            str(r[0])
+            for r in partials.select(partition_col).distinct().collect()
+        )
+    cur = _ensure_versioned(agg_root)
     affected = sorted(
         str(r[0])
         for r in partials.select(partition_col).distinct().collect()
@@ -773,3 +783,33 @@ def cdc_latest_state(
     return last.filter(F.col("_last._op") != delete_op).select(
         *key_cols, *[F.col(f"_last.{c}").alias(c) for c in data_cols]
     )
+
+
+def drop_tree(root: str) -> None:
+    """Remove a version-pointer tree completely: the pointer (or plain
+    directory), every retained version, stage leftovers, and a stray
+    pointer temp. The reset a rebuild-fresh consumer (tests, the
+    contract entries' stale-artifact rule) needs — plain rmtree on a
+    symlink root would only delete the link's target's CONTENTS and
+    leave stale version dirs to confuse the next generation."""
+    import os
+    import shutil
+
+    parent, base = os.path.split(root)
+    if not os.path.isdir(parent or "."):
+        return
+    if os.path.islink(root):
+        os.unlink(root)
+    elif os.path.isdir(root):
+        shutil.rmtree(root)
+    for e in os.listdir(parent or "."):
+        if (
+            e.startswith(base + ".v")
+            or e.startswith(base + ".stage-")
+            or e == base + ".ptr.tmp"
+        ):
+            p = os.path.join(parent, e)
+            if os.path.isdir(p) and not os.path.islink(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.unlink(p)

@@ -162,3 +162,63 @@ def windowed_message_counts(
             "n_messages",
         )
     )
+
+
+def maintain_rollup_stream(
+    spark,
+    landing_dir: str,
+    schema,
+    agg_root: str,
+    prepare,
+    partition_col: str,
+    key_cols: list,
+    sum_cols: list,
+    max_files_per_trigger: int = 1,
+) -> int:
+    """CONTINUOUS rollup maintenance: a FileStreamSource drains the
+    landing directory micro-batch by micro-batch (availableNow honors
+    maxFilesPerTrigger, so a backlog of N files commits as ~N
+    independent increments), and each batch lands in the partitioned
+    rollup through lake.rollup_incremental — partial-aggregate the
+    batch, merge by summing into only the affected partitions, publish
+    atomically. The terminal rollup is independent of how the backlog
+    split into batches (sum/count merge is associative-commutative),
+    which is exactly what makes the result oracle-checkable against a
+    one-shot batch aggregate. `prepare` maps the raw micro-batch to
+    (partition, keys, sum inputs) — schema fixes (the ns-timestamp
+    quirk) belong there. Returns the number of micro-batches.
+
+    At 100 TB this is the steady-state ingestion shape: readers always
+    see a complete consistent rollup (version-pointer commit), the
+    per-batch cost is delta-proportional (ROLLUP_DEMO.json), and a
+    crashed batch re-runs from the checkpointed source offset —
+    though note the rollup write itself is NOT idempotent under
+    replay (summing twice double-counts); exactly-once here needs the
+    batch-id recorded in the commit, the standard foreachBatch
+    caveat, left as a documented gap rather than hidden."""
+    from poc_spark.sources.lake import rollup_incremental
+
+    n_batches = 0
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        rollup_incremental(
+            spark,
+            agg_root,
+            prepare(batch_df),
+            partition_col,
+            key_cols,
+            sum_cols,
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

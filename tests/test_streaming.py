@@ -172,3 +172,50 @@ def test_stream_hourly_counts_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_maintain_rollup_stream_batch_split_invariant(spark, tmp_path):
+    """The terminal rollup equals the one-shot batch aggregate no
+    matter how the backlog splits into micro-batches, and the drain
+    really is multi-batch (maxFilesPerTrigger=1 over 3 files)."""
+    from pyspark.sql import functions as F
+
+    from poc_spark.sources.lake import rollup_partial
+    from poc_spark.streaming.ingest import maintain_rollup_stream
+
+    rows = [
+        ("2024-01-01", "a", 1),
+        ("2024-01-01", "b", 2),
+        ("2024-01-02", "a", 3),
+        ("2024-01-02", "a", 4),
+        ("2024-01-03", "b", 5),
+        ("2024-01-03", "b", 6),
+    ]
+    df = spark.createDataFrame(rows, "day string, k string, v long")
+    landing = str(tmp_path / "landing")
+    df.repartition(3).write.parquet(landing)
+    agg_root = str(tmp_path / "rollup")
+
+    n_batches = maintain_rollup_stream(
+        spark,
+        landing,
+        df.schema,
+        agg_root,
+        lambda b: b,
+        "day",
+        ["k"],
+        ["v"],
+        max_files_per_trigger=1,
+    )
+    assert n_batches == 3
+
+    def state(d):
+        return {
+            (r["day"], r["k"]): (r["n_rows"], r["sum_v"])
+            for r in d.collect()
+        }
+
+    got = spark.read.parquet(agg_root).withColumn(
+        "day", F.col("day").cast("string")
+    )
+    assert state(got) == state(rollup_partial(df, "day", ["k"], ["v"]))
