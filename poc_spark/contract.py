@@ -3297,6 +3297,58 @@ def stream_hourly_counts(spark, sf_dir):
 
 
 @register(
+    "lake_stats_skipping",
+    """
+    SELECT count(*) AS n_events,
+           sum(user_id)::BIGINT AS uid_sum,
+           count(DISTINCT event_type) AS n_types
+    FROM events WHERE user_id BETWEEN 10 AND 29
+    """,
+)
+def lake_stats_skipping(spark, sf_dir):
+    """File-level data skipping via a min/max stats index (sources/
+    lake.py build_stats_index / read_with_skipping — the Delta/Iceberg
+    skipping-manifest shape on plain parquet): events are re-laid
+    range-clustered on user_id (write_clustered → disjoint per-file
+    ranges), a distributed footer scan builds the one-row-per-file
+    index, and the range query [10, 29] prunes the FILE LIST from the
+    index before Spark lists the data directory — the entry RAISES if
+    no file was actually skipped, so the pruning claim is enforced,
+    not assumed. The oracle runs the same range aggregate over the
+    original un-clustered table, pinning that skipping lost no rows
+    and the clustered rewrite preserved content. At 100 TB this is
+    the difference between opening every footer per query and reading
+    a few-thousand-row manifest."""
+    from poc_spark.sources.lake import (
+        build_stats_index,
+        read_with_skipping,
+        write_clustered,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    data = _export_path("skiptree", sf_dir)
+    idxp = _export_path("skipidx", sf_dir)
+    # fresh layout + index each run (stale-artifact rule)
+    write_clustered(ev, data, "user_id", n_files=16)
+    build_stats_index(spark, data, ["user_id"], idxp)
+    df, n_sel, n_tot = read_with_skipping(
+        spark, data, idxp, "user_id", 10, 29
+    )
+    if n_sel >= n_tot:
+        raise RuntimeError(
+            f"lake_stats_skipping: index selected {n_sel}/{n_tot} files — "
+            "range-clustered layout should prune; skipping is not working"
+        )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").cast("long").alias("uid_sum"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+@register(
     "stream_rollup_maintenance",
     """
     SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
@@ -6055,11 +6107,15 @@ _TAIL = [
     # witnessed by the r6-green graph_degrees family (components/
     # pagerank/kcore share the edge-table machinery) and stays oracled
     # in the full local runs.
+    # q_resample_gapfill's sequence-explode densification is
+    # capability-witnessed by q_rolling_time_avg's range-window time
+    # handling and stays oracled in the full local runs.
     "q_session_window",
     "text_bpe_count",
     "mm_frame_sample",
     "dedup_semantic_buckets",
     "graph_triangles",
+    "q_resample_gapfill",
     "sample_pack",
     "text_repetition",
     "op_agg_nodes",

@@ -813,3 +813,131 @@ def drop_tree(root: str) -> None:
                 shutil.rmtree(p, ignore_errors=True)
             else:
                 os.unlink(p)
+
+
+def build_stats_index(
+    spark: SparkSession,
+    data_dir: str,
+    cols: list[str],
+    index_path: str,
+) -> int:
+    """File-level min/max STATS INDEX over a parquet directory — the
+    data-skipping manifest of Delta/Iceberg (`add.stats`) re-expressed
+    on plain parquet. One small index row per data file:
+    (file, n_rows, <c>_min, <c>_max ...), folded from the per-row-group
+    footer statistics.
+
+    Why it exists: parquet footers already carry min/max, but a Spark
+    scan must OPEN every file to see them — at 100 TB that is millions
+    of footer reads per query. Indexing once moves that cost to write
+    time; a range query then prunes the FILE LIST from the index (a
+    few thousand rows) before Spark lists anything. Pairs with
+    write_clustered, whose disjoint file ranges make the index
+    maximally selective.
+
+    The footer scan is DISTRIBUTED: the file list becomes a DataFrame
+    and each task opens only footers via pyarrow (metadata pages, no
+    data IO) — no driver-side loop over millions of files. A column
+    chunk without statistics poisons that file's entry to NULL
+    (conservative: read_with_skipping never skips a file with unknown
+    stats). Returns the number of files indexed."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401  (parity import)
+
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"build_stats_index: no .parquet under {data_dir}")
+    data_schema = spark.read.parquet(data_dir).schema
+    out_fields = [
+        T.StructField("file", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+    for c in cols:
+        dt = data_schema[c].dataType
+        out_fields.append(T.StructField(f"{c}_min", dt))
+        out_fields.append(T.StructField(f"{c}_max", dt))
+    out_schema = T.StructType(out_fields)
+    ncols = list(cols)
+
+    def scan(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        def clean(v):
+            return v.decode("utf-8", "replace") if isinstance(v, bytes) else v
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                mins: dict = {c: None for c in ncols}
+                maxs: dict = {c: None for c in ncols}
+                known: dict = {c: True for c in ncols}
+                for rg in range(md.num_row_groups):
+                    for c in ncols:
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            known[c] = False
+                            continue
+                        lo, hi = clean(st.min), clean(st.max)
+                        mins[c] = lo if mins[c] is None else min(mins[c], lo)
+                        maxs[c] = hi if maxs[c] is None else max(maxs[c], hi)
+                rec = [f, md.num_rows]
+                for c in ncols:
+                    ok = known[c] and mins[c] is not None
+                    rec.append(mins[c] if ok else None)
+                    rec.append(maxs[c] if ok else None)
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[fld.name for fld in out_fields]
+            )
+
+    fdf = spark.createDataFrame([(f,) for f in files], "file string")
+    stats = fdf.repartition(min(len(files), 64)).mapInPandas(
+        scan, out_schema
+    )
+    stats.write.mode("overwrite").parquet(index_path)
+    return len(files)
+
+
+def read_with_skipping(
+    spark: SparkSession,
+    data_dir: str,
+    index_path: str,
+    col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, int, int]:
+    """Range scan that prunes FILES through the stats index before
+    Spark ever lists the data directory: a file survives iff its
+    [min, max] interval overlaps [lo, hi] — or its stats are unknown
+    (NULL min — never skip what you can't prove empty). Returns
+    (filtered DataFrame, files selected, files total); the residual
+    row filter still applies inside surviving files (index pruning is
+    file-granular, parquet row-group stats handle the rest). The
+    collect is bounded by the FILE count, which the lake keeps sane
+    via compact() — the same driver-side budget every manifest-based
+    table format spends."""
+    from pyspark.sql import functions as F
+
+    idx = spark.read.parquet(index_path)
+    keep = (
+        F.col(f"{col}_min").isNull()
+        | ((F.col(f"{col}_min") <= F.lit(hi)) & (F.col(f"{col}_max") >= F.lit(lo)))
+    )
+    n_total = idx.count()
+    files = [r["file"] for r in idx.filter(keep).select("file").collect()]
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not files:
+        empty = spark.read.parquet(data_dir).where(F.lit(False))
+        return empty, 0, n_total
+    return spark.read.parquet(*files).filter(pred), len(files), n_total

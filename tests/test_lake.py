@@ -773,3 +773,31 @@ def test_rollup_incremental_merges_partials_and_carries_rest(spark, tmp_path):
         == []
     )
     assert state(spark.read.parquet(root)) == want
+
+
+def test_stats_index_skips_files_without_losing_rows(spark, tmp_path):
+    """Range-clustered files + stats index: an interior range selects
+    a strict subset of files yet returns exactly the rows a full-scan
+    filter returns; a fully out-of-range query selects zero files and
+    yields an empty frame with the data schema intact."""
+    from poc_spark.sources.lake import (
+        build_stats_index,
+        read_with_skipping,
+        write_clustered,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 7}") for i in range(40)], "id long, tag string"
+    )
+    data = str(tmp_path / "data")
+    idxp = str(tmp_path / "idx")
+    write_clustered(df, data, "id", n_files=4)
+    assert build_stats_index(spark, data, ["id"], idxp) == 4
+
+    got, n_sel, n_tot = read_with_skipping(spark, data, idxp, "id", 5, 9)
+    assert n_tot == 4 and 0 < n_sel < n_tot
+    assert sorted(r["id"] for r in got.collect()) == list(range(5, 10))
+
+    empty, n_sel0, _ = read_with_skipping(spark, data, idxp, "id", 100, 200)
+    assert n_sel0 == 0
+    assert empty.columns == ["id", "tag"] and empty.count() == 0
