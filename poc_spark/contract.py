@@ -3349,6 +3349,48 @@ def lake_stats_skipping(spark, sf_dir):
 
 
 @register(
+    "lake_bloom_skipping",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id = 42
+    """,
+)
+def lake_bloom_skipping(spark, sf_dir):
+    """Point-lookup data skipping via a per-file BLOOM index (sources/
+    lake.py build_bloom_index / read_with_bloom), the complement of
+    lake_stats_skipping: events are laid out round-robin (NOT
+    clustered — min/max stats are useless for a point lookup here),
+    yet the equality probe event_id = 42 touches only the file(s)
+    whose bloom admits the value — ~1 of 16 plus false positives. The
+    index is built with pure DataFrame ops (input_file_name tag →
+    k-hash explode → bit_or per (file, word)); the entry RAISES if no
+    file was pruned, and the oracle is the direct relational point
+    query — false positives may waste a read but can never change the
+    answer, and that invariant is what the value-hash checks. At
+    100 TB this is the Iceberg/ORC column-bloom pattern as a
+    relational index a plain-parquet lake can maintain itself."""
+    from poc_spark.sources.lake import build_bloom_index, read_with_bloom
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    data = _export_path("bloomtree", sf_dir)
+    idxp = _export_path("bloomidx", sf_dir)
+    # fresh layout + index each run (stale-artifact rule)
+    ev.repartition(16).write.mode("overwrite").parquet(data)
+    build_bloom_index(spark, data, "event_id", idxp, bits=65536, k=3)
+    df, n_sel, n_tot = read_with_bloom(
+        spark, data, idxp, "event_id", 42, bits=65536, k=3
+    )
+    if n_sel >= n_tot:
+        raise RuntimeError(
+            f"lake_bloom_skipping: bloom selected {n_sel}/{n_tot} files — "
+            "a unique-key point lookup should prune most of the layout"
+        )
+    return df.select("event_id", "user_id", "event_type")
+
+
+@register(
     "stream_rollup_maintenance",
     """
     SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
@@ -6110,12 +6152,16 @@ _TAIL = [
     # q_resample_gapfill's sequence-explode densification is
     # capability-witnessed by q_rolling_time_avg's range-window time
     # handling and stays oracled in the full local runs.
+    # q_group_ols' Arrow-batched grouped kernel (applyInPandas) is
+    # capability-witnessed in-head by the mapInPandas codec chain
+    # (mm_decode, mm_png_*) and stays oracled in the full local runs.
     "q_session_window",
     "text_bpe_count",
     "mm_frame_sample",
     "dedup_semantic_buckets",
     "graph_triangles",
     "q_resample_gapfill",
+    "q_group_ols",
     "sample_pack",
     "text_repetition",
     "op_agg_nodes",

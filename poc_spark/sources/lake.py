@@ -941,3 +941,114 @@ def read_with_skipping(
         empty = spark.read.parquet(data_dir).where(F.lit(False))
         return empty, 0, n_total
     return spark.read.parquet(*files).filter(pred), len(files), n_total
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    data_dir: str,
+    col: str,
+    index_path: str,
+    bits: int = 4096,
+    k: int = 3,
+) -> int:
+    """Per-file BLOOM-FILTER index for equality lookups on a column
+    the layout is NOT clustered by — the complement of
+    build_stats_index: min/max prunes range queries on the sort
+    column, a bloom prunes point lookups on any other column (the
+    same pairing Iceberg/ORC ship as column bloom filters).
+
+    Built entirely with DataFrame ops — no footer parsing, no UDF:
+    each row tags itself with input_file_name(), explodes into its k
+    hash positions (xxhash64 seeded per probe, position = hash mod
+    `bits`), and one bit_or aggregation per (file, word) folds the
+    one-hot masks. Index rows: (file, word, mask) — 64-bit words,
+    bits/64 rows max per file, relational on purpose so the probe
+    side is a plain join. False-positive rate follows the standard
+    (1 - e^(-k n / m))^k — size `bits` to the expected distinct count
+    per file; false positives cost a wasted file read, never a wrong
+    answer (the residual filter still applies). Returns the number of
+    indexed files."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(data_dir).select(
+        F.input_file_name().alias("file"), F.col(col).alias("_v")
+    )
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(f"bloom:{i}"), F.col("_v")), F.lit(bits))
+            for i in range(k)
+        ]
+    )
+    exploded = df.select(
+        "file", F.explode(probes).alias("p")
+    ).select(
+        "file",
+        (F.col("p") / 64).cast("long").alias("word"),
+        # shiftleft's bit-count argument must be a column-free int in
+        # the Python API; the SQL form takes an expression
+        F.expr("shiftleft(1L, cast(p % 64 as int))").alias("m"),
+    )
+    index = exploded.groupBy("file", "word").agg(
+        F.bit_or("m").alias("mask")
+    )
+    index.write.mode("overwrite").parquet(index_path)
+    return spark.read.parquet(index_path).select("file").distinct().count()
+
+
+def read_with_bloom(
+    spark: SparkSession,
+    data_dir: str,
+    index_path: str,
+    col: str,
+    value,
+    bits: int = 4096,
+    k: int = 3,
+) -> tuple[DataFrame, int, int]:
+    """Equality lookup through the bloom index: compute the probe's k
+    (word, bit) positions, keep only files whose index has EVERY
+    probed bit set, then scan just those files with the residual
+    filter. `bits`/`k` must match the build (they parameterize the
+    hash layout — a mismatch degrades to reading everything or, worse,
+    wrongly pruning, so pass them together). Returns
+    (DataFrame, files selected, files total)."""
+    from pyspark.sql import functions as F
+
+    idx = spark.read.parquet(index_path)
+    n_total = idx.select("file").distinct().count()
+    # driver-side probe positions: same seeded xxhash64, evaluated via
+    # a 1-row literal plan (no data scan). The literal MUST carry the
+    # data column's exact type — xxhash64 hashes an int and a long to
+    # different values, so an uncast Python literal silently probes
+    # the wrong bits and prunes everything
+    dt = spark.read.parquet(data_dir).schema[col].dataType
+    row = spark.range(1).select(
+        *[
+            F.pmod(
+                F.xxhash64(F.lit(f"bloom:{i}"), F.lit(value).cast(dt)),
+                F.lit(bits),
+            ).alias(f"p{i}")
+            for i in range(k)
+        ]
+    ).collect()[0]
+    need = {(int(p) // 64, int(p) % 64) for p in row}
+    cond = None
+    for w, b in need:
+        # bit 63 must carry its two's-complement value — a bare
+        # 1 << 63 overflows signed 64-bit (the measured bitset trap)
+        m = -(1 << 63) if b == 63 else (1 << b)
+        hit = (F.col("word") == w) & (
+            F.col("mask").bitwiseAND(F.lit(m).cast("long")) != 0
+        )
+        cond = hit if cond is None else cond | hit
+    files = [
+        r["file"]
+        for r in idx.filter(cond)
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == len(need))
+        .collect()
+    ]
+    pred = F.col(col) == F.lit(value)
+    if not files:
+        return spark.read.parquet(data_dir).where(F.lit(False)), 0, n_total
+    return spark.read.parquet(*files).filter(pred), len(files), n_total

@@ -801,3 +801,30 @@ def test_stats_index_skips_files_without_losing_rows(spark, tmp_path):
     empty, n_sel0, _ = read_with_skipping(spark, data, idxp, "id", 100, 200)
     assert n_sel0 == 0
     assert empty.columns == ["id", "tag"] and empty.count() == 0
+
+
+def test_bloom_index_point_lookup(spark, tmp_path):
+    """Unique-key point lookup through the per-file bloom: selects a
+    strict subset of a round-robin (unclustered) layout and returns
+    exactly the matching row; an absent value returns an empty frame
+    (false positives may select files, never rows)."""
+    from poc_spark.sources.lake import build_bloom_index, read_with_bloom
+
+    df = spark.createDataFrame(
+        [(i, f"tag{i % 5}") for i in range(200)], "id long, tag string"
+    )
+    data = str(tmp_path / "data")
+    idxp = str(tmp_path / "idx")
+    df.repartition(8).write.parquet(data)
+    assert build_bloom_index(spark, data, "id", idxp, bits=4096, k=3) == 8
+
+    got, n_sel, n_tot = read_with_bloom(
+        spark, data, idxp, "id", 137, bits=4096, k=3
+    )
+    assert n_tot == 8 and 0 < n_sel < n_tot
+    assert [(r["id"], r["tag"]) for r in got.collect()] == [(137, "tag2")]
+
+    miss, n_miss, _ = read_with_bloom(
+        spark, data, idxp, "id", 10_000, bits=4096, k=3
+    )
+    assert miss.count() == 0 and n_miss < n_tot
