@@ -2511,6 +2511,50 @@ def mm_audio_energy(spark, sf_dir):
 
 
 @register(
+    "mm_audio_autocorr",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (800 + doc_id % 400)::INT AS n_samples,
+             substr(repeat(md5(text), 75), 1,
+                    2 * (800 + doc_id % 400)) AS hx
+      FROM documents
+      WHERE text IS NOT NULL
+    ), l AS (
+      SELECT media_id, n_samples, hx, unnest([1, 4, 16]) AS lag FROM m
+    )
+    SELECT media_id, lag,
+           list_reduce(list_prepend(0, list_transform(
+               range(0, n_samples - lag), n ->
+                 (('0x' || substr(hx, 2*n + 1, 2))::BIGINT - 128)
+               * (('0x' || substr(hx, 2*(n + lag) + 1, 2))::BIGINT - 128))),
+             (a, b) -> a + b)::BIGINT AS acorr,
+           (n_samples - lag)::INT AS n_terms
+    FROM l
+    WHERE n_samples > lag
+    """,
+)
+def mm_audio_autocorr(spark, sf_dir):
+    """Audio periodicity analysis, integer-exact end-to-end
+    (multimodal.audio_autocorrelation): the synthesized RIFF/WAVE
+    payloads are parsed back and the centered PCM stream's
+    autocorrelation at lags 1/4/16 — the primitive under pitch
+    detection and VAD — is computed as an int64 dot product per lag.
+    No float fold exists anywhere in the value path (unlike an FFT
+    bin), so the oracle replays the sample stream algebraically
+    (hex-pair byte decode, the mm_audio_energy machinery) and must
+    match BIT-FOR-BIT — container parse, sample recovery, centering,
+    and the lag alignment are all pinned exactly."""
+    from poc_spark.operators.multimodal import (
+        audio_autocorrelation,
+        synthesize_wav_media,
+    )
+
+    media = synthesize_wav_media(_t(spark, sf_dir, "documents"))
+    return audio_autocorrelation(media, lags=(1, 4, 16))
+
+
+@register(
     "q_running_sum",
     """
     SELECT user_id, event_id,
@@ -6155,6 +6199,9 @@ _TAIL = [
     # q_group_ols' Arrow-batched grouped kernel (applyInPandas) is
     # capability-witnessed in-head by the mapInPandas codec chain
     # (mm_decode, mm_png_*) and stays oracled in the full local runs.
+    # q17_small_qty_revenue's scalar-subquery-against-aggregate shape
+    # is capability-witnessed by the in-head TPC-H block (q18's
+    # group-filtered semi-join, q22's avg-balance scalar filter).
     "q_session_window",
     "text_bpe_count",
     "mm_frame_sample",
@@ -6162,6 +6209,7 @@ _TAIL = [
     "graph_triangles",
     "q_resample_gapfill",
     "q_group_ols",
+    "q17_small_qty_revenue",
     "sample_pack",
     "text_repetition",
     "op_agg_nodes",

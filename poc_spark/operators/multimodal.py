@@ -787,3 +787,50 @@ def audio_frame_energy(
             )
 
     return df.mapInPandas(batches, schema=WAV_ENERGY_SCHEMA)
+
+
+def audio_autocorrelation(
+    df: DataFrame, lags: tuple[int, ...] = (1, 4, 16)
+) -> DataFrame:
+    """(media_id, lag, acorr, n_terms) — autocorrelation of the
+    centered PCM8 stream at fixed lags, the pitch/periodicity
+    primitive under every VAD and fundamental-frequency estimator:
+    acorr(L) = Σ_{n=0}^{N-L-1} amp[n]·amp[n+L], amp = sample − 128.
+
+    Deliberately INTEGER-EXACT: amplitudes are int64 and the sum of
+    products stays in int64 (|Σ| ≤ N·127² ≪ 2⁶³), so unlike an FFT
+    spectrogram there is no float fold anywhere and the DuckDB oracle
+    reproduces the value bit-for-bit from the algebraic sample stream.
+    Same kernel shape as audio_frame_energy: RIFF parse per Arrow
+    batch, numpy dot per lag, malformed payloads emit no rows, output
+    is (rows × lags) narrow numerics — payloads never transit the
+    driver."""
+    lag_list = [int(x) for x in lags]
+    if any(x <= 0 for x in lag_list):
+        raise ValueError(f"lags must be positive, got {lags}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                rate, data = _parse_wav(bytes(payload))
+                if rate is None:
+                    continue
+                v = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+                n = len(v)
+                for lag in lag_list:
+                    if n <= lag:
+                        continue
+                    ac = int(np.dot(v[: n - lag], v[lag:]))
+                    out.append((mid, lag, ac, n - lag))
+            yield pd.DataFrame(
+                out, columns=["media_id", "lag", "acorr", "n_terms"]
+            )
+
+    return df.mapInPandas(
+        batches, schema="media_id long, lag int, acorr long, n_terms int"
+    )

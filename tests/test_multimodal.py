@@ -508,3 +508,29 @@ def test_png_resize_ground_truth_and_quarantine():
     assert (got[did]["width"], got[did]["height"]) == (w, h)
     assert got[did]["resized_sha"] == want
     assert got[99]["resized_sha"] is None and got[99]["width"] is None
+
+
+def test_audio_autocorrelation_hand_values(spark):
+    """Hand-computed autocorrelation on a 4-sample WAV: amps [0,1,2,3]
+    give acorr(1) = 0·1+1·2+2·3 = 8 and acorr(2) = 0·2+1·3 = 3; a lag
+    ≥ n emits no row; malformed payloads emit nothing."""
+    import struct
+
+    from poc_spark.operators.multimodal import audio_autocorrelation
+
+    samples = bytes([128, 129, 130, 131])
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not a riff container"))],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r["media_id"], r["lag"]): (r["acorr"], r["n_terms"])
+        for r in audio_autocorrelation(df, lags=(1, 2, 4)).collect()
+    }
+    assert got == {(1, 1): (8, 3), (1, 2): (3, 2)}
