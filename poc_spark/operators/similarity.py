@@ -613,13 +613,20 @@ def knn_join_tiled(
     base = df.select(
         F.col(id_col).cast(id_sql).alias("id"), F.col(vec_col).alias("v")
     )
+    # Both cogroup key columns are cast to int on BOTH sides: pmod
+    # yields bigint while the exploded literals are int, and cogroup
+    # does NOT coerce key types across sides — with (bigint, int) keys
+    # on one side and (int, bigint) on the other, most (qb, cb) cells
+    # silently pair with an EMPTY opposite side and their candidates
+    # vanish (caught at sf0.1 in r7: 1959 of 2000 queries returned
+    # neighbors from a single surviving cell).
     qrep = base.withColumn(
-        "qb", F.pmod(F.xxhash64(F.col("id")), F.lit(query_blocks))
+        "qb", F.pmod(F.xxhash64(F.col("id")), F.lit(query_blocks)).cast("int")
     ).withColumn(
         "cb", F.explode(F.array(*[F.lit(c) for c in range(corpus_blocks)]))
     )
     crep = base.withColumn(
-        "cb", F.pmod(F.xxhash64(F.col("id")), F.lit(corpus_blocks))
+        "cb", F.pmod(F.xxhash64(F.col("id")), F.lit(corpus_blocks)).cast("int")
     ).withColumn(
         "qb", F.explode(F.array(*[F.lit(q) for q in range(query_blocks)]))
     )
