@@ -4058,6 +4058,95 @@ def lake_rollup_incremental(spark, sf_dir):
     )
 
 
+@register(
+    "lake_cdc_merge",
+    """
+    WITH reins AS (
+      SELECT doc_id, 'back ' || doc_id::VARCHAR AS text,
+             'xx' AS lang, 'cdc' AS source,
+             length('back ' || doc_id::VARCHAR)::BIGINT AS n_chars
+      FROM documents WHERE doc_id % 22 = 0
+    ),
+    upd AS (
+      SELECT doc_id, text || ' u2' AS text, lang, source,
+             n_chars + 2 AS n_chars
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id % 11 <> 0
+    ),
+    keep AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id % 11 <> 0
+    ),
+    merged AS (
+      SELECT * FROM keep UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM reins
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM merged GROUP BY lang, source
+    """,
+)
+def lake_cdc_merge(spark, sf_dir):
+    """The FULL Delta-style MERGE driven by a CDC changelog —
+    matched-UPDATE, not-matched-INSERT, **matched-DELETE** (sources/
+    lake.py merge_apply_cdc; merge_upsert_partitioned covers the first
+    two arms, this adds the tombstone arm, completing CDC-to-lake
+    landing): the four-epoch changelog of lake_cdc_apply (insert
+    image, % 5 updates, % 11 deletes, % 22 re-inserts that land in a
+    NEW lang=xx partition) is compacted to last-event-per-key and
+    applied to a PHYSICAL partitioned documents tree — tombstoned
+    keys anti-joined out of their partitions, upserts replacing or
+    inserting, untouched partitions hardlink-carried, one atomic
+    publish. The tree is read back whole and content-aggregated; the
+    oracle derives the merged state relationally with the precedence
+    rules explicit (a seq-4 re-insert resurrects a seq-3 delete, a
+    seq-3 delete beats a seq-2 update) — so the delete arm is
+    verified against a path that never sees the log or the tree."""
+    from poc_spark.sources.lake import merge_apply_cdc, write_partitioned
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _export_path("cdcmergetree", sf_dir)
+    # fresh base every run (the sink stale-artifact rule)
+    write_partitioned(docs, root, ["lang"])
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ins = docs.select(
+        *cols, F.lit(1).alias("seq"), F.lit("I").alias("op")
+    )
+    upd = docs.filter("doc_id % 5 = 0").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" u2")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(2)).alias("n_chars"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = docs.filter("doc_id % 11 = 0").select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    back = F.concat(F.lit("back "), F.col("doc_id").cast("string"))
+    reins = docs.filter("doc_id % 22 = 0").select(
+        "doc_id",
+        back.alias("text"),
+        F.lit("xx").alias("lang"),
+        F.lit("cdc").alias("source"),
+        F.length(back).cast("long").alias("n_chars"),
+        F.lit(4).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    log = ins.unionByName(upd).unionByName(dels).unionByName(reins)
+    merge_apply_cdc(spark, root, log, "doc_id", "lang")
+    return _content_agg(spark.read.parquet(root), "lang", "source")
+
+
 def orc_export_path(sf_dir: str) -> str:
     return _export_path("orc", sf_dir)
 
@@ -6210,6 +6299,10 @@ _TAIL = [
     "q_resample_gapfill",
     "q_group_ols",
     "q17_small_qty_revenue",
+    # q21_sole_late_supplier's multi-exists correlated shape is
+    # capability-witnessed by the in-head TPC-H rotation block
+    # (q4's exists, q22's not-exists + scalar subquery).
+    "q21_sole_late_supplier",
     "sample_pack",
     "text_repetition",
     "op_agg_nodes",

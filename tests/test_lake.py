@@ -828,3 +828,63 @@ def test_bloom_index_point_lookup(spark, tmp_path):
         spark, data, idxp, "id", 10_000, bits=4096, k=3
     )
     assert miss.count() == 0 and n_miss < n_tot
+
+
+def test_merge_apply_cdc_delete_arm(spark, tmp_path):
+    """The full MERGE with tombstones: updates replace, inserts land,
+    the last-delete key vanishes from its partition, a delete-then-
+    reinsert key survives with the new image, and partitions that hold
+    no affected key are carried byte-for-byte."""
+    import os
+
+    from poc_spark.sources.lake import merge_apply_cdc, write_partitioned
+
+    base_schema = "k long, text string, lang string, n long"
+    base = spark.createDataFrame(
+        [
+            (1, "a", "en", 1),
+            (2, "b", "en", 2),
+            (3, "c", "de", 3),
+            (4, "d", "fr", 4),
+        ],
+        base_schema,
+    )
+    root = str(tmp_path / "tree")
+    write_partitioned(base, root, ["lang"])
+
+    def snapshot(part):
+        d = os.path.join(root, f"lang={part}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)),
+             os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_fr = snapshot("fr")
+
+    log_schema = "k long, text string, lang string, n long, seq int, op string"
+    log = spark.createDataFrame(
+        [
+            (1, "a2", "en", 10, 2, "U"),   # update in place
+            (2, None, None, None, 2, "D"),  # tombstone: key 2 gone
+            (3, None, None, None, 2, "D"),
+            (3, "c2", "xx", 30, 3, "I"),    # delete then re-insert: moves
+            (9, "new", "de", 9, 1, "I"),    # fresh insert
+        ],
+        log_schema,
+    )
+    affected = merge_apply_cdc(spark, root, log, "k", "lang")
+    assert affected == ["de", "en", "xx"]
+    assert snapshot("fr") == before_fr
+
+    got = {
+        r["k"]: (r["text"], r["lang"], r["n"])
+        for r in spark.read.parquet(root).collect()
+    }
+    assert got == {
+        1: ("a2", "en", 10),
+        3: ("c2", "xx", 30),
+        4: ("d", "fr", 4),
+        9: ("new", "de", 9),
+    }
