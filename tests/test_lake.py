@@ -888,3 +888,51 @@ def test_merge_apply_cdc_delete_arm(spark, tmp_path):
         4: ("d", "fr", 4),
         9: ("new", "de", 9),
     }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # key (small → collisions)
+            st.sampled_from(["I", "U", "D"]),         # op
+            st.integers(min_value=0, max_value=99),   # value payload
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_cdc_latest_state_matches_sequential_replay(spark, events):
+    """Property: for ANY event log, the one-pass max_by compaction
+    equals a literal sequential replay of the log in seq order — the
+    definition of CDC apply. Small key domain forces dense per-key
+    histories (update-after-delete, delete-as-last, repeated ops)."""
+    from poc_spark.sources.lake import cdc_latest_state
+
+    rows = [
+        (k, op, v, i + 1) for i, (k, op, v) in enumerate(events)
+    ]
+    # sequential replay reference (pure python)
+    state: dict = {}
+    for k, op, v, _seq in rows:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    df = spark.createDataFrame(
+        rows or [(0, "D", 0, 1)],  # createDataFrame needs ≥1 row; a
+        "k long, op string, v long, seq long",  # lone delete = empty state
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in cdc_latest_state(df, ["k"], "seq", "op").collect()
+    }
+    want = state if rows else {}
+    assert got == want
