@@ -476,19 +476,25 @@ def rollup_partial(
     key_cols: list[str],
     sum_cols: list[str],
     count_col: str = "n_rows",
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
 ) -> DataFrame:
     """The mergeable partial-aggregate shape of a rollup table row:
-    (partition, keys..., count, sum_<c>...). Used both to BUILD the
-    initial rollup (aggregate everything, write partitioned) and to
-    pre-aggregate a delta before incremental maintenance. Only
-    decomposable aggregates belong here (count/sum — min/max merge the
-    same way; avg derives as sum/count at read time), which is exactly
-    why the rollup can be maintained without re-reading history."""
+    (partition, keys..., count, sum_<c>..., min_<c>..., max_<c>...).
+    Used both to BUILD the initial rollup (aggregate everything, write
+    partitioned) and to pre-aggregate a delta before incremental
+    maintenance. Only decomposable aggregates belong here — count and
+    sum merge by summing, min/max by re-min/re-maxing; avg derives as
+    sum/count at read time — which is exactly why the rollup can be
+    maintained without re-reading history. (Non-decomposable aggs like
+    exact medians need the sketch layer, sketches.py.)"""
     from pyspark.sql import functions as F
 
     return df.groupBy(partition_col, *key_cols).agg(
         F.count(F.lit(1)).alias(count_col),
         *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        *[F.min(c).alias(f"min_{c}") for c in min_cols],
+        *[F.max(c).alias(f"max_{c}") for c in max_cols],
     )
 
 
@@ -500,6 +506,8 @@ def rollup_incremental(
     key_cols: list[str],
     sum_cols: list[str],
     count_col: str = "n_rows",
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
     _pre_publish_hook=None,
 ) -> list[str]:
     """Incremental maintenance of a partitioned additive rollup — the
@@ -540,7 +548,8 @@ def rollup_incremental(
 
     _require_local(agg_root, "rollup_incremental")
     partials = rollup_partial(
-        delta, partition_col, key_cols, sum_cols, count_col
+        delta, partition_col, key_cols, sum_cols, count_col,
+        min_cols, max_cols,
     )
     if not os.path.lexists(agg_root):
         # bootstrap: the first delta IS the rollup (the streaming
@@ -563,6 +572,8 @@ def rollup_incremental(
     merged = old.unionByName(partials).groupBy(partition_col, *key_cols).agg(
         F.sum(count_col).alias(count_col),
         *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        *[F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols],
+        *[F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols],
     )
     _commit_partitions(
         spark,
@@ -1122,3 +1133,44 @@ def merge_apply_cdc(
         spark, root, cur, merged, partition_col, affected, _pre_publish_hook
     )
     return affected
+
+
+def vacuum_tree(root: str, keep: int = 2) -> list[str]:
+    """Garbage-collect a version-pointer tree's siblings: crashed
+    writers leave `.stage-*` directories and (rarely) version dirs a
+    missed publish never pruned; this removes every stage dir and all
+    but the newest `keep` versions — NEVER the pointer's current
+    target, whatever `keep` says. The lake's `VACUUM`. Returns the
+    removed directory names (sorted), safe to run concurrently with
+    readers because only unreachable directories are touched —
+    anything a reader could have resolved through the pointer in the
+    retention window stays."""
+    import os
+    import re
+    import shutil
+
+    _require_local(root, "vacuum_tree")
+    parent, base = os.path.split(root)
+    if not os.path.isdir(parent or "."):
+        return []
+    current = (
+        os.path.basename(os.path.realpath(root))
+        if os.path.islink(root)
+        else None
+    )
+    removed = []
+    versions = sorted(
+        e
+        for e in os.listdir(parent or ".")
+        if re.fullmatch(re.escape(base) + _VERSION_RE[:-1], e)
+    )
+    doomed = [v for v in versions[: max(0, len(versions) - max(keep, 1))]]
+    for e in os.listdir(parent or "."):
+        p = os.path.join(parent, e)
+        if e.startswith(base + ".stage-") and os.path.isdir(p):
+            removed.append(e)
+        elif e in doomed and e != current:
+            removed.append(e)
+    for e in removed:
+        shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
+    return sorted(removed)

@@ -936,3 +936,69 @@ def test_cdc_latest_state_matches_sequential_replay(spark, events):
     }
     want = state if rows else {}
     assert got == want
+
+
+def test_rollup_min_max_merge(spark, tmp_path):
+    """min/max rollup columns merge correctly across base + delta —
+    the other decomposable aggregate family."""
+    from poc_spark.sources.lake import (
+        rollup_incremental,
+        rollup_partial,
+        write_partitioned,
+    )
+
+    schema = "month string, k string, v long"
+    base = spark.createDataFrame(
+        [("2024-01", "a", 10), ("2024-01", "a", 3), ("2024-02", "a", 5)],
+        schema,
+    )
+    delta = spark.createDataFrame(
+        [("2024-01", "a", 99), ("2024-01", "a", 1)], schema
+    )
+    root = str(tmp_path / "r")
+    write_partitioned(
+        rollup_partial(base, "month", ["k"], ["v"], min_cols=["v"],
+                       max_cols=["v"]),
+        root,
+        ["month"],
+    )
+    rollup_incremental(
+        spark, root, delta, "month", ["k"], ["v"], min_cols=["v"],
+        max_cols=["v"],
+    )
+    got = {
+        (r["month"], r["k"]): (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in spark.read.parquet(root).collect()
+    }
+    assert got == {
+        ("2024-01", "a"): (4, 113, 1, 99),
+        ("2024-02", "a"): (1, 5, 5, 5),
+    }
+
+
+def test_vacuum_tree_removes_only_unreachable(spark, tmp_path):
+    """vacuum removes stage leftovers and over-retention versions but
+    never the pointer's current target or the retained previous."""
+    import os
+
+    from poc_spark.sources.lake import (
+        merge_upsert_partitioned,
+        vacuum_tree,
+        write_partitioned,
+    )
+
+    schema = "k long, text string, lang string, n long"
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame([(1, "a", "en", 1)], schema)
+    write_partitioned(base, root, ["lang"])
+    up = spark.createDataFrame([(1, "a2", "en", 2)], schema)
+    merge_upsert_partitioned(spark, root, up, "k", "lang")
+    # fake a crashed writer + a stale ancient version
+    os.makedirs(f"{root}.stage-deadbeef/lang=en")
+    os.makedirs(f"{root}.v000000")
+    removed = vacuum_tree(root)
+    names = {os.path.basename(r) for r in removed}
+    assert names == {"tree.stage-deadbeef", "tree.v000000"}
+    # both retained versions still readable
+    assert spark.read.parquet(root).count() == 1
+    assert os.path.isdir(f"{root}.v000001")
