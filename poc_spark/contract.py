@@ -4147,6 +4147,84 @@ def lake_cdc_merge(spark, sf_dir):
     return _content_agg(spark.read.parquet(root), "lang", "source")
 
 
+@register(
+    "pipeline_lake_lifecycle",
+    """
+    WITH st AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN 'removed'
+                  WHEN doc_id % 3 = 0 THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM documents
+    )
+    SELECT status, count(*) AS n, sum(doc_id)::BIGINT AS id_sum
+    FROM st GROUP BY status
+    """,
+)
+def pipeline_lake_lifecycle(spark, sf_dir):
+    """END-TO-END lake lifecycle over the round-7 table-format layer,
+    composed in one entry: (1) a fresh partitioned base tree, (2) a
+    CDC MERGE commit (updates for doc_id % 3 == 0, tombstones for
+    % 13 == 0 — keys divisible by both pin delete-beats-update),
+    (3) vacuum (must find nothing reachable to remove after a clean
+    commit), then (4) a SNAPSHOT DIFF between the retained pre-commit
+    version — reached by TIME TRAVEL, not a saved copy — and the
+    published tree. The diff's per-status counts are the entry's
+    output; the oracle derives them relationally from the update/
+    delete rules alone. One entry therefore cross-checks the
+    interplay of four components: the merge must have actually
+    changed/removed exactly the right keys, the old version must have
+    stayed byte-frozen (a mutated snapshot would misclassify rows),
+    vacuum must not eat a retained version, and the diff must read
+    both snapshots consistently."""
+    from poc_spark.sources.lake import (
+        list_versions,
+        merge_apply_cdc,
+        snapshot_diff,
+        vacuum_tree,
+        version_dir,
+        write_partitioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _export_path("lifecycletree", sf_dir)
+    write_partitioned(docs, root, ["lang"])
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ins = docs.select(*cols, F.lit(1).alias("seq"), F.lit("I").alias("op"))
+    upd = docs.filter("doc_id % 3 = 0").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(1)).alias("n_chars"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = docs.filter("doc_id % 13 = 0").select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    merge_apply_cdc(
+        spark, root, ins.unionByName(upd).unionByName(dels), "doc_id", "lang"
+    )
+    if vacuum_tree(root):
+        raise RuntimeError(
+            "pipeline_lake_lifecycle: vacuum removed directories right "
+            "after a clean commit — retention is broken"
+        )
+    prev = version_dir(root, list_versions(root)[0])
+    diff = snapshot_diff(spark, prev, root, ["doc_id"])
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 def orc_export_path(sf_dir: str) -> str:
     return _export_path("orc", sf_dir)
 
@@ -6303,6 +6381,10 @@ _TAIL = [
     # capability-witnessed by the in-head TPC-H rotation block
     # (q4's exists, q22's not-exists + scalar subquery).
     "q21_sole_late_supplier",
+    # pipeline_bpe_train_apply's composition is capability-witnessed
+    # by its two in-head components (text_bpe_learn, text_bpe_apply —
+    # both carrying the r7 convergence-guard change themselves).
+    "pipeline_bpe_train_apply",
     "sample_pack",
     "text_repetition",
     "op_agg_nodes",
