@@ -4225,6 +4225,90 @@ def pipeline_lake_lifecycle(spark, sf_dir):
     )
 
 
+@register(
+    "lake_expectations",
+    """
+    WITH d0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 101 = 0 THEN NULL ELSE text END AS text,
+             CASE WHEN doc_id % 97 = 0 THEN n_chars + 1
+                  ELSE n_chars END AS n_chars
+      FROM documents
+    ),
+    dirty AS (
+      SELECT * FROM d0
+      UNION ALL SELECT * FROM d0 WHERE doc_id % 89 = 0
+    )
+    SELECT 'not_null_text' AS rule,
+           (SELECT count(*) FROM dirty)::BIGINT AS n_rows,
+           (SELECT count(*) FROM dirty WHERE text IS NULL)::BIGINT
+             AS n_violations
+    UNION ALL
+    SELECT 'n_chars_matches',
+           (SELECT count(*) FROM dirty)::BIGINT,
+           (SELECT count(*) FROM dirty
+            WHERE NOT coalesce(n_chars = length(text), false))::BIGINT
+    UNION ALL
+    SELECT 'unique_doc_id',
+           (SELECT count(*) FROM dirty)::BIGINT,
+           (SELECT count(*) - count(DISTINCT doc_id) FROM dirty)::BIGINT
+    UNION ALL
+    SELECT 'fk_lineitem_orders',
+           (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o
+               WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+    """,
+)
+def lake_expectations(spark, sf_dir):
+    """Declarative data-quality expectations (operators/
+    expectations.py — the Delta Live Tables gate shape): documents are
+    deliberately corrupted by data-dependent rules (every % 101 key's
+    text nulled, every % 97 key's n_chars skewed, every % 89 key
+    duplicated), then the gate evaluates four rules across all three
+    cost families — two row-local predicates fused into ONE aggregate
+    scan (null = violation, the conservative convention), key
+    uniqueness as one hash agg (violations = rows a dedup would
+    drop), and lineitem→orders referential containment as one
+    anti-join. The oracle re-derives every violation count from the
+    corruption predicates independently, so the counts are
+    data-dependent at every scale — not fixture constants — and the
+    fused-scan evaluation must agree with per-rule SQL."""
+    from poc_spark.operators.expectations import (
+        expect_rows,
+        expect_subset,
+        expect_unique,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d0 = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 101 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 97 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    dirty = d0.unionByName(d0.filter("doc_id % 89 = 0"))
+    rows = expect_rows(
+        dirty,
+        {
+            "not_null_text": F.col("text").isNotNull(),
+            "n_chars_matches": F.col("n_chars") == F.length("text"),
+        },
+    )
+    uniq = expect_unique(dirty, ["doc_id"], rule="unique_doc_id")
+    fk = expect_subset(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        rule="fk_lineitem_orders",
+    )
+    return rows.unionByName(uniq).unionByName(fk)
+
+
 def orc_export_path(sf_dir: str) -> str:
     return _export_path("orc", sf_dir)
 
@@ -6385,6 +6469,10 @@ _TAIL = [
     # by its two in-head components (text_bpe_learn, text_bpe_apply —
     # both carrying the r7 convergence-guard change themselves).
     "pipeline_bpe_train_apply",
+    # lake_snapshot_diff's diff reader is exercised in-head by
+    # pipeline_lake_lifecycle (diff against a time-traveled snapshot
+    # after a CDC merge) — a strictly harder composition.
+    "lake_snapshot_diff",
     "sample_pack",
     "text_repetition",
     "op_agg_nodes",
