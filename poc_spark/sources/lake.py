@@ -1174,3 +1174,25 @@ def vacuum_tree(root: str, keep: int = 2) -> list[str]:
     for e in removed:
         shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
     return sorted(removed)
+
+
+def clone_tree(root: str, dst: str) -> int:
+    """ZERO-COPY table clone (the Delta shallow-clone shape on plain
+    parquet): mirror the current snapshot's directory tree under `dst`
+    as hardlinks — new names over the same immutable data blocks, so
+    a 100 TB table clones in O(#files) metadata ops and zero bytes.
+    The clone starts its own version-pointer lineage (`dst` is a
+    plain directory until its first in-place rewrite migrates it), and
+    because published versions are never mutated in place, writers on
+    either side can never corrupt the other: a rewrite builds NEW
+    files and re-links, it never touches shared blocks. The
+    dev/staging-copy primitive. Returns the number of files linked."""
+    import os
+
+    _require_local(root, "clone_tree")
+    _require_local(dst, "clone_tree")
+    src = os.path.realpath(root)
+    if os.path.lexists(dst):
+        raise ValueError(f"clone_tree: destination {dst!r} already exists")
+    _hardlink_tree(src, dst)
+    return sum(len(fs) for _, _, fs in os.walk(dst))

@@ -1002,3 +1002,47 @@ def test_vacuum_tree_removes_only_unreachable(spark, tmp_path):
     # both retained versions still readable
     assert spark.read.parquet(root).count() == 1
     assert os.path.isdir(f"{root}.v000001")
+
+
+def test_clone_tree_zero_copy_and_isolated(spark, tmp_path):
+    """A clone shares every data block (same inodes), reads
+    identically, and a CoW merge on the ORIGINAL never disturbs the
+    clone's content."""
+    import os
+
+    from poc_spark.sources.lake import (
+        clone_tree,
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    schema = "k long, text string, lang string, n long"
+    root = str(tmp_path / "tree")
+    dst = str(tmp_path / "clone")
+    base = spark.createDataFrame(
+        [(1, "a", "en", 1), (2, "b", "de", 2)], schema
+    )
+    write_partitioned(base, root, ["lang"])
+    n = clone_tree(root, dst)
+    assert n > 0
+
+    def inodes(d):
+        return {
+            f: os.stat(os.path.join(p, f)).st_ino
+            for p, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    assert inodes(root) == inodes(dst)  # same blocks, zero bytes copied
+
+    def state(path):
+        return {
+            r["k"]: r["text"] for r in spark.read.parquet(path).collect()
+        }
+
+    before = state(dst)
+    up = spark.createDataFrame([(1, "a2", "en", 9)], schema)
+    merge_upsert_partitioned(spark, root, up, "k", "lang")
+    assert state(root) == {1: "a2", 2: "b"}
+    assert state(dst) == before  # clone untouched by the merge
