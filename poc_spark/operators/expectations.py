@@ -96,12 +96,20 @@ def expect_subset(
     when the parent key set is small — the usual dimension case).
     NULL child keys count as violations (they reference nothing)."""
     name = rule or f"{child_col} in {parent_col}"
-    pk = parent.select(F.col(parent_col).alias(child_col)).distinct()
-    orphans = child.select(child_col).join(pk, child_col, "left_anti")
-    return child.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).crossJoin(
-        orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
-    ).select(
-        F.lit(name).alias("rule"), "n_rows", "n_violations"
+    pk = (
+        parent.select(F.col(parent_col).alias(child_col))
+        .distinct()
+        .withColumn("_present", F.lit(1))
+    )
+    # ONE outer join + ONE aggregate (an anti-join would need a second
+    # scan — or a nested-loop cross join — to also produce the total)
+    flagged = child.select(child_col).join(pk, child_col, "left")
+    return flagged.agg(
+        F.lit(name).alias("rule"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_present").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
     )
 
 
