@@ -420,6 +420,36 @@ def merge_upsert_partitioned(
     return affected
 
 
+def _write_tree_meta(version_dir_path: str, meta: dict) -> None:
+    """Write the commit metadata file INTO a (not yet published, or
+    plain bootstrap) version directory. The leading underscore keeps
+    Spark's file listing from treating it as data (the _SUCCESS
+    convention); a hardlink carried from the previous version is
+    unlinked first — writing through the link would mutate the OLD
+    published version's file, breaking snapshot immutability."""
+    import json
+    import os
+
+    p = os.path.join(version_dir_path, "_meta.json")
+    if os.path.lexists(p):
+        os.unlink(p)
+    with open(p, "w") as f:
+        json.dump(meta, f)
+
+
+def read_tree_meta(root: str) -> dict:
+    """Commit metadata of the CURRENT snapshot ({} when none) — the
+    transaction-id channel exactly-once consumers read."""
+    import json
+    import os
+
+    p = os.path.join(os.path.realpath(root), "_meta.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
 def _commit_partitions(
     spark: SparkSession,
     root: str,
@@ -428,6 +458,7 @@ def _commit_partitions(
     partition_col: str,
     affected: list[str],
     _pre_publish_hook=None,
+    meta: dict | None = None,
 ) -> None:
     """Shared commit core of the copy-on-write tree writers
     (merge_upsert_partitioned, rollup_incremental): stage `merged`
@@ -461,6 +492,8 @@ def _commit_partitions(
             for e in it:
                 if e.is_dir() and e.name.startswith(prefix):
                     os.rename(e.path, os.path.join(new_dir, e.name))
+        if meta is not None:
+            _write_tree_meta(new_dir, meta)
         if _pre_publish_hook is not None:
             _pre_publish_hook()
         _publish_version(root, new_dir)
@@ -509,6 +542,7 @@ def rollup_incremental(
     min_cols: list[str] = (),
     max_cols: list[str] = (),
     _pre_publish_hook=None,
+    commit_meta: dict | None = None,
 ) -> list[str]:
     """Incremental maintenance of a partitioned additive rollup — the
     hypertable continuous-aggregate / materialized-rollup shape: a
@@ -555,6 +589,8 @@ def rollup_incremental(
         # bootstrap: the first delta IS the rollup (the streaming
         # foreachBatch consumer's first micro-batch lands here)
         write_partitioned(partials, agg_root, [partition_col])
+        if commit_meta is not None:
+            _write_tree_meta(agg_root, commit_meta)
         return sorted(
             str(r[0])
             for r in partials.select(partition_col).distinct().collect()
@@ -583,6 +619,7 @@ def rollup_incremental(
         partition_col,
         affected,
         _pre_publish_hook,
+        meta=commit_meta,
     )
     return affected
 

@@ -174,6 +174,7 @@ def maintain_rollup_stream(
     key_cols: list,
     sum_cols: list,
     max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
 ) -> int:
     """CONTINUOUS rollup maintenance: a FileStreamSource drains the
     landing directory micro-batch by micro-batch (availableNow honors
@@ -191,34 +192,72 @@ def maintain_rollup_stream(
     At 100 TB this is the steady-state ingestion shape: readers always
     see a complete consistent rollup (version-pointer commit), the
     per-batch cost is delta-proportional (ROLLUP_DEMO.json), and a
-    crashed batch re-runs from the checkpointed source offset —
-    though note the rollup write itself is NOT idempotent under
-    replay (summing twice double-counts); exactly-once here needs the
-    batch-id recorded in the commit, the standard foreachBatch
-    caveat, left as a documented gap rather than hidden."""
-    from poc_spark.sources.lake import rollup_incremental
-
+    crashed batch re-runs from the checkpointed source offset, and
+    the rollup apply is EXACTLY-ONCE under that replay: each commit
+    records its batch id in the snapshot's transaction metadata
+    (apply_rollup_batch_exactly_once — the Delta txn-id pattern), and
+    a replayed batch whose id is already recorded is skipped, so a
+    crash between the rollup commit and the checkpoint advance can
+    never double-count. Pass `checkpoint` to make source offsets
+    themselves durable across restarts."""
     n_batches = 0
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
-        rollup_incremental(
+        apply_rollup_batch_exactly_once(
             spark,
             agg_root,
             prepare(batch_df),
+            batch_id,
             partition_col,
             key_cols,
             sum_cols,
         )
 
-    q = (
+    writer = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(landing_dir)
         .writeStream.foreachBatch(handle)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
     q.awaitTermination()
     return n_batches
+
+
+def apply_rollup_batch_exactly_once(
+    spark,
+    agg_root: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    partition_col: str,
+    key_cols: list,
+    sum_cols: list,
+) -> bool:
+    """Idempotent micro-batch apply — the transactional half of
+    foreachBatch exactly-once (the half Spark does NOT give you: the
+    checkpoint guarantees each batch is DELIVERED at least once after
+    a crash, and the sink must deduplicate redelivery). The applied
+    batch ids ride the rollup tree's own commit metadata, so "batch
+    recorded" and "batch's rows summed in" are the SAME atomic
+    symlink flip — there is no window where one is true and the other
+    is not. A replayed id returns False without touching the tree."""
+    from poc_spark.sources.lake import read_tree_meta, rollup_incremental
+
+    applied = set(read_tree_meta(agg_root).get("applied_batches", []))
+    if int(batch_id) in applied:
+        return False
+    rollup_incremental(
+        spark,
+        agg_root,
+        batch_df,
+        partition_col,
+        key_cols,
+        sum_cols,
+        commit_meta={"applied_batches": sorted(applied | {int(batch_id)})},
+    )
+    return True

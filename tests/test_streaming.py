@@ -219,3 +219,44 @@ def test_maintain_rollup_stream_batch_split_invariant(spark, tmp_path):
         "day", F.col("day").cast("string")
     )
     assert state(got) == state(rollup_partial(df, "day", ["k"], ["v"]))
+
+
+def test_rollup_batch_replay_is_exactly_once(spark, tmp_path):
+    """A redelivered micro-batch (same batch id — the crash-between-
+    commit-and-checkpoint case) must not double-count: the second
+    apply returns False and the rollup is unchanged; a NEW batch id
+    still applies."""
+    from poc_spark.streaming.ingest import apply_rollup_batch_exactly_once
+
+    root = str(tmp_path / "rollup")
+    b0 = spark.createDataFrame(
+        [("2024-01", "a", 5), ("2024-01", "a", 7)], "day string, k string, v long"
+    )
+
+    def state():
+        return {
+            (r["day"], r["k"]): (r["n_rows"], r["sum_v"])
+            for r in spark.read.parquet(root).collect()
+        }
+
+    assert apply_rollup_batch_exactly_once(
+        spark, root, b0, 0, "day", ["k"], ["v"]
+    )
+    after0 = state()
+    assert after0 == {("2024-01", "a"): (2, 12)}
+    # replay of batch 0: skipped, tree untouched
+    assert not apply_rollup_batch_exactly_once(
+        spark, root, b0, 0, "day", ["k"], ["v"]
+    )
+    assert state() == after0
+    # a genuinely new batch applies and its id is recorded too
+    b1 = spark.createDataFrame(
+        [("2024-01", "a", 1)], "day string, k string, v long"
+    )
+    assert apply_rollup_batch_exactly_once(
+        spark, root, b1, 1, "day", ["k"], ["v"]
+    )
+    assert state() == {("2024-01", "a"): (3, 13)}
+    assert not apply_rollup_batch_exactly_once(
+        spark, root, b1, 1, "day", ["k"], ["v"]
+    )
