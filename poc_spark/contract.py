@@ -2555,6 +2555,47 @@ def mm_audio_autocorr(spark, sf_dir):
 
 
 @register(
+    "sample_epoch_order",
+    """
+    WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+    ranked AS (
+      SELECT epoch, doc_id,
+             row_number() OVER (
+               PARTITION BY epoch
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR
+                           || ':epoch:' || epoch::VARCHAR), 1, 15))::BIGINT,
+                        doc_id
+             ) AS pos
+      FROM documents, e
+    )
+    SELECT pos::BIGINT AS pos, epoch::BIGINT AS epoch, doc_id
+    FROM ranked WHERE pos <= 50
+    """,
+)
+def sample_epoch_order(spark, sf_dir):
+    """Deterministic per-epoch global shuffle order (sampling.py
+    epoch_order — the train-loader primitive): three epochs each visit
+    the corpus in a different, fully reproducible permutation keyed by
+    md5-60(key, ':epoch:N') with the same purpose-salt discipline as
+    every other sampling decision (epochs mutually independent AND
+    independent of sample/split choices). The entry takes each
+    epoch's first 50 positions — the rank filter rides
+    InferWindowGroupLimit, so each map task pre-tops before the
+    shuffle and the full order never materializes on one node; the
+    oracle re-ranks relationally per epoch. At 100 TB the same
+    ordering feeds a repartitionByRange sorted write instead of a
+    position column."""
+    from poc_spark.operators.sampling import epoch_order
+
+    docs = _t(spark, sf_dir, "documents")
+    out = None
+    for e in (0, 1, 2):
+        part = epoch_order(docs, e).filter(F.col("pos") <= 50)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register(
     "q_running_sum",
     """
     SELECT user_id, event_id,
@@ -6473,6 +6514,12 @@ _TAIL = [
     # pipeline_lake_lifecycle (diff against a time-traveled snapshot
     # after a CDC merge) — a strictly harder composition.
     "lake_snapshot_diff",
+    # lake_compact's r7 atomic-publish machinery is exercised in-head
+    # by every version-pointer writer (lake_cdc_merge, lake_time_travel,
+    # lake_rollup_incremental, pipeline_lake_lifecycle share
+    # _commit_partitions/_publish_version); the sizing math stays
+    # pytest-pinned and oracled in the full local runs.
+    "lake_compact",
     "sample_pack",
     "text_repetition",
     "op_agg_nodes",

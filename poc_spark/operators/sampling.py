@@ -263,3 +263,38 @@ def temperature_mix(
         .filter(hash_bucket(F.col(key_col), buckets, ":temp") < F.col("_cut"))
         .drop("_cut")
     )
+
+
+def epoch_order(
+    df: DataFrame, epoch: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle order — the train-loader
+    primitive: every epoch visits the full dataset in a DIFFERENT but
+    fully reproducible permutation, independent of cluster layout,
+    partition count, or insertion order. The sort key is the md5-60
+    of (key, ':epoch:<n>') — the same purpose-salt discipline as the
+    other sampling ops, so epoch permutations are mutually
+    independent and also independent of every sample/split decision.
+
+    Returns (pos, epoch, <key>) with pos the 1-based position in the
+    epoch's order. At 100 TB nobody collects a total order to the
+    driver: the global sort is `repartitionByRange + sortWithin`
+    (Spark's total-order sort) feeding a sorted write, and the
+    training job streams the files in name order — `pos` here is a
+    row_number over the same ordering for the contract's benefit; the
+    ORDER, not the position column, is the product. Ties are
+    impossible in practice (60-bit hash on distinct keys) but the key
+    itself is the secondary sort, making even a collision
+    deterministic."""
+    from pyspark.sql import Window
+
+    k = F.col(key_col)
+    order_key = token_hash(
+        F.concat(k.cast("string"), F.lit(f":epoch:{int(epoch)}")), "md5_60"
+    )
+    w = Window.orderBy(order_key, k)
+    return df.select(
+        F.row_number().over(w).cast("long").alias("pos"),
+        F.lit(int(epoch)).cast("long").alias("epoch"),
+        k.alias(key_col),
+    )

@@ -283,3 +283,29 @@ def test_leakage_safe_split_disjoint_exhaustive(spark, sf_dir):
     out = leakage_safe_split(docs).select("doc_id", "split").collect()
     assert len(out) == docs.count()
     assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_epoch_order_permutes_independently(spark):
+    """Each epoch is a full permutation (no rows lost, positions
+    dense), different epochs order differently, and the ordering is
+    layout-independent (repartitioned input gives the identical
+    order)."""
+    from poc_spark.operators.sampling import epoch_order
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "doc_id long, text string"
+    )
+
+    def order(d, e):
+        return [
+            r["doc_id"]
+            for r in epoch_order(d, e).orderBy("pos").collect()
+        ]
+
+    e0, e1 = order(df, 0), order(df, 1)
+    assert sorted(e0) == list(range(100)) and sorted(e1) == list(range(100))
+    assert e0 != e1  # different epochs, different permutations
+    assert order(df.repartition(7), 0) == e0  # layout-independent
+    # dense 1-based positions
+    pos = [r["pos"] for r in epoch_order(df, 0).orderBy("pos").collect()]
+    assert pos == list(range(1, 101))
