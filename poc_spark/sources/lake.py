@@ -748,7 +748,10 @@ def snapshot_diff(
     2^-64-per-pair event — with two seeds the collision tolerance is
     ~2^-128, below any realistic row count's birthday bound. Returns
     (key..., status); value columns are deliberately NOT carried —
-    join back by key for details."""
+    join back by key for details. `key_cols` must be unique per
+    snapshot (the table-key contract every MERGE here relies on);
+    duplicate keys fan out through the full outer join and the
+    per-row statuses stop meaning anything."""
     left = spark.read.parquet(left_root)
     right = spark.read.parquet(right_root)
     if compare_cols is None:
@@ -1172,19 +1175,33 @@ def merge_apply_cdc(
     return affected
 
 
-def vacuum_tree(root: str, keep: int = 2) -> list[str]:
+def vacuum_tree(
+    root: str, keep: int = 2, min_stage_age_sec: float = 0.0
+) -> list[str]:
     """Garbage-collect a version-pointer tree's siblings: crashed
     writers leave `.stage-*` directories and (rarely) version dirs a
-    missed publish never pruned; this removes every stage dir and all
+    missed publish never pruned; this removes stage dirs and all
     but the newest `keep` versions — NEVER the pointer's current
     target, whatever `keep` says. The lake's `VACUUM`. Returns the
     removed directory names (sorted), safe to run concurrently with
     readers because only unreachable directories are touched —
     anything a reader could have resolved through the pointer in the
-    retention window stays."""
+    retention window stays.
+
+    Concurrent WRITERS are a different matter: a stage directory is
+    indistinguishable from a crash leftover while its writer is still
+    staging, so vacuuming beside a live commit would destroy it
+    mid-write (the same reason Delta's VACUUM has a retention floor).
+    `min_stage_age_sec` is that floor here — stage dirs younger than
+    it (by mtime) are kept. The default 0 removes everything, which is
+    only safe when the caller knows no writer is active (the
+    single-writer maintenance-window assumption); multi-writer
+    deployments should pass an age comfortably above their longest
+    commit."""
     import os
     import re
     import shutil
+    import time
 
     _require_local(root, "vacuum_tree")
     parent, base = os.path.split(root)
@@ -1202,10 +1219,16 @@ def vacuum_tree(root: str, keep: int = 2) -> list[str]:
         if re.fullmatch(re.escape(base) + _VERSION_RE[:-1], e)
     )
     doomed = [v for v in versions[: max(0, len(versions) - max(keep, 1))]]
+    now = time.time()
     for e in os.listdir(parent or "."):
         p = os.path.join(parent, e)
         if e.startswith(base + ".stage-") and os.path.isdir(p):
-            removed.append(e)
+            try:
+                age = now - os.stat(p).st_mtime
+            except FileNotFoundError:
+                continue  # its writer just renamed/removed it
+            if age >= min_stage_age_sec:
+                removed.append(e)
         elif e in doomed and e != current:
             removed.append(e)
     for e in removed:

@@ -1046,3 +1046,27 @@ def test_clone_tree_zero_copy_and_isolated(spark, tmp_path):
     merge_upsert_partitioned(spark, root, up, "k", "lang")
     assert state(root) == {1: "a2", 2: "b"}
     assert state(dst) == before  # clone untouched by the merge
+
+
+def test_vacuum_age_floor_spares_live_stage(tmp_path):
+    """A stage directory younger than min_stage_age_sec is a possibly
+    LIVE writer's staging area and must survive the vacuum; an aged
+    one is a crash leftover and goes."""
+    import os
+    import time
+
+    from poc_spark.sources.lake import vacuum_tree
+
+    root = str(tmp_path / "tree")
+    os.makedirs(root)  # plain tree, no versions — stages are the point
+    live = f"{root}.stage-11111111"
+    dead = f"{root}.stage-22222222"
+    os.makedirs(live)
+    os.makedirs(dead)
+    old = time.time() - 7200
+    os.utime(dead, (old, old))
+    removed = vacuum_tree(root, min_stage_age_sec=3600)
+    assert removed == ["tree.stage-22222222"]
+    assert os.path.isdir(live) and not os.path.isdir(dead)
+    # default floor 0 removes the rest (single-writer assumption)
+    assert vacuum_tree(root) == ["tree.stage-11111111"]
