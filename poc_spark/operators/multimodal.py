@@ -493,7 +493,21 @@ def _decode_png(buf: bytes) -> tuple | None:
         if depth != 8 or ctype_code not in (0, 2) or comp or filt or interlace:
             raise ValueError("unsupported IHDR layout")
         bpp = 3 if ctype_code == 2 else 1
-        recon = _png_defilter(zlib.decompress(bytes(idat)), w, h, bpp)
+        # executor protection: IHDR dims are attacker-controlled 32-bit
+        # ints behind a recomputable CRC, so a kilobyte payload can
+        # declare a 4-gigapixel image. Bound the pixel count BEFORE any
+        # allocation, and inflate with a hard cap at the expected
+        # defiltered size — a decompression bomb then surfaces as the
+        # size-mismatch quarantine, not an executor OOM kill (which
+        # no except-clause can catch).
+        if w * h > 1 << 26:
+            raise ValueError("image too large")
+        expected = (w * bpp + 1) * h
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected)
+        if dec.unconsumed_tail or dec.decompress(b"", 1):
+            raise ValueError("inflated size mismatch")
+        recon = _png_defilter(raw, w, h, bpp)
         return (w, h, depth, ctype_code, recon)
     except Exception:
         return None

@@ -534,3 +534,38 @@ def test_audio_autocorrelation_hand_values(spark):
         for r in audio_autocorrelation(df, lags=(1, 2, 4)).collect()
     }
     assert got == {(1, 1): (8, 3), (1, 2): (3, 2)}
+
+
+def test_png_decoder_bomb_resistant():
+    """Attacker-shaped payloads quarantine WITHOUT large allocations:
+    a CRC-valid IHDR declaring gigapixel dims is rejected by the pixel
+    bound before any buffer exists, and an IDAT that inflates far past
+    the expected defiltered size hits the capped decompressobj, not a
+    full zlib.decompress of the bomb."""
+    import struct
+    import zlib
+
+    from poc_spark.operators.multimodal import (
+        _PNG_SIG,
+        _decode_png,
+        _png_chunk,
+    )
+
+    def png(w, h, ctype, idat_body):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat_body)
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # gigapixel dims behind a valid CRC -> pixel-bound quarantine
+    assert _decode_png(png(1 << 16, 1 << 16, 2, zlib.compress(b"\x00"))) is None
+    # 2x2 grey expects 6 defiltered bytes; this IDAT inflates to 10 MB
+    bomb = zlib.compress(b"\x00" * 10_000_000)
+    assert _decode_png(png(2, 2, 0, bomb)) is None
+    # exact-size stream still decodes (cap doesn't break valid images)
+    ok = zlib.compress(b"\x00" + b"\x01\x02" + b"\x00" + b"\x03\x04")
+    d = _decode_png(png(2, 2, 0, ok))
+    assert d is not None and d[4] == b"\x01\x02\x03\x04"
