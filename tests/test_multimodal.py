@@ -569,3 +569,40 @@ def test_png_decoder_bomb_resistant():
     ok = zlib.compress(b"\x00" + b"\x01\x02" + b"\x00" + b"\x03\x04")
     d = _decode_png(png(2, 2, 0, ok))
     assert d is not None and d[4] == b"\x01\x02\x03\x04"
+
+
+def test_png_filter_roundtrip_property():
+    """Property: encode(pixels, any filter mix) → decode recovers the
+    exact pixel bytes, including degenerate geometries (1×1, 1×h, w×1)
+    where the left/up filter neighbors don't exist. Pure-Python
+    round-trip through real deflate — no Spark session needed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from poc_spark.operators.multimodal import _decode_png, _png_encode
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=9),
+        filt_seed=st.integers(min_value=0, max_value=10_000),
+        data=st.data(),
+    )
+    def check(w, h, filt_seed, data):
+        pixels = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * 3,
+                    max_size=w * h * 3,
+                )
+            )
+        )
+        buf = _png_encode(pixels, w, h, filt_seed)
+        d = _decode_png(buf)
+        assert d is not None, (w, h, filt_seed)
+        dw, dh, depth, ctype, recon = d
+        assert (dw, dh, depth, ctype) == (w, h, 8, 2)
+        assert recon == pixels
+
+    check()
