@@ -1081,14 +1081,26 @@ def read_with_bloom(
             for i in range(k)
         ]
     ).collect()[0]
-    need = {(int(p) // 64, int(p) % 64) for p in row}
+    # Group required bits BY WORD into one combined mask per word. The
+    # index stores at most one row per (file, word), so requiring one
+    # matching row per (word, bit) pair wrongly prunes files whenever
+    # two of the k probes hash into the same 64-bit word (~4.6% of
+    # values at bits=4096, k=3) — a present key would silently return
+    # zero rows (r7 ADVICE, high). Per word we instead require the
+    # single index row to carry ALL needed bits (mask & wm == wm), and
+    # a file qualifies when every required word is satisfied.
+    need_words: dict[int, int] = {}
+    for p in row:
+        w, b = int(p) // 64, int(p) % 64
+        need_words[w] = need_words.get(w, 0) | (1 << b)
     cond = None
-    for w, b in need:
-        # bit 63 must carry its two's-complement value — a bare
-        # 1 << 63 overflows signed 64-bit (the measured bitset trap)
-        m = -(1 << 63) if b == 63 else (1 << b)
+    for w, wm in need_words.items():
+        # two's-complement: a mask with bit 63 set exceeds signed
+        # 64-bit range (the measured bitset trap)
+        sm = wm - (1 << 64) if wm & (1 << 63) else wm
         hit = (F.col("word") == w) & (
-            F.col("mask").bitwiseAND(F.lit(m).cast("long")) != 0
+            F.col("mask").bitwiseAND(F.lit(sm).cast("long"))
+            == F.lit(sm).cast("long")
         )
         cond = hit if cond is None else cond | hit
     files = [
@@ -1096,7 +1108,7 @@ def read_with_bloom(
         for r in idx.filter(cond)
         .groupBy("file")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") == len(need))
+        .filter(F.col("n") == len(need_words))
         .collect()
     ]
     pred = F.col(col) == F.lit(value)

@@ -829,6 +829,41 @@ def test_bloom_index_point_lookup(spark, tmp_path):
     )
     assert miss.count() == 0 and n_miss < n_tot
 
+    # r7 ADVICE (high) regression: a value whose k probes hash into the
+    # SAME 64-bit word used to be wrongly pruned — the probe demanded
+    # one index row per (word, bit) pair but the index stores one row
+    # per (file, word), so the match count could never reach k and a
+    # PRESENT key silently returned zero rows. Sweep every such id.
+    from pyspark.sql import functions as F
+
+    probe_rows = spark.range(200).select(
+        "id",
+        *[
+            (
+                F.pmod(
+                    F.xxhash64(F.lit(f"bloom:{i}"), F.col("id")),
+                    F.lit(4096),
+                )
+                / 64
+            )
+            .cast("long")
+            .alias(f"w{i}")
+            for i in range(3)
+        ],
+    ).collect()
+    colliders = [
+        r["id"]
+        for r in probe_rows
+        if len({r["w0"], r["w1"], r["w2"]}) < 3
+    ]
+    assert colliders, "expected >=1 word-colliding id in 0..199"
+    for v in colliders[:4]:
+        got_c, n_c, _ = read_with_bloom(
+            spark, data, idxp, "id", int(v), bits=4096, k=3
+        )
+        assert n_c > 0
+        assert [r["id"] for r in got_c.collect()] == [v]
+
 
 def test_merge_apply_cdc_delete_arm(spark, tmp_path):
     """The full MERGE with tombstones: updates replace, inserts land,
