@@ -7,9 +7,16 @@ full per-query form in r4/r5 — VERDICT r5 #2):
    "n_queries": ..., "sf": ..., "slowest": {...}, "detail_file": "..."}
 
 Full per-query `queries`/`runs` detail is written to
-BENCH_local_r{ROUND}.json (env SPARK_GRAFT_ROUND, default "06") in the
-repo root. `value` is the full-registry total; `headline_total` is the
-same 23-query subtotal round 1 reported, for cross-round comparability.
+BENCH_local_r{ROUND}.json in the repo root. ROUND is env
+SPARK_GRAFT_ROUND when set, else derived as (newest CORRECTNESS_r*.json
+round)+1 — the round currently being built. Per-round evidence files are
+append-only (VERDICT r7 #1: a stale hardcoded default made the r7 driver
+run clobber the committed r6 detail): if the target file exists,
+byte-matches its git-HEAD version (pristine committed evidence), and
+records a different n_queries than this run, the tag is bumped instead
+of overwriting. `value` is the full-registry total; `headline_total` is
+the same 23-query subtotal round 1 reported, for cross-round
+comparability.
 
 Each query executes its FULL plan via the noop sink (no driver collect,
 no result-size bias); timings are wall-clock per query after a shared
@@ -54,6 +61,48 @@ HEADLINE = [
     "text_langid",
     "mm_payload_stats",
 ]
+
+
+def _round_tag(repo_dir: str, n_queries: int) -> str:
+    """Round tag for the detail file: env override, else (newest
+    CORRECTNESS_r*.json round)+1 — the round being built. Append-only
+    guard (VERDICT r7 #1): never overwrite a detail file that is pristine
+    committed evidence (byte-equal to git HEAD) recording a different
+    n_queries — bump the tag past it instead. In-round refreshes of an
+    uncommitted / already-dirty detail file still overwrite in place.
+    """
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return env
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo_dir)
+        for m in [re.match(r"CORRECTNESS_r(\d+)\.json$", f)]
+        if m
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    import subprocess
+
+    for _ in range(10):  # bounded probe
+        tag = f"{n:02d}"
+        target = os.path.join(repo_dir, f"BENCH_local_r{tag}.json")
+        if not os.path.exists(target):
+            return tag
+        try:
+            head = subprocess.run(
+                ["git", "-C", repo_dir, "show", f"HEAD:BENCH_local_r{tag}.json"],
+                capture_output=True,
+                check=True,
+            ).stdout
+            with open(target, "rb") as f:
+                pristine = f.read() == head
+            prev_n = json.loads(head).get("n_queries")
+        except Exception:
+            return tag  # untracked or unreadable: ours to overwrite
+        if not pristine or prev_n == n_queries:
+            return tag
+        n += 1
+    return f"{n:02d}"
 
 
 def main() -> None:
@@ -183,10 +232,9 @@ def main() -> None:
 
     # full detail to a file (committed per round); compact line to stdout
     # so the driver's limited capture window parses it (VERDICT r5 #2).
-    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "06")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     detail_file = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_local_r{round_tag}.json",
+        repo_dir, f"BENCH_local_r{_round_tag(repo_dir, len(timings))}.json"
     )
     with open(detail_file, "w") as f:
         json.dump(

@@ -3877,7 +3877,11 @@ def lake_merge_upsert(spark, sf_dir):
     merge_upsert_partitioned(
         spark, root, updates.unionByName(inserts), "doc_id", "lang"
     )
-    return _content_agg(spark.read.parquet(root), "lang", "source")
+    # read back through the pointer resolver (manifest-first) so the
+    # forced-manifest gate exercises the object-store-safe path
+    from poc_spark.sources.lake import read_snapshot
+
+    return _content_agg(read_snapshot(spark, root), "lang", "source")
 
 
 @register(
@@ -4091,7 +4095,9 @@ def lake_rollup_incremental(spark, sf_dir):
     rollup_incremental(
         spark, root, delta, "ship_month", ["l_returnflag"], ["qty"]
     )
-    return spark.read.parquet(root).select(
+    from poc_spark.sources.lake import read_snapshot
+
+    return read_snapshot(spark, root).select(
         "ship_month",
         "l_returnflag",
         F.col("n_rows").cast("long").alias("n_rows"),
@@ -4185,7 +4191,9 @@ def lake_cdc_merge(spark, sf_dir):
     )
     log = ins.unionByName(upd).unionByName(dels).unionByName(reins)
     merge_apply_cdc(spark, root, log, "doc_id", "lang")
-    return _content_agg(spark.read.parquet(root), "lang", "source")
+    from poc_spark.sources.lake import read_snapshot
+
+    return _content_agg(read_snapshot(spark, root), "lang", "source")
 
 
 @register(

@@ -236,43 +236,197 @@ def read_orc(
 # In-place mutation of a parquet tree (dynamic partition overwrite,
 # overwrite-mode compaction) deletes files a concurrent reader may have
 # already listed — the reader then sees a half-rewritten tree or dies
-# with FAILED_READ_FILE. On a POSIX filesystem the standard cure is a
-# VERSION POINTER: the table path is a symlink to an immutable
-# versioned directory (`tree -> tree.v000001`); a writer builds the
-# next version beside it (hardlinking untouched files — O(1) per file,
-# no data copy — and staging rewritten partitions), then republishes
-# with one atomic symlink replace. Readers resolve the pointer once
-# and see a complete old tree or a complete new tree, never a mix; a
-# writer crash before the flip leaves the current version untouched.
-# This is the filesystem analogue of a Delta/Iceberg manifest commit —
-# on object stores (s3://...) there is no atomic rename, so there the
-# manifest/log IS the answer and these helpers refuse the path.
+# with FAILED_READ_FILE. The cure is a VERSION POINTER over immutable
+# version directories (`tree.v000001`, `tree.v000002`, ...): a writer
+# builds the next version beside the current one (hardlinking untouched
+# files — O(1) per file, no data copy — and staging rewritten
+# partitions), then publishes with ONE atomic pointer update. Readers
+# resolve the pointer once and see a complete old tree or a complete
+# new tree, never a mix; a writer crash before the flip leaves the
+# current version untouched.
+#
+# TWO pointer representations are maintained (r7 VERDICT #1):
+#   - the MANIFEST file `<root>._VERSION.json` — a small JSON naming
+#     the current version directory (the Iceberg version-hint shape).
+#     Written via temp-file + rename locally; on an object store the
+#     equivalent is a single small PUT, which S3/GCS make atomic — so
+#     the commit point itself needs no POSIX semantics. The manifest
+#     is the SOURCE OF TRUTH: it is written first on every publish and
+#     preferred on every resolve.
+#   - the SYMLINK `<root> -> <root>.vNNNNNN` — the POSIX fast path,
+#     kept so `spark.read.parquet(root)`, DuckDB, and any plain reader
+#     resolve the current snapshot with zero library code. Skipped for
+#     object-store paths or when conf `spark.poc.lake.symlink=off`
+#     (pure-manifest mode, pinned in tests). After a crash between the
+#     two writes the symlink can lag by exactly one commit — still a
+#     complete RETAINED snapshot (publish keeps current + previous),
+#     never a mix; the next publish heals it.
+#
+# WRITER concurrency (r7 VERDICT #2): creating the next version
+# directory is EXCLUSIVE (os.makedirs without a destructive rmtree) —
+# the directory is the commit token, so two writers racing from the
+# same base version cannot both assemble v(N+1); the loser fails
+# loudly with ConcurrentCommitError and can retry from the new
+# snapshot. Immediately before the pointer flip the writer re-checks
+# that the pointer still names the base it built from, catching a
+# competitor that published a DIFFERENT version number mid-assembly.
+# A crashed writer's half-built version directory blocks that number
+# until `vacuum_tree` removes it (age-gated, like Delta's VACUUM
+# retention floor).
+#
+# The hardlink CARRY of untouched partitions is still a local-
+# filesystem optimization; an object-store build of _commit_partitions
+# would replace it with server-side copies or a per-partition location
+# manifest. The POINTER layer above no longer requires POSIX.
 
 _VERSION_RE = r"\.v(\d{6})$"
+_MANIFEST_SUFFIX = "._VERSION.json"
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+# exactly the characters Spark/Hive escape in partition directory
+# names (ExternalCatalogUtils.escapePathName; verified empirically —
+# space and non-ASCII are NOT escaped, control chars are)
+_HIVE_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(
+    chr(c) for c in range(0x20)
+)
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed (or is committing) the version this
+    writer targeted. The losing commit changed NOTHING — re-read the
+    table and retry the whole operation from the new snapshot (the
+    optimistic-concurrency retry contract of every table format)."""
+
+
+def _hive_escape_value(value) -> str:
+    """The partition DIRECTORY name suffix Spark writes for a
+    partition value — `None` maps to the hive default-partition
+    sentinel, escapable characters to uppercase %XX. Needed wherever
+    affected-partition values are compared against directory names
+    (r7 ADVICE: raw str() comparison misses any value that escapes,
+    so the stale partition would be carried alongside its rewrite)."""
+    if value is None:
+        return _HIVE_DEFAULT_PARTITION
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE_CHARS else ch
+        for ch in str(value)
+    )
 
 
 def _require_local(root: str, op: str) -> None:
+    """Helpers that hardlink-carry untouched files or scan sibling
+    directories with os.* need one POSIX filesystem. The POINTER
+    itself no longer does (manifest commit = one small atomic write);
+    an object-store port only needs to replace the carry with
+    server-side copies (or a per-partition location manifest) and the
+    sibling listing with the store's list API."""
     if "://" in root:
         raise ValueError(
-            f"{op}: atomic version-pointer publish needs POSIX rename "
-            f"semantics; {root!r} is an object-store path — use a "
-            "manifest-based table format (Delta/Iceberg) there"
+            f"{op}: this helper's directory operations (hardlink carry "
+            f"/ sibling listing) are local-only; {root!r} is an "
+            "object-store path — the manifest pointer commit itself is "
+            "already object-store-safe, but this op needs the store's "
+            "copy/list API instead of os.*"
         )
 
 
-def _ensure_versioned(root: str) -> str:
-    """Migrate a plain directory to the pointer layout (one-time) and
-    return the CURRENT immutable version directory. The migration
-    rename has a sub-millisecond absence window; it happens once per
-    tree, before any concurrent-reader guarantee is claimed.
+def _manifest_path(root: str) -> str:
+    return root + _MANIFEST_SUFFIX
 
-    Migration numbers past any existing `root.vNNNNNN` sibling: a tree
-    REPLACED by a plain write (Spark's overwrite swaps the symlink for
-    a real directory) or a crash can leave stale version dirs, and
-    renaming onto one would fail — start a fresh generation instead."""
+
+def _read_manifest(root: str) -> dict | None:
+    """The version manifest ({"current": "<base>.vNNNNNN", "version":
+    N}) or None when the tree has no manifest (legacy symlink-only or
+    plain directory)."""
+    import json
+    import os
+
+    p = _manifest_path(root)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(root: str, new_dir: str) -> None:
+    """Atomically (temp-file + rename) repoint the manifest at
+    `new_dir`. This is the COMMIT POINT of every publish: a reader
+    sees the complete old manifest or the complete new one. On an
+    object store the rename becomes one small PUT — equally atomic."""
+    import json
     import os
     import re
 
+    base = os.path.basename(new_dir)
+    m = re.search(_VERSION_RE, base)
+    tmp = f"{_manifest_path(root)}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"current": base, "version": int(m.group(1)) if m else None},
+            f,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_path(root))
+
+
+def _symlink_enabled(spark, root: str) -> bool:
+    """Whether publishes maintain the POSIX symlink fast path beside
+    the manifest: off for object-store paths and under conf
+    `spark.poc.lake.symlink=off` (pure-manifest mode)."""
+    if "://" in root:
+        return False
+    return _lake_conf(spark, "spark.poc.lake.symlink", "on") != "off"
+
+
+def _lake_conf(spark, key: str, default: str) -> str:
+    if spark is None:
+        return default
+    try:
+        return spark.conf.get(key, default)
+    except Exception:
+        return default
+
+
+def _resolve_current(root: str, mode: str = "auto") -> str | None:
+    """Current version directory of a pointer tree, or None when the
+    tree has no pointer yet (plain directory or absent). `mode`:
+    "auto" prefers the manifest and falls back to the symlink;
+    "manifest" REQUIRES the manifest (the forced gate — proves no
+    write path forgot to write it); "symlink" resolves the legacy
+    pointer only."""
+    import os
+
+    if mode not in ("auto", "manifest", "symlink"):
+        raise ValueError(f"unknown pointer mode {mode!r}")
+    if os.path.isdir(root) and not os.path.islink(root):
+        # a REAL directory at the root means a plain (non-pointer)
+        # write replaced the whole table — Spark's overwrite swaps the
+        # symlink for a real directory and cannot know about the
+        # sibling manifest. The fresh tree supersedes any stale
+        # pointer; the next pointer commit migrates it to a new
+        # generation and rewrites the manifest.
+        return None
+    if mode != "symlink":
+        man = _read_manifest(root)
+        if man is not None:
+            cur = os.path.join(os.path.dirname(root), man["current"])
+            if not os.path.isdir(cur):
+                raise ValueError(
+                    f"version manifest {_manifest_path(root)} names "
+                    f"{man['current']!r} which is not a directory; "
+                    "restore the version or delete the manifest"
+                )
+            return cur
+        if mode == "manifest":
+            if os.path.islink(root):
+                # a versioned (symlink-pointer) tree with no manifest:
+                # strict mode refuses the legacy fallback
+                raise ValueError(
+                    f"pointer mode 'manifest' but {_manifest_path(root)} "
+                    "does not exist — the tree was last published by a "
+                    "pre-manifest writer; republish once to migrate"
+                )
+            return None  # not versioned yet: caller migrates/bootstraps
     if os.path.islink(root):
         cur = os.path.join(os.path.dirname(root), os.readlink(root))
         if not os.path.isdir(cur):
@@ -281,19 +435,78 @@ def _ensure_versioned(root: str) -> str:
                 "dangling; restore or delete the pointer"
             )
         return cur
+    return None
+
+
+def resolve_snapshot(root: str, spark=None) -> str:
+    """PUBLIC resolver: the directory a reader should scan for the
+    CURRENT snapshot of `root` — the manifest's version dir when a
+    manifest exists (the object-store-safe path), the symlink target
+    for legacy trees, `root` itself for a plain unversioned directory.
+    Conf `spark.poc.lake.pointer=manifest` forces manifest-only
+    resolution (raises if any tree lacks one — the forced gate)."""
+    import os
+
+    mode = _lake_conf(spark, "spark.poc.lake.pointer", "auto")
+    cur = _resolve_current(root, mode)
+    if cur is not None:
+        return cur
+    if os.path.isdir(root):
+        return root
+    raise ValueError(f"resolve_snapshot: no table at {root!r}")
+
+
+def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
+    """Read the current snapshot through the pointer resolver — works
+    for manifest-only trees (where `root` itself does not exist as a
+    path) as well as symlink and plain-directory trees."""
+    return spark.read.parquet(resolve_snapshot(root, spark))
+
+
+def _fresh_generation_dir(root: str) -> str:
+    """First version directory of a NEW lineage, numbered past any
+    existing `root.vNNNNNN` sibling: a tree REPLACED by a plain write
+    or a crash can leave stale version dirs, and renaming onto one
+    would fail — start a fresh generation instead."""
+    import os
+    import re
+
     parent, base = os.path.split(root)
     existing = [
         int(m.group(1))
         for e in os.listdir(parent or ".")
         if (m := re.fullmatch(re.escape(base) + _VERSION_RE[:-1], e))
     ]
-    v1 = f"{root}.v{max(existing, default=0) + 1:06d}"
+    return f"{root}.v{max(existing, default=0) + 1:06d}"
+
+
+def _ensure_versioned(root: str, spark=None) -> str:
+    """Migrate a plain directory to the pointer layout (one-time) and
+    return the CURRENT immutable version directory. The migration
+    rename has a sub-millisecond absence window for plain-path
+    readers; it happens once per tree, before any concurrent-reader
+    guarantee is claimed. Already-versioned trees (manifest or
+    symlink) resolve and, if the manifest is missing (legacy
+    symlink-only lineage), are healed by writing one."""
+    import os
+
+    mode = _lake_conf(spark, "spark.poc.lake.pointer", "auto")
+    cur = _resolve_current(root, mode)
+    if cur is not None:
+        if _read_manifest(root) is None:
+            _write_manifest(root, cur)  # heal legacy symlink-only tree
+        return cur
+    if not os.path.isdir(root):
+        raise ValueError(f"_ensure_versioned: no table at {root!r}")
+    v1 = _fresh_generation_dir(root)
     os.rename(root, v1)
-    tmp = f"{root}.ptr.tmp"
-    if os.path.lexists(tmp):
-        os.unlink(tmp)
-    os.symlink(os.path.basename(v1), tmp)
-    os.replace(tmp, root)
+    _write_manifest(root, v1)
+    if _symlink_enabled(spark, root):
+        tmp = f"{root}.ptr.tmp"
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(os.path.basename(v1), tmp)
+        os.replace(tmp, root)
     return v1
 
 
@@ -305,20 +518,70 @@ def _next_version_dir(root: str, cur: str) -> str:
     return f"{root}.v{n + 1:06d}"
 
 
-def _publish_version(root: str, new_dir: str) -> None:
-    """Atomically repoint `root` at `new_dir` (symlink replace — the
-    one rename readers can never observe half-done), then prune
-    versions older than the PREVIOUS one (kept for readers that
-    resolved the pointer just before the flip)."""
+def _claim_version_dir(root: str, cur: str, build_dir: str) -> str:
+    """Atomically CLAIM the next version number by renaming the
+    fully-assembled `build_dir` onto it — the writer's commit token.
+    rename(2) onto an existing non-empty directory fails, so two
+    writers racing from the same base can never both own v(N+1); the
+    loser fails loudly with ConcurrentCommitError and changed nothing
+    (this replaces the r7 rmtree+makedirs sequence, whose 'orphan
+    cleanup' destroyed a live competitor's assembled commit). Because
+    assembly happens under a UNIQUE `.commit-*` name, a crash during
+    assembly never occupies a version number — retries are unblocked
+    without any vacuum; only a crash in the claim→publish window
+    (milliseconds) leaves a numbered orphan for vacuum_tree."""
+    import os
+
+    new_dir = _next_version_dir(root, cur)
+    try:
+        os.rename(build_dir, new_dir)
+    except OSError:
+        raise ConcurrentCommitError(
+            f"version directory {new_dir} is already taken: another "
+            "writer committed from the same base version (retry from "
+            "the new snapshot), or a crashed writer left a numbered "
+            "orphan (clear with vacuum_tree(root, min_stage_age_sec=N))"
+        ) from None
+    return new_dir
+
+
+def _publish_version(
+    root: str, new_dir: str, spark=None, expected_cur: str | None = None
+) -> None:
+    """Atomically repoint `root` at `new_dir`: the MANIFEST write is
+    the commit point (temp + rename — one PUT on an object store),
+    then the POSIX symlink fast path is updated (unless disabled),
+    then versions older than the PREVIOUS one are pruned (the previous
+    stays for readers that resolved the pointer just before the flip).
+
+    `expected_cur` is the base version this commit was assembled from:
+    if the pointer no longer names it, a competitor published first —
+    raise ConcurrentCommitError instead of silently erasing their
+    commit (the optimistic-concurrency re-check; the version-dir claim
+    already excludes same-number racers, this catches everything
+    else)."""
     import os
     import re
     import shutil
 
-    tmp = f"{root}.ptr.tmp"
-    if os.path.lexists(tmp):
-        os.unlink(tmp)
-    os.symlink(os.path.basename(new_dir), tmp)
-    os.replace(tmp, root)
+    if expected_cur is not None:
+        now = _resolve_current(root)
+        if now is not None and os.path.basename(now) != os.path.basename(
+            expected_cur
+        ):
+            raise ConcurrentCommitError(
+                f"commit base {os.path.basename(expected_cur)!r} is no "
+                f"longer current ({os.path.basename(now)!r} is): a "
+                "concurrent writer published first — retry from the "
+                "new snapshot"
+            )
+    _write_manifest(root, new_dir)
+    if _symlink_enabled(spark, root):
+        tmp = f"{root}.ptr.tmp"
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(os.path.basename(new_dir), tmp)
+        os.replace(tmp, root)
     parent, base = os.path.split(root)
     versions = sorted(
         e
@@ -391,12 +654,19 @@ def merge_upsert_partitioned(
     from pyspark.sql import functions as F
 
     _require_local(root, "merge_upsert_partitioned")
-    cur = _ensure_versioned(root)
+    cur = _ensure_versioned(root, spark)
     tree = spark.read.parquet(cur)
 
-    up_parts = {
-        str(r[0]) for r in updates.select(partition_col).distinct().collect()
-    }
+    up_vals = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    if any(v is None for v in up_vals):
+        raise ValueError(
+            "merge_upsert_partitioned: NULL partition values are not "
+            "supported (the affected-partition probes and hive layout "
+            "cannot address them); fill or filter the partition column"
+        )
+    up_parts = {str(v) for v in up_vals}
     old_parts = {
         str(r[0])
         for r in tree.join(
@@ -439,11 +709,17 @@ def _write_tree_meta(version_dir_path: str, meta: dict) -> None:
 
 def read_tree_meta(root: str) -> dict:
     """Commit metadata of the CURRENT snapshot ({} when none) — the
-    transaction-id channel exactly-once consumers read."""
+    transaction-id channel exactly-once consumers read. Resolves
+    through the manifest (works for manifest-only trees); {} when the
+    tree does not exist yet (the bootstrap probe)."""
     import json
     import os
 
-    p = os.path.join(os.path.realpath(root), "_meta.json")
+    try:
+        cur = resolve_snapshot(root)
+    except ValueError:
+        return {}
+    p = os.path.join(cur, "_meta.json")
     if not os.path.exists(p):
         return {}
     with open(p) as f:
@@ -461,44 +737,61 @@ def _commit_partitions(
     meta: dict | None = None,
 ) -> None:
     """Shared commit core of the copy-on-write tree writers
-    (merge_upsert_partitioned, rollup_incremental): stage `merged`
-    (the full new content of the affected partitions) to a sibling
-    directory, assemble the next version as hardlinks of every
-    untouched partition plus the staged rewrites, and publish with one
-    atomic symlink replace. A partition the rewrite EMPTIES is simply
-    never added."""
+    (merge_upsert_partitioned, rollup_incremental, merge_apply_cdc):
+    stage `merged` (the full new content of the affected partitions)
+    to a sibling directory, EXCLUSIVELY claim the next version
+    directory (the commit token — see _claim_version_dir), assemble it
+    as hardlinks of every untouched partition plus the staged
+    rewrites, and publish with one atomic pointer update (manifest
+    first, then the symlink fast path), re-checking the base version
+    right before the flip. A partition the rewrite EMPTIES is simply
+    never added. On a detected conflict the claimed directory is
+    removed (it is exclusively ours) and ConcurrentCommitError
+    propagates — the losing commit changes nothing."""
     import os
     import shutil
     import uuid
 
     stage = f"{root}.stage-{uuid.uuid4().hex[:8]}"
+    build = f"{root}.commit-{uuid.uuid4().hex[:8]}"
+    new_dir = None
     try:
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(
             stage
         )
-        new_dir = _next_version_dir(root, cur)
-        shutil.rmtree(new_dir, ignore_errors=True)  # orphan from a crash
-        os.makedirs(new_dir)
+        os.makedirs(build)
         prefix = f"{partition_col}="
+        # compare hive-ESCAPED directory suffixes: a value that escapes
+        # (':', '/', '%', ...) or NULL otherwise never matches and the
+        # stale old partition would be carried beside its rewrite
+        affected_dirs = {_hive_escape_value(a) for a in affected}
         with os.scandir(cur) as it:
             for e in it:
                 if e.is_dir() and e.name.startswith(prefix):
-                    if e.name[len(prefix):] in set(affected):
+                    if e.name[len(prefix):] in affected_dirs:
                         continue  # rewritten (or emptied) below
-                    _hardlink_tree(e.path, os.path.join(new_dir, e.name))
+                    _hardlink_tree(e.path, os.path.join(build, e.name))
                 elif e.is_file():
-                    os.link(e.path, os.path.join(new_dir, e.name))
+                    os.link(e.path, os.path.join(build, e.name))
         with os.scandir(stage) as it:
             for e in it:
                 if e.is_dir() and e.name.startswith(prefix):
-                    os.rename(e.path, os.path.join(new_dir, e.name))
+                    os.rename(e.path, os.path.join(build, e.name))
         if meta is not None:
-            _write_tree_meta(new_dir, meta)
+            _write_tree_meta(build, meta)
         if _pre_publish_hook is not None:
             _pre_publish_hook()
-        _publish_version(root, new_dir)
+        new_dir = _claim_version_dir(root, cur, build)
+        _publish_version(root, new_dir, spark, expected_cur=cur)
+    except ConcurrentCommitError:
+        if new_dir is not None:
+            # the claim succeeded but the base re-check failed: the
+            # numbered dir is exclusively ours — remove it
+            shutil.rmtree(new_dir, ignore_errors=True)
+        raise
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(build, ignore_errors=True)
     # the session FileStatusCache still lists the old pointer target
     spark.catalog.refreshByPath(root)
 
@@ -580,26 +873,66 @@ def rollup_incremental(
 
     from pyspark.sql import functions as F
 
+    import shutil
+    import uuid
+
     _require_local(agg_root, "rollup_incremental")
     partials = rollup_partial(
         delta, partition_col, key_cols, sum_cols, count_col,
         min_cols, max_cols,
     )
-    if not os.path.lexists(agg_root):
-        # bootstrap: the first delta IS the rollup (the streaming
-        # foreachBatch consumer's first micro-batch lands here)
-        write_partitioned(partials, agg_root, [partition_col])
-        if commit_meta is not None:
-            _write_tree_meta(agg_root, commit_meta)
-        return sorted(
-            str(r[0])
-            for r in partials.select(partition_col).distinct().collect()
+    vals = [
+        r[0] for r in partials.select(partition_col).distinct().collect()
+    ]
+    if any(v is None for v in vals):
+        raise ValueError(
+            "rollup_incremental: NULL partition values are not supported "
+            "(the affected-partition rewrite cannot address them); fill "
+            "or filter the partition column"
         )
-    cur = _ensure_versioned(agg_root)
-    affected = sorted(
-        str(r[0])
-        for r in partials.select(partition_col).distinct().collect()
-    )
+    affected = sorted(str(v) for v in vals)
+    if _resolve_current(agg_root) is None and not os.path.isdir(agg_root):
+        # bootstrap: the first delta IS the rollup (the streaming
+        # foreachBatch consumer's first micro-batch lands here).
+        # Committed through the SAME atomic pointer publish as every
+        # later commit: data + _meta.json are assembled in a unique
+        # build directory, renamed onto the first version number, and
+        # the pointer write is the commit point — so a crash anywhere
+        # before it leaves NO pointer and read_tree_meta() == {}, and
+        # the exactly-once consumer's replay re-applies batch 0 instead
+        # of double-counting it (r7 ADVICE, medium: the old plain-
+        # directory bootstrap wrote data and meta as two separate
+        # non-atomic steps).
+        if not affected:
+            return []
+        build = f"{agg_root}.commit-{uuid.uuid4().hex[:8]}"
+        try:
+            write_partitioned(partials, build, [partition_col])
+            if commit_meta is not None:
+                _write_tree_meta(build, commit_meta)
+            v1 = _fresh_generation_dir(agg_root)
+            try:
+                os.rename(build, v1)
+            except OSError:
+                raise ConcurrentCommitError(
+                    f"rollup bootstrap: version directory {v1} is "
+                    "already taken — a concurrent writer is "
+                    "bootstrapping the same rollup"
+                ) from None
+            if _resolve_current(agg_root) is not None:
+                # a competitor bootstrapped (and published) while we
+                # assembled: committing ours would erase their batch
+                shutil.rmtree(v1, ignore_errors=True)
+                raise ConcurrentCommitError(
+                    "rollup bootstrap: the rollup was bootstrapped by a "
+                    "concurrent writer — retry as an incremental apply"
+                )
+            _publish_version(agg_root, v1, spark)
+        finally:
+            shutil.rmtree(build, ignore_errors=True)
+        spark.catalog.refreshByPath(agg_root)
+        return affected
+    cur = _ensure_versioned(agg_root, spark)
     if not affected:
         return []
     old = spark.read.parquet(cur).filter(
@@ -640,8 +973,11 @@ def compact_inplace(
     ceil(listing bytes / target_bytes) round-robin files. Returns n."""
     import math
 
+    import shutil
+    import uuid
+
     _require_local(root, "compact_inplace")
-    cur = _ensure_versioned(root)
+    cur = _ensure_versioned(root, spark)
     total = sum(_list_parquet_sizes(spark, cur))
     if total == 0:
         raise ValueError(
@@ -649,18 +985,25 @@ def compact_inplace(
             "for partitioned trees, compact per partition directory"
         )
     n = max(1, math.ceil(total / target_bytes))
-    new_dir = _next_version_dir(root, cur)
-    import shutil
-
-    shutil.rmtree(new_dir, ignore_errors=True)
-    # the unpublished version dir is invisible to readers: safe to
-    # write into directly, and a crash here leaves only an orphan
-    spark.read.parquet(cur).repartition(n).write.mode("overwrite").parquet(
-        new_dir
-    )
-    if _pre_publish_hook is not None:
-        _pre_publish_hook()
-    _publish_version(root, new_dir)
+    # assemble under a unique name, rename-claim the version number,
+    # publish with the base re-check (same commit protocol as
+    # _commit_partitions — no destructive cleanup of a competitor)
+    build = f"{root}.commit-{uuid.uuid4().hex[:8]}"
+    new_dir = None
+    try:
+        spark.read.parquet(cur).repartition(n).write.mode(
+            "overwrite"
+        ).parquet(build)
+        if _pre_publish_hook is not None:
+            _pre_publish_hook()
+        new_dir = _claim_version_dir(root, cur, build)
+        _publish_version(root, new_dir, spark, expected_cur=cur)
+    except ConcurrentCommitError:
+        if new_dir is not None:
+            shutil.rmtree(new_dir, ignore_errors=True)
+        raise
+    finally:
+        shutil.rmtree(build, ignore_errors=True)
     spark.catalog.refreshByPath(root)
     return n
 
@@ -722,7 +1065,10 @@ def read_version(
     IS the data (hardlinked, not copied), so partition pruning and
     pushdown apply unchanged."""
     if version is None:
-        return spark.read.parquet(root)
+        # resolve through the pointer (manifest-first): identical data
+        # to spark.read.parquet(root) on symlink trees, and the ONLY
+        # path that works for manifest-only (object-store-shape) trees
+        return read_snapshot(spark, root)
     return spark.read.parquet(version_dir(root, version))
 
 
@@ -752,8 +1098,11 @@ def snapshot_diff(
     snapshot (the table-key contract every MERGE here relies on);
     duplicate keys fan out through the full outer join and the
     per-row statuses stop meaning anything."""
-    left = spark.read.parquet(left_root)
-    right = spark.read.parquet(right_root)
+    # resolve_snapshot is a no-op for plain directories (e.g. explicit
+    # version_dir() paths) and follows the pointer for table roots —
+    # including manifest-only trees where the root is not a path
+    left = spark.read.parquet(resolve_snapshot(left_root, spark))
+    right = spark.read.parquet(resolve_snapshot(right_root, spark))
     if compare_cols is None:
         shared = [c for c in left.columns if c in set(right.columns)]
         compare_cols = [c for c in shared if c not in set(key_cols)]
@@ -857,7 +1206,10 @@ def drop_tree(root: str) -> None:
         if (
             e.startswith(base + ".v")
             or e.startswith(base + ".stage-")
+            or e.startswith(base + ".commit-")
             or e == base + ".ptr.tmp"
+            or e == base + _MANIFEST_SUFFIX
+            or e == base + _MANIFEST_SUFFIX + ".tmp"
         ):
             p = os.path.join(parent, e)
             if os.path.isdir(p) and not os.path.islink(p):
@@ -1145,7 +1497,7 @@ def merge_apply_cdc(
     from pyspark.sql import functions as F
 
     _require_local(root, "merge_apply_cdc")
-    cur = _ensure_versioned(root)
+    cur = _ensure_versioned(root, spark)
     tree = spark.read.parquet(cur)
 
     consumed = {seq_col, op_col, key_col}
@@ -1163,9 +1515,16 @@ def merge_apply_cdc(
     upserts = final.filter(F.col("_op") != delete_op).drop("_op")
     touched_keys = final.select(key_col)
 
-    up_parts = {
-        str(r[0]) for r in upserts.select(partition_col).distinct().collect()
-    }
+    up_vals = [
+        r[0] for r in upserts.select(partition_col).distinct().collect()
+    ]
+    if any(v is None for v in up_vals):
+        raise ValueError(
+            "merge_apply_cdc: NULL partition values are not supported "
+            "(the affected-partition probes and hive layout cannot "
+            "address them); fill or filter the partition column"
+        )
+    up_parts = {str(v) for v in up_vals}
     old_parts = {
         str(r[0])
         for r in tree.join(F.broadcast(touched_keys), key_col, "leftsemi")
@@ -1200,16 +1559,23 @@ def vacuum_tree(
     anything a reader could have resolved through the pointer in the
     retention window stays.
 
-    Concurrent WRITERS are a different matter: a stage directory is
-    indistinguishable from a crash leftover while its writer is still
-    staging, so vacuuming beside a live commit would destroy it
-    mid-write (the same reason Delta's VACUUM has a retention floor).
-    `min_stage_age_sec` is that floor here — stage dirs younger than
-    it (by mtime) are kept. The default 0 removes everything, which is
-    only safe when the caller knows no writer is active (the
-    single-writer maintenance-window assumption); multi-writer
-    deployments should pass an age comfortably above their longest
-    commit."""
+    Concurrent WRITERS are a different matter: a stage / commit-build
+    directory is indistinguishable from a crash leftover while its
+    writer is still working, so vacuuming beside a live commit would
+    destroy it mid-write (the same reason Delta's VACUUM has a
+    retention floor). `min_stage_age_sec` is that floor here — stage,
+    `.commit-*` build, and claimed-but-unpublished version dirs
+    younger than it (by mtime) are kept. The default 0 removes
+    everything, which is only safe when the caller knows no writer is
+    active (the single-writer maintenance-window assumption);
+    multi-writer deployments should pass an age comfortably above
+    their longest commit.
+
+    A NUMBERED version dir NEWER than the published current is a
+    writer that crashed in the claim→publish window; it blocks that
+    version number for every future commit, so it is removed here
+    (age-gated) — the crash-recovery arm of the ConcurrentCommitError
+    contract."""
     import os
     import re
     import shutil
@@ -1219,27 +1585,37 @@ def vacuum_tree(
     parent, base = os.path.split(root)
     if not os.path.isdir(parent or "."):
         return []
-    current = (
-        os.path.basename(os.path.realpath(root))
-        if os.path.islink(root)
-        else None
-    )
+    cur = _resolve_current(root)
+    current = os.path.basename(cur) if cur is not None else None
     removed = []
     versions = sorted(
         e
         for e in os.listdir(parent or ".")
         if re.fullmatch(re.escape(base) + _VERSION_RE[:-1], e)
     )
-    doomed = [v for v in versions[: max(0, len(versions) - max(keep, 1))]]
+    published = (
+        [v for v in versions if v <= current] if current else versions
+    )
+    orphans = set(versions) - set(published)  # newer than current
+    doomed = published[: max(0, len(published) - max(keep, 1))]
     now = time.time()
+
+    def _old_enough(p: str) -> bool:
+        try:
+            return now - os.stat(p).st_mtime >= min_stage_age_sec
+        except FileNotFoundError:
+            return False  # its writer just renamed/removed it
+
     for e in os.listdir(parent or "."):
         p = os.path.join(parent, e)
-        if e.startswith(base + ".stage-") and os.path.isdir(p):
-            try:
-                age = now - os.stat(p).st_mtime
-            except FileNotFoundError:
-                continue  # its writer just renamed/removed it
-            if age >= min_stage_age_sec:
+        if (
+            e.startswith((base + ".stage-", base + ".commit-"))
+            and os.path.isdir(p)
+        ):
+            if _old_enough(p):
+                removed.append(e)
+        elif e in orphans and e != current:
+            if _old_enough(p):
                 removed.append(e)
         elif e in doomed and e != current:
             removed.append(e)
@@ -1263,7 +1639,7 @@ def clone_tree(root: str, dst: str) -> int:
 
     _require_local(root, "clone_tree")
     _require_local(dst, "clone_tree")
-    src = os.path.realpath(root)
+    src = resolve_snapshot(root)
     if os.path.lexists(dst):
         raise ValueError(f"clone_tree: destination {dst!r} already exists")
     _hardlink_tree(src, dst)

@@ -610,7 +610,9 @@ def test_atomic_publish_refuses_object_store_paths(spark):
 
     from poc_spark.sources.lake import compact_inplace
 
-    with pytest.raises(ValueError, match="manifest-based"):
+    # the POINTER is object-store-safe (manifest), but the hardlink
+    # carry / os.* directory ops of this helper are local-only
+    with pytest.raises(ValueError, match="object-store-safe"):
         compact_inplace(spark, "s3://bucket/tree")
 
 
@@ -1105,3 +1107,375 @@ def test_vacuum_age_floor_spares_live_stage(tmp_path):
     assert os.path.isdir(live) and not os.path.isdir(dead)
     # default floor 0 removes the rest (single-writer assumption)
     assert vacuum_tree(root) == ["tree.stage-11111111"]
+
+
+def test_concurrent_writers_exactly_one_commits(spark, tmp_path):
+    """Two writers racing from the same base version (r7 VERDICT #2 /
+    ADVICE lost-update race): writer B commits fully while writer A is
+    between staging and publish — A must fail LOUDLY with
+    ConcurrentCommitError and change nothing; B's commit survives.
+    Under the old rmtree+makedirs sequence A would silently erase B."""
+    import pytest
+
+    from poc_spark.sources.lake import (
+        ConcurrentCommitError,
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame(
+        [(1, "a", "en", "w", 1), (2, "b", "de", "w", 1)], schema
+    )
+    write_partitioned(base, root, ["lang"])
+    up_a = spark.createDataFrame([(1, "A-wrote", "en", "w", 7)], schema)
+    up_b = spark.createDataFrame([(2, "B-wrote", "de", "w", 7)], schema)
+
+    def competitor_commits():
+        merge_upsert_partitioned(spark, root, up_b, "doc_id", "lang")
+
+    with pytest.raises(ConcurrentCommitError, match="already taken"):
+        merge_upsert_partitioned(
+            spark, root, up_a, "doc_id", "lang",
+            _pre_publish_hook=competitor_commits,
+        )
+    # B's commit is intact (no lost update); A's never landed
+    spark.catalog.refreshByPath(root)
+    assert _tree_content(spark, root) == [
+        (1, "a", "en", 1), (2, "B-wrote", "de", 7)
+    ]
+    # A can retry from the new snapshot and now succeeds
+    merge_upsert_partitioned(spark, root, up_a, "doc_id", "lang")
+    assert _tree_content(spark, root) == [
+        (1, "A-wrote", "en", 7), (2, "B-wrote", "de", 7)
+    ]
+
+
+def test_publish_base_recheck_detects_foreign_commit(spark, tmp_path):
+    """The pre-flip base re-check: if the pointer no longer names the
+    base the commit was assembled from (a competitor published under a
+    DIFFERENT number, so the rename-claim alone cannot catch it), the
+    publish raises and the competitor's state survives."""
+    import os
+
+    import pytest
+
+    from poc_spark.sources.lake import (
+        ConcurrentCommitError,
+        _write_manifest,
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame([(1, "a", "en", "w", 1)], schema)
+    write_partitioned(base, root, ["lang"])
+    up = spark.createDataFrame([(1, "a2", "en", "w", 9)], schema)
+
+    def foreign_commit():
+        # simulate a competitor publishing a fresh-generation version
+        os.makedirs(f"{root}.v000099/lang=en", exist_ok=True)
+        _write_manifest(root, f"{root}.v000099")
+
+    with pytest.raises(ConcurrentCommitError, match="no longer current"):
+        merge_upsert_partitioned(
+            spark, root, up, "doc_id", "lang",
+            _pre_publish_hook=foreign_commit,
+        )
+    # the loser removed its claimed dir and left the competitor current
+    from poc_spark.sources.lake import resolve_snapshot
+
+    assert resolve_snapshot(root).endswith(".v000099")
+    assert not os.path.isdir(f"{root}.v000002")
+
+
+def test_manifest_only_tree_full_lifecycle(spark, tmp_path):
+    """Pure-manifest mode (conf spark.poc.lake.symlink=off — the
+    object-store shape, where no symlink and no `root` path exist):
+    migration, mid-write reader isolation, crash-before-publish, and
+    time travel all hold with the manifest as the ONLY pointer."""
+    import os
+
+    import pytest
+
+    from poc_spark.sources.lake import (
+        list_versions,
+        merge_upsert_partitioned,
+        read_snapshot,
+        read_version,
+        write_partitioned,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    root = str(tmp_path / "tree")
+    spark.conf.set("spark.poc.lake.symlink", "off")
+    spark.conf.set("spark.poc.lake.pointer", "manifest")
+    try:
+        base = spark.createDataFrame(
+            [(1, "a", "en", "w", 1), (2, "b", "de", "w", 1)], schema
+        )
+        write_partitioned(base, root, ["lang"])
+        up = spark.createDataFrame([(1, "a2", "en", "w", 9)], schema)
+
+        def content():
+            return sorted(
+                (r["doc_id"], r["text"]) for r in
+                read_snapshot(spark, root).collect()
+            )
+
+        mid = []
+
+        def reader_mid_write():
+            mid.append(content())
+
+        before = [(1, "a"), (2, "b")]
+
+        def crash():
+            raise RuntimeError("died before publish")
+
+        with pytest.raises(RuntimeError, match="before publish"):
+            merge_upsert_partitioned(
+                spark, root, up, "doc_id", "lang", _pre_publish_hook=crash
+            )
+        # after migration+crash: manifest serves the complete OLD tree,
+        # and the root path no longer exists at all (no symlink)
+        assert not os.path.lexists(root)
+        assert os.path.exists(f"{root}._VERSION.json")
+        assert content() == before
+
+        merge_upsert_partitioned(
+            spark, root, up, "doc_id", "lang",
+            _pre_publish_hook=reader_mid_write,
+        )
+        assert mid == [before]  # mid-write reader saw the old snapshot
+        assert content() == [(1, "a2"), (2, "b")]
+        assert not os.path.lexists(root)
+
+        # time travel still works through version numbers
+        vs = list_versions(root)
+        assert len(vs) == 2
+        assert sorted(
+            (r["doc_id"], r["text"])
+            for r in read_version(spark, root, vs[0]).collect()
+        ) == before
+    finally:
+        spark.conf.unset("spark.poc.lake.symlink")
+        spark.conf.unset("spark.poc.lake.pointer")
+
+
+def test_manifest_preferred_over_symlink(spark, tmp_path):
+    """The manifest is the source of truth: when the two pointers
+    disagree (a crash between the manifest write and the symlink
+    flip), resolve_snapshot follows the manifest; the symlink serves a
+    complete retained PREVIOUS snapshot to plain-path readers."""
+    import os
+
+    from poc_spark.sources.lake import (
+        _write_manifest,
+        merge_upsert_partitioned,
+        resolve_snapshot,
+        write_partitioned,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame([(1, "a", "en", "w", 1)], schema)
+    write_partitioned(base, root, ["lang"])
+    up = spark.createDataFrame([(1, "a2", "en", "w", 9)], schema)
+    merge_upsert_partitioned(spark, root, up, "doc_id", "lang")
+    # both pointers at v2 now; simulate the crash window by pointing
+    # the manifest back at v1 (manifest newer in the real scenario —
+    # direction is irrelevant, only precedence is under test)
+    _write_manifest(root, f"{root}.v000001")
+    assert resolve_snapshot(root).endswith(".v000001")
+    assert os.readlink(root).endswith(".v000002") or os.readlink(
+        root
+    ).endswith("v000002")
+
+
+def test_hive_escaped_partition_values_rewrite_cleanly(spark, tmp_path):
+    """Partition values that hive-escape in directory names (':', '/',
+    '%') — r7 ADVICE: the raw str() comparison carried the STALE old
+    partition beside its rewrite and the staged rename then collided.
+    The escaped-name match must rewrite exactly the affected
+    partitions and carry the rest."""
+    import os
+
+    from poc_spark.sources.lake import (
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    schema = "k long, text string, part string"
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame(
+        [(1, "a", "a:b"), (2, "b", "x/y"), (3, "c", "p%q"), (4, "d", "en")],
+        schema,
+    )
+    write_partitioned(base, root, ["part"])
+    up = spark.createDataFrame([(1, "a2", "a:b"), (2, "b2", "x/y")], schema)
+    affected = merge_upsert_partitioned(spark, root, up, "k", "part")
+    assert affected == ["a:b", "x/y"]
+    spark.catalog.refreshByPath(root)
+    got = sorted(
+        (r["k"], r["text"], r["part"])
+        for r in spark.read.parquet(root).collect()
+    )
+    assert got == [(1, "a2", "a:b"), (2, "b2", "x/y"),
+                   (3, "c", "p%q"), (4, "d", "en")]
+    # exactly one directory per partition — no stale duplicate carried
+    parts = sorted(
+        e for e in os.listdir(os.path.realpath(root))
+        if e.startswith("part=")
+    )
+    assert parts == ["part=a%3Ab", "part=en", "part=p%25q", "part=x%2Fy"]
+
+
+def test_null_partition_values_rejected(spark, tmp_path):
+    """NULL partition values cannot be addressed by the affected-
+    partition rewrite (their rows would silently vanish from the
+    merge) — the writers must refuse them loudly."""
+    import pytest
+
+    from poc_spark.sources.lake import (
+        merge_upsert_partitioned,
+        rollup_incremental,
+        write_partitioned,
+    )
+
+    schema = "k long, text string, part string"
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame([(1, "a", "en")], schema)
+    write_partitioned(base, root, ["part"])
+    up = spark.createDataFrame([(1, "a2", None)], schema)
+    with pytest.raises(ValueError, match="NULL partition"):
+        merge_upsert_partitioned(spark, root, up, "k", "part")
+    agg_root = str(tmp_path / "agg")
+    with pytest.raises(ValueError, match="NULL partition"):
+        rollup_incremental(
+            spark, agg_root, up, "part", ["k"], sum_cols=[]
+        )
+
+
+def test_rollup_bootstrap_is_atomic(spark, tmp_path, monkeypatch):
+    """r7 ADVICE (medium): the first micro-batch's data and its
+    commit-metadata batch id must flip together. A crash between the
+    data write and the pointer publish leaves NO pointer and NO
+    recorded batch — the exactly-once replay then re-applies batch 0
+    instead of double-counting it."""
+    import os
+
+    import pytest
+
+    from poc_spark.sources import lake
+    from poc_spark.sources.lake import read_tree_meta, rollup_incremental
+
+    agg_root = str(tmp_path / "agg")
+    delta = spark.createDataFrame(
+        [("en", 1, 10), ("en", 1, 20), ("de", 2, 5)], "part string, k long, v long"
+    )
+
+    real_publish = lake._publish_version
+
+    def dying_publish(*a, **kw):
+        raise RuntimeError("crashed before pointer publish")
+
+    monkeypatch.setattr(lake, "_publish_version", dying_publish)
+    with pytest.raises(RuntimeError, match="before pointer publish"):
+        rollup_incremental(
+            spark, agg_root, delta, "part", ["k"], sum_cols=["v"],
+            commit_meta={"applied_batches": [0]},
+        )
+    # no pointer, no meta, no root path: the batch is NOT recorded,
+    # and nothing half-applied is readable
+    assert read_tree_meta(agg_root) == {}
+    assert not os.path.lexists(agg_root)
+
+    monkeypatch.setattr(lake, "_publish_version", real_publish)
+    affected = rollup_incremental(
+        spark, agg_root, delta, "part", ["k"], sum_cols=["v"],
+        commit_meta={"applied_batches": [0]},
+    )
+    assert affected == ["de", "en"]
+    assert read_tree_meta(agg_root) == {"applied_batches": [0]}
+    got = sorted(
+        (r["part"], r["k"], r["sum_v"])
+        for r in spark.read.parquet(agg_root).collect()
+    )
+    assert got == [("de", 2, 5), ("en", 1, 30)]
+
+
+def test_vacuum_removes_claim_window_orphans(spark, tmp_path):
+    """A version dir NEWER than the published current (a writer that
+    crashed between claim and publish) blocks that version number; an
+    age-gated vacuum removes it and unblocks the next commit."""
+    import os
+    import time
+
+    from poc_spark.sources.lake import (
+        merge_upsert_partitioned,
+        vacuum_tree,
+        write_partitioned,
+    )
+
+    schema = "k long, text string, lang string, n long"
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame([(1, "a", "en", 1)], schema)
+    write_partitioned(base, root, ["lang"])
+    up = spark.createDataFrame([(1, "a2", "en", 2)], schema)
+    merge_upsert_partitioned(spark, root, up, "k", "lang")  # now at v2
+    # fake a claim-window crash orphan at v3, aged past the floor
+    orphan = f"{root}.v000003"
+    os.makedirs(f"{orphan}/lang=en")
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    removed = vacuum_tree(root, min_stage_age_sec=3600)
+    assert "tree.v000003" in removed
+    # the next commit claims v3 cleanly
+    up2 = spark.createDataFrame([(1, "a3", "en", 3)], schema)
+    merge_upsert_partitioned(spark, root, up2, "k", "lang")
+    spark.catalog.refreshByPath(root)
+    assert sorted(
+        (r["k"], r["text"], r["n"])
+        for r in spark.read.parquet(root).collect()
+    ) == [(1, "a3", 3)]
+
+
+def test_plain_overwrite_supersedes_stale_manifest(spark, tmp_path):
+    """A plain (non-pointer) overwrite replaces the whole table: Spark
+    swaps the symlink for a real directory but cannot know about the
+    sibling manifest. The REAL directory must supersede the stale
+    pointer — resolve serves the fresh tree, and the next commit
+    migrates it to a new generation (measured failure: the stale
+    manifest shadowed the fresh base and the symlink flip hit Errno 21
+    on the real directory)."""
+    from poc_spark.sources.lake import (
+        merge_upsert_partitioned,
+        read_snapshot,
+        resolve_snapshot,
+        write_partitioned,
+    )
+
+    schema = "k long, text string, lang string, n long"
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame([(1, "old", "en", 1)], schema)
+    write_partitioned(base, root, ["lang"])
+    up = spark.createDataFrame([(1, "old2", "en", 2)], schema)
+    merge_upsert_partitioned(spark, root, up, "k", "lang")  # manifest at v2
+
+    # plain overwrite replaces the table; stale manifest+versions remain
+    fresh = spark.createDataFrame([(7, "fresh", "de", 9)], schema)
+    write_partitioned(fresh, root, ["lang"])
+    spark.catalog.refreshByPath(root)
+    assert resolve_snapshot(root) == root  # real dir wins
+    assert [(r["k"], r["text"]) for r in
+            read_snapshot(spark, root).collect()] == [(7, "fresh")]
+
+    # the next pointer commit starts a fresh generation cleanly
+    up2 = spark.createDataFrame([(7, "fresh2", "de", 10)], schema)
+    merge_upsert_partitioned(spark, root, up2, "k", "lang")
+    assert resolve_snapshot(root).endswith(".v000004")  # past stale v2+1
+    assert [(r["k"], r["text"]) for r in
+            read_snapshot(spark, root).collect()] == [(7, "fresh2")]
