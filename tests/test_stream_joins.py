@@ -90,3 +90,80 @@ def test_batch_twin_plan_is_equi(spark, landing):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+def test_watermark_eviction_drops_late_click(spark, tmp_path_repo):
+    """A click arriving two batches after the watermark advanced past it
+    must NOT join (its impression state is evicted and the input is
+    late), while the identical click delivered on time DOES join. Pins
+    the one-batch watermark-propagation lag workaround used by the
+    stream_watermark_eviction contract entry: the late file arrives two
+    batches after the advance."""
+    import os
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    staged = str(tmp_path_repo / "evict_src")
+    os.makedirs(staged)
+    sch = pa.schema([("side", pa.string()), ("ad_id", pa.int64()),
+                     ("ts", pa.timestamp("us", tz="UTC"))])
+
+    def us(s):
+        import datetime as dt
+        return int(dt.datetime.fromisoformat(s + "+00:00").timestamp() * 1e6)
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {"side": pa.array([r[0] for r in rows], pa.string()),
+             "ad_id": pa.array([r[1] for r in rows], pa.int64()),
+             "ts": pa.array([us(r[2]) for r in rows],
+                            pa.timestamp("us", tz="UTC"))},
+            schema=sch)
+        path = os.path.join(staged, name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    t0 = time.time() - 300
+    # f1: impression for ad 1 + an on-time click that joins
+    write("f1.parquet", [("imp", 1, "2024-01-01 10:00:00"),
+                         ("clk", 1, "2024-01-01 10:10:00")], t0)
+    # f2/f3: sentinels 100 days later advance BOTH watermarks (twice,
+    # for the measured one-batch filter-propagation lag)
+    write("f2.parquet", [("imp", -1, "2024-04-11 10:00:00"),
+                         ("clk", -2, "2024-04-11 10:00:00")], t0 + 30)
+    write("f3.parquet", [("imp", -3, "2024-04-11 11:00:00"),
+                         ("clk", -4, "2024-04-11 11:00:00")], t0 + 60)
+    # f4: a late click for ad 1, inside the 30-min window
+    write("f4.parquet", [("clk", 1, "2024-01-01 10:20:00")], t0 + 90)
+
+    schema = "side string, ad_id long, ts timestamp"
+
+    def src():
+        return spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(staged)
+
+    imp = src().filter("side = 'imp'").select("ad_id", "ts")
+    clk = src().filter("side = 'clk'").select("ad_id", "ts")
+    out = attribute_clicks(
+        imp, clk, attribution_window="30 minutes",
+        imp_watermark="10 minutes", click_watermark="10 minutes",
+    )
+    qname = "evict_test_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    removed = sum(
+        so.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    got = {(r["ad_id"], str(r["imp_ts"]), str(r["click_ts"]))
+           for r in spark.table(qname).collect()
+           if r["ad_id"] > 0}
+    assert got == {(1, "2024-01-01 10:00:00", "2024-01-01 10:10:00")}, got
+    assert removed > 0, "state was never evicted"
