@@ -2070,6 +2070,138 @@ def text_bpe_learn(spark, sf_dir):
     return bpe_learn(_t(spark, sf_dir, "documents"), num_merges=_BPE_LEARN_K)
 
 
+def _bpe_learn_dominance_sql(k: int, max_batch: int) -> str:
+    """Recursive-CTE twin of bpe_learn_greedy (dominance-batched BPE):
+    per iteration the layered windows rank the pair-exploded vocabulary
+    (dense_rank over the word-grain duplicates = the distinct-pair
+    rank), compute each symbol's best rank (min over the 2x-unnested
+    symbol rows), accept pairs whose BOTH symbols' best rank is their
+    own (min(mr) over the pair partition == rk — no higher-ranked pair
+    shares a symbol), cap by batch position, and collapse the accepted
+    set into one rank-sorted struct list via a window list aggregate
+    (one designated row per pair via row_number, then
+    list_sort(list_filter(...)) since list_distinct can't take
+    structs). The fold applies the whole batch in one pass with
+    pend-chaining semantics identical to the Spark _merge_batch_fold."""
+    fold = (
+        "list_reduce(string_split(s, ' '), (acc, x) -> CASE WHEN "
+        "list_contains(list_transform(batch, b -> b.p), "
+        "string_split(acc, ' ')[-1] || ' ' || x) "
+        "THEN acc || x ELSE acc || ' ' || x END)"
+    )
+    return f"""
+    WITH RECURSIVE vocab AS (
+      SELECT word, count(*)::BIGINT AS wc
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> len(x) > 0)) AS word
+        FROM documents
+      ) GROUP BY word
+    ),
+    seg AS (
+      SELECT 0 AS it, word, wc,
+             array_to_string([substr(word, i, 1)
+                              FOR i IN range(1, len(word)+1)], ' ') AS s,
+             []::STRUCT(rk BIGINT, p VARCHAR, c BIGINT)[] AS batch,
+             0::BIGINT AS base
+      FROM vocab
+      UNION ALL
+      SELECT it + 1, word, wc,
+             CASE WHEN len(batch) = 0 THEN s ELSE {fold} END AS s,
+             batch, base
+      FROM (
+        SELECT DISTINCT it, word, wc, s, batch,
+               base + len(batch) AS base
+        FROM (
+          SELECT *, list_sort(list_filter(list(
+                   CASE WHEN acc AND pos <= LEAST({max_batch}, {k} - base)
+                        AND rn1 = 1
+                        THEN {{'rk': rk, 'p': pair, 'c': pcnt}} END)
+                 OVER (), b -> b IS NOT NULL)) AS batch
+          FROM (
+            SELECT *, dense_rank() OVER (ORDER BY (NOT acc), rk) AS pos,
+                   row_number() OVER (PARTITION BY pair ORDER BY word, sym)
+                     AS rn1
+            FROM (
+              SELECT *, (min(mr) OVER (PARTITION BY pair) = rk) AS acc
+              FROM (
+                SELECT *, min(rk) OVER (PARTITION BY sym) AS mr
+                FROM (
+                  SELECT *, unnest([string_split(pair, ' ')[1],
+                                    string_split(pair, ' ')[2]]) AS sym
+                  FROM (
+                    SELECT *, CASE WHEN pair IS NULL THEN NULL ELSE
+                         dense_rank()
+                           OVER (ORDER BY pcnt DESC NULLS LAST, pair)
+                         END AS rk
+                    FROM (
+                      SELECT it, word, wc, s, base, pair,
+                             CASE WHEN pair IS NULL THEN NULL
+                                  ELSE sum(wc)
+                                    OVER (PARTITION BY pair)::BIGINT END
+                               AS pcnt
+                      FROM (
+                        SELECT it, word, wc, s, base, unnest(list_concat(
+                          [syms[i] || ' ' || syms[i+1]
+                           FOR i IN range(1, len(syms))],
+                          [NULL])) AS pair
+                        FROM (SELECT it, word, wc, s, base,
+                                     string_split(s, ' ') AS syms
+                              FROM seg)
+                      )
+                    )
+                  )
+                )
+              )
+            )
+          )
+        )
+      )
+      WHERE it < {k} AND len(batch) > 0
+    ),
+    rounds AS (
+      SELECT DISTINCT base, batch FROM seg WHERE it >= 1 AND len(batch) > 0
+    ),
+    expanded AS (
+      SELECT base, batch,
+             unnest(generate_series(1, len(batch))) AS gs
+      FROM rounds
+    )
+    SELECT (base - len(batch) + gs)::BIGINT AS rank,
+           string_split(batch[gs].p, ' ')[1] AS left_sym,
+           string_split(batch[gs].p, ' ')[2] AS right_sym,
+           batch[gs].c AS pair_count
+    FROM expanded
+    """
+
+
+_BPE_GREEDY_BATCH = 256
+
+
+@register(
+    "text_bpe_learn_greedy",
+    _bpe_learn_dominance_sql(_BPE_LEARN_K, _BPE_GREEDY_BATCH),
+)
+def text_bpe_learn_greedy(spark, sf_dir):
+    """Dominance-batched BPE learning — the THROUGHPUT policy (VERDICT
+    r7 #4's named mitigation, the trade every distributed BPE trainer
+    makes): per round accept every pair not sharing a symbol with a
+    higher-ranked pair (capped), apply the batch in one vocabulary
+    pass. A deterministic algorithm in its own right, NOT sequential
+    BPE — so the oracle replays the identical dominance selection and
+    batch fold as a recursive CTE with layered windows, verifying the
+    learner as itself cross-engine. BPE_SCALE.json carries the measured
+    widths and the 32k-merge extrapolation; bpe_learn_batched remains
+    the provably-sequential-exact middle ground."""
+    from poc_spark.operators.textstats import bpe_learn_greedy
+
+    return bpe_learn_greedy(
+        _t(spark, sf_dir, "documents"),
+        num_merges=_BPE_LEARN_K,
+        max_batch=_BPE_GREEDY_BATCH,
+    )
+
+
 @register("text_bpe_learn_batched", _bpe_learn_sql(_BPE_LEARN_K))
 def text_bpe_learn_batched(spark, sf_dir):
     """The SCALE PATH for BPE learning (closes VERDICT r7 #4): up to
@@ -3152,16 +3284,44 @@ def _export_path(subdir: str, sf_dir: str) -> str:
     )
 
 
+def _lsh_code_fingerprint() -> str:
+    """8-hex fingerprint of the pair-GENERATION code path: the source
+    of minhash_lsh_pairs and every minhash/shingle helper it composes.
+    Folded into lsh_pairs_path so a code change can never silently
+    serve stale pairs to the composed consumers (VERDICT r7 #8) — the
+    artifact directory moves and the pairs rebuild."""
+    import hashlib
+    import inspect
+
+    from poc_spark.operators import dedup
+
+    src = "".join(
+        inspect.getsource(f)
+        for f in (
+            dedup.normalized_text,
+            dedup.token_set,
+            dedup.word_grams,
+            dedup.word_shingles,
+            dedup._jaccard,
+            dedup._minhash_coeffs,
+            dedup.minhash_signatures,
+            dedup._band_rows,
+            dedup.minhash_lsh_pairs,
+        )
+    )
+    return hashlib.sha256(src.encode("utf-8")).hexdigest()[:8]
+
+
 def lsh_pairs_path(sf_dir: str) -> str:
     """Persisted minhash-LSH verified pair set over `documents`
     (threshold 0.7, 64 hashes, 16 bands — the corpus-wide dedup
-    parameters every composed entry uses). Parameters are part of the
-    layout so a future entry with different knobs gets its own
-    artifact."""
+    parameters every composed entry uses). Parameters AND a fingerprint
+    of the generating code are part of the layout, so an entry with
+    different knobs — or a changed generator — gets its own artifact."""
     return os.path.join(
         _REPO_ROOT,
         ".tmp",
-        "lshpairs_t07_h64_b16",
+        f"lshpairs_t07_h64_b16_{_lsh_code_fingerprint()}",
         os.path.basename(os.path.normpath(sf_dir)),
     )
 
@@ -3178,14 +3338,12 @@ def _lsh_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers. Reading back through parquet also truncates lineage for
     the iterative cluster consumers harder than any checkpoint.
 
-    Staleness contract: the cache key is (parameters, sf_dir) via
-    lsh_pairs_path — NOT code version. A change to minhash_lsh_pairs
-    therefore does not invalidate an existing artifact by itself; what
-    pins freshness is tests/test_dedup.py's artifact-equals-live pin
-    (runs every round's gate) plus `dedup_minhash_lsh` staying a live
-    computation against the same oracle. If you change pair-generation
-    code, delete .tmp/lshpairs_* (or bump the params directory name) in
-    the same commit."""
+    Staleness contract: the cache key is (parameters, code
+    fingerprint, sf_dir) via lsh_pairs_path — a change to
+    minhash_lsh_pairs or any helper it composes moves the artifact
+    directory and forces a rebuild (VERDICT r7 #8), and
+    tests/test_dedup.py's artifact-equals-live pin plus the live
+    `dedup_minhash_lsh` oracle keep the content honest."""
     path = lsh_pairs_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         minhash_lsh_pairs(
@@ -6785,6 +6943,11 @@ _TAIL = [
     # q17_small_qty_revenue's scalar-subquery-against-aggregate shape
     # is capability-witnessed by the in-head TPC-H block (q18's
     # group-filtered semi-join, q22's avg-balance scalar filter).
+    # r8: op_proj_users demoted for the r8-new text_bpe_learn_greedy —
+    # fresh driver-r7 witness, and the projection shape is capability-
+    # witnessed in-head by op_join_point (same dims-store read) and the
+    # flagship chat chain.
+    "op_proj_users",
     # r8: op_src_doc_scan demoted for the r8-new stream_watermark_eviction
     # — fresh driver-r7 witness, and the versioned-dims scan machinery is
     # capability-witnessed in-head by op_join_point (same store, point

@@ -447,3 +447,58 @@ def test_bpe_learn_then_apply_roundtrip(spark):
     assert merges[0] == ("t", "h")
     assert len(seg["the"].split(" ")) < 3
     assert len(seg["thing"].split(" ")) < 5
+
+
+def test_bpe_learn_batched_equals_sequential_on_corpus(spark, sf_dir):
+    """The batched learner's whole point: its merge table is
+    bit-identical to bpe_learn's on a real corpus, while taking fewer
+    driver rounds (realized widths > 1)."""
+    from poc_spark.operators.textstats import bpe_learn, bpe_learn_batched
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seq = [tuple(r) for r in bpe_learn(docs, num_merges=25).collect()]
+    stats: dict = {}
+    bat = [
+        tuple(r)
+        for r in bpe_learn_batched(
+            docs, num_merges=25, stats_out=stats
+        ).collect()
+    ]
+    assert bat == seq
+    widths = stats["widths"]
+    assert sum(widths) == len(seq)
+    assert len(widths) < len(seq), "batching never exceeded width 1?"
+
+
+def test_bpe_learn_batched_tie_and_hazard_guards(spark):
+    """Adversarial structures that WOULD diverge without the guards:
+    (a) count ties at the batch boundary (guard 2), (b) a pair whose
+    concat is a live symbol — merging (a,b) when 'ab' already exists
+    as a symbol grows (x,ab) counts mid-round (guard 3), (c) shared
+    symbols between top pairs (guard 1). All must fall back toward
+    width 1 and stay identical to sequential."""
+    from poc_spark.operators.textstats import bpe_learn, bpe_learn_batched
+
+    corpora = [
+        # ties everywhere: every pair count equal
+        "ab cd ef gh ab cd ef gh",
+        # live-concat hazard: 'ab' exists as a word (single symbol after
+        # round 1) while (a,b) adjacencies remain in other words
+        "ab ab ab zab zab azb azb aabb aabb aabb",
+        # chained shared symbols: (a,b) and (b,c) both frequent
+        "abc abc abc bc bc ab ab a b c",
+        # self-overlapping runs
+        "aaaa aaaa aa aa a",
+    ]
+    for text in corpora:
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        for k in (3, 7):
+            seq = [tuple(r) for r in bpe_learn(df, num_merges=k).collect()]
+            for mb in (2, 64):
+                bat = [
+                    tuple(r)
+                    for r in bpe_learn_batched(
+                        df, num_merges=k, max_batch=mb
+                    ).collect()
+                ]
+                assert bat == seq, (text, k, mb)

@@ -1,9 +1,9 @@
-"""BPE training-loop cost receipt (VERDICT r6 #6): run bpe_learn at
-production-shaped merge counts on the sf0.1 vocabulary and record the
-measured O(num_merges) driver-loop model — wall clock, Spark job count
-per merge round, and the extrapolation to a 32k-merge production
-vocabulary — so the loop's scheduling cost is a stated number, not a
-surprise.
+"""BPE training-loop cost receipt (VERDICT r6 #6, batched per r7 #4):
+run bpe_learn AND bpe_learn_batched at production-shaped merge counts
+on the sf0.1 vocabulary and record the measured driver-loop models —
+wall clock, Spark jobs per merge, realized batch widths, the proof
+obligation (batched table == sequential table, bit-for-bit), and the
+extrapolation to a 32k-merge production vocabulary.
 
 Usage: python tools/bpe_scale_probe.py [sf_dir] [merge_counts...]
 Writes BPE_SCALE.json at the repo root.
@@ -25,7 +25,12 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from poc_spark.operators.textstats import _tokens, bpe_learn
+    from poc_spark.operators.textstats import (
+        _tokens,
+        bpe_learn,
+        bpe_learn_batched,
+        bpe_learn_greedy,
+    )
     from poc_spark.session import get_spark
     from poc_spark.sources.catalog import load_table
 
@@ -62,47 +67,120 @@ def main() -> int:
     docs.count()
 
     results = []
+    batched_per_merge = None
     for n in counts:
         corpus, tag = (docs, "documents") if n <= 100 else (wide, "widened")
         sc.setJobGroup(f"bpe_{n}", f"bpe_learn num_merges={n}")
         t0 = time.perf_counter()
-        got = bpe_learn(corpus, num_merges=n)
-        learned = got.count()
+        seq_rows = bpe_learn(corpus, num_merges=n).collect()
         wall = time.perf_counter() - t0
         jobs = len(sc.statusTracker().getJobIdsForGroup(f"bpe_{n}"))
+        learned = len(seq_rows)
+        sc.setJobGroup(f"bpeb_{n}", f"bpe_learn_batched num_merges={n}")
+        stats: dict = {}
+        t0 = time.perf_counter()
+        bat_rows = bpe_learn_batched(
+            corpus, num_merges=n, stats_out=stats
+        ).collect()
+        wall_b = time.perf_counter() - t0
+        jobs_b = len(sc.statusTracker().getJobIdsForGroup(f"bpeb_{n}"))
         sc.setJobGroup("idle", "idle")
+        widths = stats.get("widths", [])
+        identical = [tuple(r) for r in seq_rows] == [tuple(r) for r in bat_rows]
+        if not identical:
+            raise AssertionError(
+                f"batched table diverged from sequential at n={n}"
+            )
+        sc.setJobGroup(f"bpeg_{n}", f"bpe_learn_greedy num_merges={n}")
+        gstats: dict = {}
+        t0 = time.perf_counter()
+        grd_rows = bpe_learn_greedy(
+            corpus, num_merges=n, stats_out=gstats
+        ).collect()
+        wall_g = time.perf_counter() - t0
+        jobs_g = len(sc.statusTracker().getJobIdsForGroup(f"bpeg_{n}"))
+        sc.setJobGroup("idle", "idle")
+        gw = gstats.get("widths", [])
         results.append(
             {
                 "corpus": tag,
                 "num_merges": n,
                 "merges_learned": learned,
-                "wall_sec": round(wall, 2),
-                "sec_per_merge": round(wall / max(learned, 1), 4),
-                "spark_jobs": jobs,
-                "jobs_per_merge": round(jobs / max(learned, 1), 2),
+                "sequential": {
+                    "wall_sec": round(wall, 2),
+                    "sec_per_merge": round(wall / max(learned, 1), 4),
+                    "spark_jobs": jobs,
+                },
+                "batched": {
+                    "wall_sec": round(wall_b, 2),
+                    "sec_per_merge": round(wall_b / max(learned, 1), 4),
+                    "spark_jobs": jobs_b,
+                    "rounds": len(widths),
+                    "mean_batch_width": round(
+                        sum(widths) / max(len(widths), 1), 1
+                    ),
+                    "max_batch_width": max(widths, default=0),
+                },
+                "greedy": {
+                    "wall_sec": round(wall_g, 2),
+                    "sec_per_merge": round(wall_g / max(len(grd_rows), 1), 4),
+                    "spark_jobs": jobs_g,
+                    "merges_learned": len(grd_rows),
+                    "rounds": len(gw),
+                    "mean_batch_width": round(sum(gw) / max(len(gw), 1), 1),
+                    "max_batch_width": max(gw, default=0),
+                },
+                "tables_identical": identical,
+                "speedup_batched": round(wall / max(wall_b, 1e-9), 2),
+                "speedup_greedy": round(wall / max(wall_g, 1e-9), 2),
             }
         )
         print(json.dumps(results[-1]))
+        if tag == "widened":
+            batched_per_merge = wall_b / max(learned, 1)
+            greedy_per_merge = wall_g / max(len(grd_rows), 1)
 
-    per_merge = results[-1]["sec_per_merge"]
+    seq_per_merge = results[-1]["sequential"]["sec_per_merge"]
+    if batched_per_merge is None:
+        batched_per_merge = results[-1]["batched"]["sec_per_merge"]
+        greedy_per_merge = results[-1]["greedy"]["sec_per_merge"]
     out = {
         "sf_dir": sf_dir,
         "vocab_rows_documents": vocab_rows,
         "vocab_rows_widened": wide_vocab,
         "runs": results,
         "model": (
-            "bpe_learn is a driver loop: per merge round, one 1-row argmax "
-            "collect over the vocab pair counts (the lazy localCheckpoint "
-            "materializes inside that same action). Cost = "
-            "num_merges * sec_per_merge with vocab-sized (not corpus-"
-            "sized) executor work per round."
+            "bpe_learn is a sequential driver loop (one 1-row argmax "
+            "collect per merge). bpe_learn_batched accepts a provably-"
+            "safe symbol-disjoint prefix of the sorted pair list per "
+            "round (strict boundary drop + live-concat guard) — the "
+            "learned table is asserted bit-identical here. "
+            "bpe_learn_greedy accepts the full dominance set per round "
+            "(every pair not sharing a symbol with a higher-ranked "
+            "pair, capped at 256) — a different deterministic algorithm "
+            "with its own cross-engine oracle (text_bpe_learn_greedy). "
+            "Cost = rounds * sec_per_round with vocab-sized (not "
+            "corpus-sized) executor work per round."
         ),
-        "extrapolated_32k_merges_hours": round(per_merge * 32000 / 3600, 2),
+        "extrapolated_32k_merges_hours_sequential": round(
+            seq_per_merge * 32000 / 3600, 2
+        ),
+        "extrapolated_32k_merges_hours_batched": round(
+            batched_per_merge * 32000 / 3600, 2
+        ),
+        "extrapolated_32k_merges_hours_greedy": round(
+            greedy_per_merge * 32000 / 3600, 2
+        ),
         "note": (
-            "Exact BPE training is inherently sequential in merge order; "
-            "for production 32k vocabularies, amortize by learning on a "
-            "frequency-capped vocabulary sample or adopt batched variants "
-            "that apply k non-overlapping merges per round."
+            "Batch width is data-dependent. The exact-batched learner's "
+            "safe prefix collapses toward 1 under ties and symbol "
+            "collisions (this 16-symbol widened corpus is the worst "
+            "case), so its win is corpus-dependent; the dominance-greedy "
+            "learner (its own oracled algorithm, text_bpe_learn_greedy) "
+            "skips conflicts instead of stopping and is the production "
+            "policy. 32k extrapolations use the measured widened-corpus "
+            "sec_per_merge of each learner. Greedy width also GROWS with "
+            "the symbol inventory, so its extrapolation is conservative."
         ),
     }
     path = os.path.join(
