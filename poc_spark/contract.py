@@ -6896,102 +6896,68 @@ from poc_spark import contract_scale  # noqa: E402,F401  isort: skip
 # last. tests/test_contract_registry.py pins the invariant.
 
 _TAIL = [
-    # --- r7 rotation: oldest-witness-first (VERDICT r6 #1 — retire the
-    # 29 entries whose last driver witness was r1-r3). This round's
-    # 50-slot window holds: (a) ALL 29 stale entries (witness union of
-    # CORRECTNESS_r01-r06 recomputed this round), (b) the r7-new
-    # mm_png_decode and every r7-changed entry (text_unicode_normalize,
-    # lake_snapshot_diff, the three BPE entries via the
-    # bpe_segment_vocab convergence guard, lake_merge_upsert +
-    # lake_compact via the atomic-swap change, sim_knn_join pending the
-    # machine-probe adjudication), (c) mm_decode (pinned by
-    # test_contract_registry), and (d) 11 r4-witnessed fillers in
-    # registry order. Everything below is r4+-witnessed AND green in
-    # this round's committed full-registry local runs; capability
-    # overlap notes from earlier rotations remain in git history.
-    #
-    # r7 mid-round: two of the r4-witnessed fillers demoted for the
-    # two r7-new entries mm_png_resize (decode→resize composition on
-    # the real codec) and stream_click_attribution (stream-stream
-    # interval join in-gate). sample_pack's greedy packing stays
-    # covered by its oracle in the full local runs; text_repetition's
-    # n-gram fraction stack is capability-witnessed in-head by
-    # text_tfidf/text_bigrams' n-gram aggregates.
-    #
-    # r7 late additions (lake_time_travel, ...) each demote one more
-    # r4-witnessed filler: q_session_window's gap-based sessionization
-    # is capability-witnessed by q_user_sessions (same session_window
-    # core) and stays oracled in the full local runs; text_bpe_count's
-    # regex token counting is capability-witnessed in-head by the real
-    # BPE entries (text_bpe_apply/learn) and text_token_count.
-    # mm_frame_sample's fixed-stride binary slicing is capability-
-    # witnessed in-head by the richer real-codec chain (mm_decode,
-    # mm_png_decode/resize).
-    # dedup_semantic_buckets' within-cluster semantic dedup is
-    # capability-witnessed in-head by dedup_semdedup (same topology,
-    # real k-means clusters).
-    # graph_triangles' per-edge adjacency intersection is capability-
-    # witnessed by the r6-green graph_degrees family (components/
-    # pagerank/kcore share the edge-table machinery) and stays oracled
-    # in the full local runs.
-    # q_resample_gapfill's sequence-explode densification is
-    # capability-witnessed by q_rolling_time_avg's range-window time
-    # handling and stays oracled in the full local runs.
-    # q_group_ols' Arrow-batched grouped kernel (applyInPandas) is
-    # capability-witnessed in-head by the mapInPandas codec chain
-    # (mm_decode, mm_png_*) and stays oracled in the full local runs.
-    # q17_small_qty_revenue's scalar-subquery-against-aggregate shape
-    # is capability-witnessed by the in-head TPC-H block (q18's
-    # group-filtered semi-join, q22's avg-balance scalar filter).
-    # r8: op_proj_users demoted for the r8-new text_bpe_learn_greedy —
-    # fresh driver-r7 witness, and the projection shape is capability-
-    # witnessed in-head by op_join_point (same dims-store read) and the
-    # flagship chat chain.
+    # --- r8 rotation (VERDICT r7 #9): regenerated oldest-witness-first
+    # from the CORRECTNESS_r01-r07 union. The 50-slot head holds:
+    # (a) the 4 r8-new entries (mm_jpeg_decode, text_bpe_learn_batched,
+    #     text_bpe_learn_greedy, stream_watermark_eviction) — no driver
+    #     witness yet;
+    # (b) mm_decode (pinned in-window by test_contract_registry);
+    # (c) the 12 lake-family entries whose shared machinery changed this
+    #     round (manifest-pointer publish, writer conflict detection,
+    #     bloom word-mask fix, bootstrap-atomic rollup) — every
+    #     version-pointer writer/reader must re-witness on the new code:
+    #     lake_stats/bloom_skipping, lake_merge_upsert, lake_time_travel,
+    #     lake_cdc_apply/merge, lake_rollup_incremental,
+    #     pipeline_lake_lifecycle, lake_expectations,
+    #     stream_rollup_maintenance, lake_compact, lake_snapshot_diff;
+    # (d) the 30 entries whose latest witness is r4 — the oldest alive
+    #     (r1-r3 witnesses were all retired in r7) — plus the first 3
+    #     r5-witnessed fillers (dedup_incremental, dedup_minhash_lsh,
+    #     dedup_url).
+    # Everything below is r5+-witnessed AND green in the committed
+    # full-registry local runs at sf0.01/sf0.001 (sf0.1 for the
+    # tractable subset); capability notes from earlier rotations remain
+    # in git history.
+    "op_join_point",
+    "q_union_except",
+    "sim_knn_brute",
+    "sim_knn_join",
+    "text_token_count",
+    "text_fingerprint",
+    "text_chunking",
+    "text_bpe_learn",
+    "text_bpe_apply",
+    "mm_payload_stats",
+    "mm_png_decode",
+    "mm_png_resize",
+    "mm_audio_autocorr",
+    "sample_epoch_order",
+    "text_tfidf",
+    "text_bigrams",
+    "stream_click_attribution",
+    "dedup_semdedup",
+    "text_unicode_normalize",
+    "text_pii_scrub",
+    "text_sentences",
+    "text_boilerplate",
+    "sketch_distinct_bounds",
+    "sketch_hll_union",
+    "sketch_quantile_bounds",
+    "q4_late_ship_priority",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q22_idle_balances",
+    "q_range_bucket_join",
+    "q_window_zoo",
     "op_proj_users",
-    # r8: op_src_doc_scan demoted for the r8-new stream_watermark_eviction
-    # — fresh driver-r7 witness, and the versioned-dims scan machinery is
-    # capability-witnessed in-head by op_join_point (same store, point
-    # lookup on top of the scan).
     "op_src_doc_scan",
-    # r8: op_agg_wordfreq demoted for the r8-new text_bpe_learn_batched
-    # — fresh driver-r7 witness, and the tokenize+explode+count shape is
-    # capability-witnessed in-head by text_tfidf / text_token_count (and
-    # by the BPE learners' own word-frequency tables).
     "op_agg_wordfreq",
-    # r8: op_fn_sqrt demoted for the r8-new mm_jpeg_decode — it earned
-    # a fresh driver-r7 witness, and the scalar-math surface (sqrt in a
-    # projection) is capability-witnessed in-head by q_window_zoo /
-    # sketch_quantile_bounds' expression stacks; stays oracled in the
-    # full local runs.
     "op_fn_sqrt",
-    "q_session_window",
-    "text_bpe_count",
-    "mm_frame_sample",
-    "dedup_semantic_buckets",
-    "graph_triangles",
-    "q_resample_gapfill",
-    "q_group_ols",
-    "q17_small_qty_revenue",
-    # q21_sole_late_supplier's multi-exists correlated shape is
-    # capability-witnessed by the in-head TPC-H rotation block
-    # (q4's exists, q22's not-exists + scalar subquery).
-    "q21_sole_late_supplier",
-    # pipeline_bpe_train_apply's composition is capability-witnessed
-    # by its two in-head components (text_bpe_learn, text_bpe_apply —
-    # both carrying the r7 convergence-guard change themselves).
     "pipeline_bpe_train_apply",
-    # lake_snapshot_diff's diff reader is exercised in-head by
-    # pipeline_lake_lifecycle (diff against a time-traveled snapshot
-    # after a CDC merge) — a strictly harder composition.
-    "lake_snapshot_diff",
-    # lake_compact's r7 atomic-publish machinery is exercised in-head
-    # by every version-pointer writer (lake_cdc_merge, lake_time_travel,
-    # lake_rollup_incremental, pipeline_lake_lifecycle share
-    # _commit_partitions/_publish_version); the sizing math stays
-    # pytest-pinned and oracled in the full local runs.
-    "lake_compact",
-    "sample_pack",
-    "text_repetition",
     "op_agg_nodes",
     "op_lag_edge",
     "op_limit_n",
@@ -7039,8 +7005,6 @@ _TAIL = [
     "q1_pricing_summary",
     "q_grouping_sets",
     "q_intersect",
-    "dedup_url",
-    "dedup_minhash_lsh",
     "sim_ann_lsh",
     "sim_ann_join",
     "text_winnowing",
@@ -7072,29 +7036,9 @@ _TAIL = [
     "q_user_paths",
     "sample_weighted_k",
     "sim_ivf_join",
-    "dedup_incremental",
     "sample_temperature",
     "text_classifier_score",
     "q2_min_cost_supplier",
-    "q9_profit_by_nation",
-    "q11_important_parts",
-    "q12_late_priority",
-    "sample_deterministic",
-    "sample_split",
-    "sample_mix",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q20_heavy_suppliers",
-    "q8_market_share",
-    "q_cohort_retention",
-    "q_cube_events",
-    "mm_resize",
-    "q_json_extract",
-    "text_decontaminate",
-    "graph_kcore",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_ngram_spans",
 ]
 
 
