@@ -2632,6 +2632,83 @@ def mm_jpeg_decode(spark, sf_dir):
 
 
 @register(
+    "mm_jpeg420_decode",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (16 + doc_id % 19)::INT AS w,
+             (16 + doc_id % 13)::INT AS h,
+             ((16 + doc_id % 19 + 15) // 16)::INT AS mw,
+             (doc_id % 17 = 0 OR text IS NULL) AS bad,
+             substr(repeat(md5(text), 41), 1,
+                    (12 * ((16 + doc_id % 19 + 15) // 16)
+                        * ((16 + doc_id % 13 + 15) // 16))::INT) AS hx
+      FROM documents
+    ), blk AS (
+      -- one RGB triple per (MCU, Y-block) position: MCU m carries 6
+      -- content bytes (4 Y raster-ordered + Cb + Cr); chroma is
+      -- constant across the MCU (nearest x2 upsample of the single
+      -- 4:2:0 chroma block), Y varies per 8x8 quadrant
+      SELECT *,
+             list_transform(range(0, (length(hx) // 12)::INT * 4), i ->
+               printf('%02x%02x%02x',
+                 greatest(0, least(255, floor(
+                   ('0x' || substr(hx, 12 * (i // 4) + 2 * (i % 4) + 1, 2))::INT
+                   + 1.402 * (('0x' || substr(hx, 12 * (i // 4) + 11, 2))::INT
+                              - 128.0)
+                   + 0.5)))::INT,
+                 greatest(0, least(255, floor(
+                   ('0x' || substr(hx, 12 * (i // 4) + 2 * (i % 4) + 1, 2))::INT
+                   - 0.344136 * (('0x' || substr(hx, 12 * (i // 4) + 9, 2))::INT
+                                 - 128.0)
+                   - 0.714136 * (('0x' || substr(hx, 12 * (i // 4) + 11, 2))::INT
+                                 - 128.0)
+                   + 0.5)))::INT,
+                 greatest(0, least(255, floor(
+                   ('0x' || substr(hx, 12 * (i // 4) + 2 * (i % 4) + 1, 2))::INT
+                   + 1.772 * (('0x' || substr(hx, 12 * (i // 4) + 9, 2))::INT
+                              - 128.0)
+                   + 0.5)))::INT)) AS rgbhex
+      FROM m
+    )
+    SELECT media_id,
+           CASE WHEN bad THEN NULL ELSE w END AS width,
+           CASE WHEN bad THEN NULL ELSE h END AS height,
+           CASE WHEN bad THEN NULL ELSE 3::INT END AS n_components,
+           CASE WHEN bad THEN NULL ELSE (w * h * 3)::BIGINT END
+             AS n_pixel_bytes,
+           CASE WHEN bad THEN NULL ELSE sha256(array_to_string(
+             list_transform(range(0, w * h), p ->
+               rgbhex[4 * (((p // w) // 16) * mw + (p % w) // 16)
+                      + ((p // w) % 16 // 8) * 2 + ((p % w) % 16 // 8)
+                      + 1]),
+             '')) END AS pixel_sha
+    FROM blk
+    """,
+)
+def mm_jpeg420_decode(spark, sf_dir):
+    """4:2:0 chroma subsampling — the sampling layout MOST real-world
+    JPEGs actually use (mm_jpeg_decode proves the 4:4:4/grayscale
+    path): synthesized containers carry Y at 2x2 and chroma at 1x1, so
+    the decoder's interleaved-MCU entropy order (four Y blocks raster
+    within each 16x16 MCU, then Cb, Cr per T.81 A.2.3), the
+    subsampled-plane geometry, and the nearest-neighbor x2 chroma
+    upsample are all exercised and VALUE-verified: the oracle
+    reconstructs the upsampled RGB algebraically (Y per 8x8 quadrant,
+    chroma constant per MCU) with the same IEEE color-convert
+    arithmetic. Dims are non-multiples of 16, so both the MCU crop and
+    the half-resolution chroma crop matter; truncated/NULL payloads
+    stay all-null quarantine rows."""
+    from poc_spark.operators.multimodal import (
+        decode_jpeg,
+        synthesize_jpeg420_media,
+    )
+
+    media = synthesize_jpeg420_media(_t(spark, sf_dir, "documents"))
+    return decode_jpeg(media)
+
+
+@register(
     "mm_frame_sample",
     """
     SELECT doc_id AS media_id,
@@ -6911,13 +6988,18 @@ _TAIL = [
     #     pipeline_lake_lifecycle, lake_expectations,
     #     stream_rollup_maintenance, lake_compact, lake_snapshot_diff;
     # (d) the 30 entries whose latest witness is r4 — the oldest alive
-    #     (r1-r3 witnesses were all retired in r7) — plus the first 3
-    #     r5-witnessed fillers (dedup_incremental, dedup_minhash_lsh,
-    #     dedup_url).
+    #     (r1-r3 witnesses were all retired in r7) — plus two
+    #     r5-witnessed fillers (dedup_incremental, dedup_minhash_lsh).
     # Everything below is r5+-witnessed AND green in the committed
     # full-registry local runs at sf0.01/sf0.001 (sf0.1 for the
     # tractable subset); capability notes from earlier rotations remain
     # in git history.
+    #
+    # dedup_url (r5 filler) demoted mid-round for the r8-new
+    # mm_jpeg420_decode: the URL canonicalization regex chain stays
+    # oracled in the full local runs and has no shared machinery with
+    # anything that changed this round.
+    "dedup_url",
     "op_join_point",
     "q_union_except",
     "sim_knn_brute",

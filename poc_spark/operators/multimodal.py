@@ -944,53 +944,96 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def _jpeg_encode_blocks(
-    qblocks: list[list[list[int]]],
+def _jpeg_block_symbols(blk: list[int], pred: int) -> tuple[set, set]:
+    """The DC/AC Huffman symbols a zigzag block will emit given the DC
+    predictor (first pass of the two-pass 'optimized Huffman' encode)."""
+    dc: set[int] = set()
+    ac: set[int] = set()
+    s, _ = _jpeg_category(blk[0] - pred)
+    dc.add(s)
+    k = 1
+    run = 0
+    last = max((i for i in range(1, 64) if blk[i]), default=0)
+    while k <= last:
+        if blk[k] == 0:
+            run += 1
+            k += 1
+            continue
+        while run > 15:
+            ac.add(0xF0)
+            run -= 16
+        s, _ = _jpeg_category(blk[k])
+        ac.add((run << 4) | s)
+        run = 0
+        k += 1
+    if last < 63:
+        ac.add(0x00)  # EOB
+    return dc, ac
+
+
+def _jpeg_emit_block(
+    bw: "_JpegBitWriter", blk: list[int], pred: int, dc_codes, ac_codes
+) -> int:
+    """Entropy-encode one zigzag block; returns the new DC predictor."""
+    s, bits = _jpeg_category(blk[0] - pred)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(bits, s)
+    k = 1
+    run = 0
+    last = max((i for i in range(1, 64) if blk[i]), default=0)
+    while k <= last:
+        if blk[k] == 0:
+            run += 1
+            k += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s, bits = _jpeg_category(blk[k])
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits, s)
+        run = 0
+        k += 1
+    if last < 63:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+    return blk[0]
+
+
+def _jpeg_container(
+    mcus: list[list[tuple[int, list[int]]]],
     w: int,
     h: int,
     qtable_zig: list[int],
+    samplings: list[int],
     restart_interval: int = 0,
 ) -> bytes:
-    """A real baseline JPEG encoder for fixture synthesis: `qblocks`
-    holds, per component (1=grayscale or 3=YCbCr 4:4:4), the QUANTIZED
-    coefficient blocks in ZIGZAG order, row-major over the block grid.
-    Emits SOI / DQT / SOF0 / DHT (minimal canonical tables derived from
-    the symbols actually used — the 'optimized Huffman' shape) / [DRI]
-    / SOS / entropy-coded data with byte stuffing / EOI. Everything per
-    the public T.81 spec; cited for behavior parity only — the
-    reference system has no media codecs at all (SURVEY §2.1)."""
+    """Assemble a baseline JPEG from MCU-ordered quantized blocks:
+    `mcus` is the entropy order — one list of (component index, zigzag
+    block) per MCU — and `samplings` the per-component SOF sampling
+    byte (h<<4|v). Emits SOI / DQT / SOF0 / DHT (minimal canonical
+    tables derived from the symbols actually used) / [DRI] / SOS /
+    stuffed entropy data / EOI per the public T.81 spec; cited for
+    behavior parity only — the reference system has no media codecs at
+    all (SURVEY §2.1)."""
     import struct
 
-    ncomp = len(qblocks)
-    nblocks = len(qblocks[0])
-    # DC diffs + AC run/size symbols actually used
+    ncomp = len(samplings)
     dc_syms: set[int] = set()
     ac_syms: set[int] = set()
-    for comp in qblocks:
-        pred = 0
-        for m, blk in enumerate(comp):
-            if restart_interval and m and m % restart_interval == 0:
-                pred = 0  # mirror the emission pass's RSTn predictor reset
-            s, _ = _jpeg_category(blk[0] - pred)
-            pred = blk[0]
-            dc_syms.add(s)
-            k = 1
-            run = 0
-            last = max((i for i in range(1, 64) if blk[i]), default=0)
-            while k <= last:
-                if blk[k] == 0:
-                    run += 1
-                    k += 1
-                    continue
-                while run > 15:
-                    ac_syms.add(0xF0)
-                    run -= 16
-                s, _ = _jpeg_category(blk[k])
-                ac_syms.add((run << 4) | s)
-                run = 0
-                k += 1
-            if last < 63:
-                ac_syms.add(0x00)  # EOB
+    preds = [0] * ncomp
+    for m, mcu in enumerate(mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            preds = [0] * ncomp  # mirror the emission pass's RSTn reset
+        for ci, blk in mcu:
+            dc, ac = _jpeg_block_symbols(blk, preds[ci])
+            preds[ci] = blk[0]
+            dc_syms |= dc
+            ac_syms |= ac
     dht_dc, dc_codes = _jpeg_huff_table(sorted(dc_syms))
     dht_ac, ac_codes = _jpeg_huff_table(sorted(ac_syms) or [0x00])
 
@@ -998,7 +1041,7 @@ def _jpeg_encode_blocks(
     out += _jpeg_seg(0xDB, b"\x00" + bytes(qtable_zig))  # DQT, Pq=0/Tq=0
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])  # id, 1x1 sampling, Tq=0
+        sof += bytes([ci + 1, samplings[ci], 0])  # id, HiVi, Tq=0
     out += _jpeg_seg(0xC0, sof)  # SOF0: baseline
     out += _jpeg_seg(0xC4, b"\x00" + dht_dc)  # DHT Tc=0 (DC) Th=0
     out += _jpeg_seg(0xC4, b"\x10" + dht_ac)  # DHT Tc=1 (AC) Th=0
@@ -1013,45 +1056,72 @@ def _jpeg_encode_blocks(
     bw = _JpegBitWriter()
     preds = [0] * ncomp
     rst = 0
-    for m in range(nblocks):
+    for m, mcu in enumerate(mcus):
         if restart_interval and m and m % restart_interval == 0:
             bw.align()
             bw.out += bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) % 8
             preds = [0] * ncomp
-        for ci in range(ncomp):
-            blk = qblocks[ci][m]
-            s, bits = _jpeg_category(blk[0] - preds[ci])
-            preds[ci] = blk[0]
-            code, ln = dc_codes[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(bits, s)
-            k = 1
-            run = 0
-            last = max((i for i in range(1, 64) if blk[i]), default=0)
-            while k <= last:
-                if blk[k] == 0:
-                    run += 1
-                    k += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                s, bits = _jpeg_category(blk[k])
-                code, ln = ac_codes[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(bits, s)
-                run = 0
-                k += 1
-            if last < 63:
-                code, ln = ac_codes[0x00]
-                bw.write(code, ln)
+        for ci, blk in mcu:
+            preds[ci] = _jpeg_emit_block(bw, blk, preds[ci], dc_codes, ac_codes)
     bw.align()
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _jpeg_encode_blocks(
+    qblocks: list[list[list[int]]],
+    w: int,
+    h: int,
+    qtable_zig: list[int],
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG for fixture synthesis, 1x1 sampling (grayscale or
+    YCbCr 4:4:4): `qblocks` holds per component the QUANTIZED zigzag
+    blocks, row-major over the block grid; each MCU interleaves one
+    block per component."""
+    ncomp = len(qblocks)
+    mcus = [
+        [(ci, qblocks[ci][m]) for ci in range(ncomp)]
+        for m in range(len(qblocks[0]))
+    ]
+    return _jpeg_container(
+        mcus, w, h, qtable_zig, [0x11] * ncomp, restart_interval
+    )
+
+
+def _jpeg_encode_blocks_420(
+    yblocks: list[list[int]],
+    cbblocks: list[list[int]],
+    crblocks: list[list[int]],
+    w: int,
+    h: int,
+    qtable_zig: list[int],
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline YCbCr 4:2:0 JPEG (the layout most real-world JPEGs
+    use): Y sampled 2x2, chroma 1x1, so each MCU covers 16x16 pixels
+    and interleaves FOUR Y blocks (raster within the MCU) + 1 Cb + 1
+    Cr. `yblocks` is row-major over the ceil(w/8) x ceil(h/8) PADDED
+    Y block grid (even dims — the encoder pads odd block counts by
+    construction of the 16-pixel MCU grid); chroma grids are half
+    size. Entropy order per T.81 A.2.3."""
+    mw, mh = (w + 15) // 16, (h + 15) // 16
+    ybw = mw * 2  # Y blocks per row in the padded grid
+    mcus = []
+    for my in range(mh):
+        for mx in range(mw):
+            mcu = []
+            for bv in range(2):
+                for bh_ in range(2):
+                    mcu.append((0, yblocks[(my * 2 + bv) * ybw + mx * 2 + bh_]))
+            mcu.append((1, cbblocks[my * mw + mx]))
+            mcu.append((2, crblocks[my * mw + mx]))
+            mcus.append(mcu)
+    return _jpeg_container(
+        mcus, w, h, qtable_zig, [0x22, 0x11, 0x11], restart_interval
+    )
 
 
 def synthesize_jpeg_media(
@@ -1097,6 +1167,65 @@ def synthesize_jpeg_media(
                 ]
                 qtable = [8] + [16] * 63
                 payload = _jpeg_encode_blocks(qblocks, w, h, qtable)
+                if corrupt_every and did % corrupt_every == 0:
+                    payload = payload[:-10]
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, "media_id long, payload binary"
+    )
+
+
+def synthesize_jpeg420_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corrupt_every: int | None = 17,
+) -> DataFrame:
+    """(media_id, payload) — spec-valid baseline 4:2:0 JPEGs (the
+    sampling layout most real-world JPEGs use: Y 2x2, chroma 1x1,
+    16x16-pixel MCUs with interleaved 4xY + Cb + Cr entropy order).
+    DC-only blocks with DC quantizer 8 keep the decoded planes
+    algebraically known: MCU m takes content bytes [6m..6m+5] — four Y
+    block values (raster within the MCU), one Cb, one Cr — so Y at
+    pixel (y,x) is byte 6*mcu + (y%16 div 8)*2 + (x%16 div 8) and the
+    chroma at (y,x) is the MCU's single chroma byte (nearest-neighbor
+    x2 upsample = constant across the MCU). Dims are NOT multiples of
+    16 (w = 16 + id%19, h = 16 + id%13), so both the MCU crop AND the
+    subsampled-plane crop are exercised in-gate. Rows with
+    id % corrupt_every == 0 are truncated; NULL text -> NULL payload."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                if text is None:
+                    rows.append((did, None))
+                    continue
+                w, h = 16 + did % 19, 16 + did % 13
+                mw, mh = (w + 15) // 16, (h + 15) // 16
+                nm = mw * mh
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest() * 41
+                content = bytes.fromhex(hx[: 6 * nm * 2])
+                ybw = mw * 2
+                yblocks = [[0] * 64 for _ in range(ybw * mh * 2)]
+                cbblocks = [[0] * 64 for _ in range(nm)]
+                crblocks = [[0] * 64 for _ in range(nm)]
+                for m in range(nm):
+                    my, mx = divmod(m, mw)
+                    for widx in range(4):
+                        bv, bh_ = divmod(widx, 2)
+                        yblocks[(my * 2 + bv) * ybw + mx * 2 + bh_][0] = (
+                            content[6 * m + widx] - 128
+                        )
+                    cbblocks[m][0] = content[6 * m + 4] - 128
+                    crblocks[m][0] = content[6 * m + 5] - 128
+                payload = _jpeg_encode_blocks_420(
+                    yblocks, cbblocks, crblocks, w, h, [8] + [16] * 63
+                )
                 if corrupt_every and did % corrupt_every == 0:
                     payload = payload[:-10]
                 rows.append((did, payload))
@@ -1256,11 +1385,18 @@ def _decode_jpeg(buf: bytes) -> tuple | None:
                     raise ValueError("unsupported SOF layout")
                 if w == 0 or h == 0 or w * h > 1 << 26:
                     raise ValueError("image too large")
+                samps = []
                 for ci in range(nc):
                     cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                    if samp != 0x11:
-                        raise ValueError("subsampling unsupported")
-                    comps.append((cid, tq))
+                    comps.append((cid, tq, samp >> 4, samp & 15))
+                    samps.append(samp)
+                # supported layouts: all-1x1 (gray / 4:4:4) and the
+                # dominant real-world 4:2:0 (Y 2x2, chroma 1x1)
+                if not (
+                    all(s == 0x11 for s in samps)
+                    or (nc == 3 and samps == [0x22, 0x11, 0x11])
+                ):
+                    raise ValueError("subsampling layout unsupported")
                 sof = (w, h, nc)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                             0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1276,7 +1412,7 @@ def _decode_jpeg(buf: bytes) -> tuple | None:
                 for si in range(ns):
                     cs, tda = body[1 + 2 * si], body[2 + 2 * si]
                     idx = next(
-                        (i for i, (cid, _) in enumerate(comps) if cid == cs),
+                        (i for i, c in enumerate(comps) if c[0] == cs),
                         None,
                     )
                     if idx is None:
@@ -1285,65 +1421,80 @@ def _decode_jpeg(buf: bytes) -> tuple | None:
                 break
             # APPn / COM / others: skipped
         w, h, nc = sof
-        bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+        hmax = max(c[2] for c in comps)
+        vmax = max(c[3] for c in comps)
+        mw = (w + 8 * hmax - 1) // (8 * hmax)
+        mh = (h + 8 * vmax - 1) // (8 * vmax)
         a = _jpeg_idct_basis()
-        planes = np.zeros((nc, bh_ * 8, bw_ * 8), dtype=np.uint8)
+        planes = [
+            np.zeros((mh * c[3] * 8, mw * c[2] * 8), dtype=np.uint8)
+            for c in comps
+        ]
         preds = [0] * nc
         reader = _JpegBitReader(buf, pos)
         rst = 0
-        for m in range(bh_ * bw_):
+        for m in range(mh * mw):
             if ri and m and m % ri == 0:
                 reader.restart(rst)
                 rst = (rst + 1) % 8
                 preds = [0] * nc
-            by, bx = divmod(m, bw_)
+            my, mx = divmod(m, mw)
             for idx, dc_id, ac_id in scan:
                 q = qt.get(comps[idx][1])
                 dc_tab = huff.get((0, dc_id))
                 ac_tab = huff.get((1, ac_id))
                 if q is None or dc_tab is None or ac_tab is None:
                     raise ValueError("missing table")
-                coef = np.zeros((8, 8))
-                s = _jpeg_huff_decode(reader, dc_tab)
-                if s > 11:
-                    raise ValueError("bad DC category")
-                preds[idx] += _jpeg_extend(reader.read(s), s)
-                coef[0, 0] = preds[idx] * q[0]
-                k = 1
-                while k < 64:
-                    rs = _jpeg_huff_decode(reader, ac_tab)
-                    r, sz = rs >> 4, rs & 15
-                    if sz == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    nat = _JPEG_ZIGZAG[k]
-                    coef[nat // 8, nat % 8] = (
-                        _jpeg_extend(reader.read(sz), sz) * q[nat]
-                    )
-                    k += 1
-                spatial = a.T @ coef @ a
-                samples = np.clip(
-                    np.floor(spatial + 128.5), 0, 255
-                ).astype(np.uint8)
-                planes[idx, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    samples
-                )
+                ch, cv = comps[idx][2], comps[idx][3]
+                # T.81 A.2.3: within an MCU, a component contributes
+                # its Hi x Vi blocks in raster order
+                for bv in range(cv):
+                    for bh2 in range(ch):
+                        coef = np.zeros((8, 8))
+                        s = _jpeg_huff_decode(reader, dc_tab)
+                        if s > 11:
+                            raise ValueError("bad DC category")
+                        preds[idx] += _jpeg_extend(reader.read(s), s)
+                        coef[0, 0] = preds[idx] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(reader, ac_tab)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            nat = _JPEG_ZIGZAG[k]
+                            coef[nat // 8, nat % 8] = (
+                                _jpeg_extend(reader.read(sz), sz) * q[nat]
+                            )
+                            k += 1
+                        spatial = a.T @ coef @ a
+                        samples = np.clip(
+                            np.floor(spatial + 128.5), 0, 255
+                        ).astype(np.uint8)
+                        by, bx = my * cv + bv, mx * ch + bh2
+                        planes[idx][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = samples
         # after the last MCU: byte-align and require EOI (a stream that
         # ends before it is a torn download, same rule as PNG's IEND)
         pos = reader.pos
         if buf[pos : pos + 2] != b"\xff\xd9":
             raise ValueError("missing EOI")
-        planes = planes[:, :h, :w]
         if nc == 1:
-            return (w, h, 1, planes[0].tobytes())
-        y = planes[0].astype(np.float64)
-        cb = planes[1].astype(np.float64)
-        cr = planes[2].astype(np.float64)
+            return (w, h, 1, planes[0][:h, :w].tobytes())
+        y = planes[0][:h, :w].astype(np.float64)
+        if comps[0][2] == 2:  # 4:2:0 — nearest-neighbor chroma upsample
+            cb = planes[1].repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.float64)
+            cr = planes[2].repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.float64)
+        else:
+            cb = planes[1][:h, :w].astype(np.float64)
+            cr = planes[2][:h, :w].astype(np.float64)
         # JFIF YCbCr→RGB; floor(x + 0.5) (NOT round-half-even) so a SQL
         # oracle replays the exact double arithmetic from the integer
         # planes

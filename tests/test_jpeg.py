@@ -357,3 +357,150 @@ def test_jpeg_null_payload_row(spark):
     )
     rows = decode_jpeg(df).collect()
     assert len(rows) == 1 and rows[0]["pixel_sha"] is None
+
+
+def test_jpeg420_synthesize_decode_roundtrip(spark, sf_dir):
+    """4:2:0 end-to-end over real documents: interleaved-MCU entropy
+    order, subsampled chroma planes, nearest x2 upsample, 16-grid crop
+    — decoded RGB equals the algebraic reconstruction."""
+    from poc_spark.operators.multimodal import synthesize_jpeg420_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {
+        r["media_id"]: r
+        for r in decode_jpeg(synthesize_jpeg420_media(docs)).collect()
+    }
+    n_good = 0
+    for did, text in texts.items():
+        r = got[did]
+        if did % 17 == 0 or text is None:
+            assert r["width"] is None and r["pixel_sha"] is None
+            continue
+        n_good += 1
+        w, h = 16 + did % 19, 16 + did % 13
+        mw = (w + 15) // 16
+        nm = mw * ((h + 15) // 16)
+        content = bytes.fromhex(
+            (hashlib.md5(text.encode()).hexdigest() * 41)[: 12 * nm]
+        )
+        ys = np.zeros((h, w))
+        cb = np.zeros((h, w))
+        cr = np.zeros((h, w))
+        for y in range(h):
+            for x in range(w):
+                m = (y // 16) * mw + x // 16
+                ys[y, x] = content[6 * m + (y % 16) // 8 * 2 + (x % 16) // 8]
+                cb[y, x] = content[6 * m + 4]
+                cr[y, x] = content[6 * m + 5]
+        red = np.clip(np.floor(ys + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+        grn = np.clip(
+            np.floor(
+                ys - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+            ),
+            0,
+            255,
+        )
+        blu = np.clip(np.floor(ys + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+        exp = np.stack([red, grn, blu], axis=-1).astype(np.uint8).tobytes()
+        assert (r["width"], r["height"], r["n_components"]) == (w, h, 3)
+        assert r["pixel_sha"] == hashlib.sha256(
+            exp.hex().encode()
+        ).hexdigest()
+    assert n_good > 40
+
+
+def test_jpeg420_ac_coefficients_and_upsample():
+    """A 4:2:0 container with nonzero AC in BOTH a Y and a chroma block:
+    the Y quadrant decodes per the reference IDCT, and the chroma IDCT
+    result upsamples 2x nearest into the color convert."""
+    from poc_spark.operators.multimodal import _jpeg_encode_blocks_420
+
+    qtab = [8] + [16] * 63
+    # one 16x16 MCU image (w=h=16): 4 Y blocks, 1 Cb, 1 Cr
+    ynat = [[0] * 64 for _ in range(4)]
+    ynat[0][0] = 10
+    ynat[0][9] = 4          # AC in Y block 0 (natural pos (1,1))
+    ynat[3][0] = -20
+    cbnat = [0] * 64
+    cbnat[0] = 6
+    cbnat[2] = -3           # AC in chroma (natural pos (0,2))
+    crnat = [0] * 64
+    buf = _jpeg_encode_blocks_420(
+        [_zig(b) for b in ynat], [_zig(cbnat)], [_zig(crnat)], 16, 16, qtab
+    )
+    got = _decode_jpeg(buf)
+    assert got is not None
+    w, h, nc, px = got
+    assert (w, h, nc) == (16, 16, 3)
+    rgb = np.frombuffer(px, dtype=np.uint8).reshape(16, 16, 3)
+    # reference planes
+    yp = np.zeros((16, 16))
+    for bi, nat in enumerate(ynat):
+        deq = [nat[i] * qtab[_zig_pos(i)] for i in range(64)]
+        blkv = np.clip(np.floor(_idct_ref(deq) + 128.5), 0, 255)
+        by, bx = divmod(bi, 2)
+        yp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blkv
+    cbq = [cbnat[i] * qtab[_zig_pos(i)] for i in range(64)]
+    crq = [crnat[i] * qtab[_zig_pos(i)] for i in range(64)]
+    cbp = np.clip(np.floor(_idct_ref(cbq) + 128.5), 0, 255).repeat(2, 0).repeat(2, 1)
+    crp = np.clip(np.floor(_idct_ref(crq) + 128.5), 0, 255).repeat(2, 0).repeat(2, 1)
+    red = np.clip(np.floor(yp + 1.402 * (crp - 128.0) + 0.5), 0, 255)
+    grn = np.clip(
+        np.floor(yp - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0) + 0.5),
+        0, 255,
+    )
+    blu = np.clip(np.floor(yp + 1.772 * (cbp - 128.0) + 0.5), 0, 255)
+    exp = np.stack([red, grn, blu], axis=-1).astype(np.uint8)
+    assert np.array_equal(rgb, exp)
+
+
+def test_jpeg420_restart_and_crop():
+    """DRI counts MCUs in 4:2:0 too (predictors for ALL components
+    reset per interval), and odd dims crop both the 16-grid Y plane
+    and the 8-grid chroma plane."""
+    from poc_spark.operators.multimodal import _jpeg_encode_blocks_420
+
+    w, h = 20, 18  # 2x2 MCU grid, heavy crop
+    mw, mh = 2, 2
+    ybw = mw * 2
+    yb = [[0] * 64 for _ in range(ybw * mh * 2)]
+    cbb = [[0] * 64 for _ in range(mw * mh)]
+    crb = [[0] * 64 for _ in range(mw * mh)]
+    for m in range(mw * mh):
+        my, mx = divmod(m, mw)
+        for widx in range(4):
+            bv, bh_ = divmod(widx, 2)
+            yb[(my * 2 + bv) * ybw + mx * 2 + bh_][0] = 10 * m + widx - 50
+        cbb[m][0] = 5 * m
+        crb[m][0] = -5 * m
+    buf = _jpeg_encode_blocks_420(
+        yb, cbb, crb, w, h, _Q_FLAT16, restart_interval=1
+    )
+    assert b"\xff\xd0" in buf
+    got = _decode_jpeg(buf)
+    assert got is not None and got[:3] == (w, h, 3)
+    # spot-check pixel (17, 17): MCU 3, Y widx = (1//1... (17%16)//8=0 twice
+    rgb = np.frombuffer(got[3], dtype=np.uint8).reshape(h, w, 3)
+    yv = 10 * 3 + 0 - 50 + 128  # DC d*8/8 + 128, widx 0 of MCU 3
+    cbv = 5 * 3 + 128.0
+    crv = -5 * 3 + 128.0
+    exp_r = int(np.clip(np.floor(yv + 1.402 * (crv - 128.0) + 0.5), 0, 255))
+    assert rgb[17, 17, 0] == exp_r
+    # torn restart marker quarantines
+    torn = buf.replace(b"\xff\xd0", b"\xff\xd6", 1)
+    assert _decode_jpeg(torn) is None
+
+
+def test_jpeg_unsupported_sampling_quarantined():
+    """4:2:2 (and other non-1x1/non-4:2:0 layouts) are declared
+    unsupported and must quarantine, not misdecode."""
+    base = _jpeg_encode_blocks(
+        [[[10] + [0] * 63]] * 3, 8, 8, _Q_FLAT16
+    )
+    assert _decode_jpeg(base) is not None
+    # patch SOF: component 1 sampling 0x21 (4:2:2)
+    sof_at = base.index(b"\xff\xc0")
+    patched = bytearray(base)
+    patched[sof_at + 11] = 0x21  # comp 0 sampling byte
+    assert _decode_jpeg(bytes(patched)) is None
