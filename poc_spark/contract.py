@@ -2632,6 +2632,74 @@ def mm_jpeg_decode(spark, sf_dir):
 
 
 @register(
+    "mm_jpeg_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (8 + doc_id % 23)::INT AS w,
+             (8 + doc_id % 11)::INT AS h,
+             ((8 + doc_id % 23 + 7) // 8)::INT AS bw,
+             (doc_id % 17 = 0 OR text IS NULL) AS bad,
+             substr(repeat(md5(text), 41), 1,
+                    (6 * ((8 + doc_id % 23 + 7) // 8)
+                       * ((8 + doc_id % 11 + 7) // 8))::INT) AS hx
+      FROM documents
+    ), blk AS (
+      SELECT *,
+             list_transform(range(0, (length(hx) // 6)::INT), i ->
+               printf('%02x%02x%02x',
+                 greatest(0, least(255, floor(
+                   ('0x' || substr(hx, 6 * i + 1, 2))::INT
+                   + 1.402 * (('0x' || substr(hx, 6 * i + 5, 2))::INT
+                              - 128.0)
+                   + 0.5)))::INT,
+                 greatest(0, least(255, floor(
+                   ('0x' || substr(hx, 6 * i + 1, 2))::INT
+                   - 0.344136 * (('0x' || substr(hx, 6 * i + 3, 2))::INT
+                                 - 128.0)
+                   - 0.714136 * (('0x' || substr(hx, 6 * i + 5, 2))::INT
+                                 - 128.0)
+                   + 0.5)))::INT,
+                 greatest(0, least(255, floor(
+                   ('0x' || substr(hx, 6 * i + 1, 2))::INT
+                   + 1.772 * (('0x' || substr(hx, 6 * i + 3, 2))::INT
+                              - 128.0)
+                   + 0.5)))::INT)) AS rgbhex
+      FROM m
+    )
+    SELECT media_id,
+           CASE WHEN bad THEN NULL ELSE w END AS width,
+           CASE WHEN bad THEN NULL ELSE h END AS height,
+           CASE WHEN bad THEN NULL ELSE 8::INT END AS out_w,
+           CASE WHEN bad THEN NULL ELSE 6::INT END AS out_h,
+           CASE WHEN bad THEN NULL ELSE sha256(array_to_string(
+             list_transform(range(0, 6 * 8), i ->
+               rgbhex[(((i // 8) * h // 6) // 8) * bw
+                      + ((i % 8) * w // 8) // 8 + 1]),
+             '')) END AS resized_sha
+    FROM blk
+    """,
+)
+def mm_jpeg_resize(spark, sf_dir):
+    """Decode→transform COMPOSITION on the JPEG codec (mm_png_resize's
+    twin one codec harder): every synthesized baseline JPEG is fully
+    decoded — Huffman entropy decode, dequant, IDCT, MCU crop, JFIF
+    color convert — and nearest-neighbor resized to 8x6 in one numpy
+    gather (multimodal.resize_jpeg). The oracle replays the exact
+    row/col gather as index arithmetic over the per-block RGB triples
+    it reconstructs algebraically, so the resize KERNEL on top of the
+    full decode path is cross-engine verified; corrupt/NULL payloads
+    stay all-null quarantine rows."""
+    from poc_spark.operators.multimodal import (
+        resize_jpeg,
+        synthesize_jpeg_media,
+    )
+
+    media = synthesize_jpeg_media(_t(spark, sf_dir, "documents"))
+    return resize_jpeg(media, out_w=8, out_h=6)
+
+
+@register(
     "mm_jpeg420_decode",
     """
     WITH m AS (
@@ -6998,8 +7066,12 @@ _TAIL = [
     # dedup_url (r5 filler) demoted mid-round for the r8-new
     # mm_jpeg420_decode: the URL canonicalization regex chain stays
     # oracled in the full local runs and has no shared machinery with
-    # anything that changed this round.
+    # anything that changed this round. dedup_incremental (r5 filler)
+    # likewise demoted for the r8-new mm_jpeg_resize — its persisted-
+    # index probe shape is capability-witnessed by the in-head LSH
+    # family and stays oracled in the full local runs.
     "dedup_url",
+    "dedup_incremental",
     "op_join_point",
     "q_union_except",
     "sim_knn_brute",

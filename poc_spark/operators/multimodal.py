@@ -1513,6 +1513,69 @@ def _decode_jpeg(buf: bytes) -> tuple | None:
         return None
 
 
+JPEG_RESIZED_SCHEMA = (
+    "media_id long, width int, height int, out_w int, out_h int, "
+    "resized_sha string"
+)
+
+
+def resize_jpeg(df: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
+    """Decode→transform composition on the JPEG codec (resize_png's
+    twin): full baseline decode per payload (_decode_jpeg — Huffman,
+    dequant, IDCT, MCU crop, color convert), then the same one-gather
+    numpy nearest-neighbor resize — src_row = floor(r·H/out_h),
+    src_col = floor(c·W/out_w) over the (H, W, nc) plane — and a
+    fingerprint of the resized bytes (hex-hashed so a SQL oracle
+    replays the exact gather over the algebraically-known decoded
+    RGB). Corrupt payloads quarantine as all-null rows."""
+    import hashlib
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = (
+                    _decode_jpeg(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if d is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                w, h, nc, pxb = d
+                px = np.frombuffer(pxb, dtype=np.uint8).reshape(h, w, nc)
+                rr = (np.arange(out_h) * h) // out_h
+                cc = (np.arange(out_w) * w) // out_w
+                resized = px[rr][:, cc, :]
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        out_w,
+                        out_h,
+                        hashlib.sha256(
+                            resized.tobytes().hex().encode("ascii")
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "out_w",
+                    "out_h",
+                    "resized_sha",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=JPEG_RESIZED_SCHEMA)
+
+
 def decode_jpeg(df: DataFrame) -> DataFrame:
     """Arrow-batched REAL baseline-JPEG decode over mapInPandas — the
     dominant training-corpus image format (closes VERDICT r7 missing

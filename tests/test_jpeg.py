@@ -504,3 +504,35 @@ def test_jpeg_unsupported_sampling_quarantined():
     patched = bytearray(base)
     patched[sof_at + 11] = 0x21  # comp 0 sampling byte
     assert _decode_jpeg(bytes(patched)) is None
+
+
+def test_jpeg_resize_ground_truth_and_quarantine(spark):
+    """resize_jpeg: the nearest-neighbor gather over fully-decoded RGB
+    matches a hand-replayed gather, and corrupt payloads stay null."""
+    from poc_spark.operators.multimodal import resize_jpeg
+
+    # 3-component 16x8 image: two MCUs with distinct uniform colors
+    buf = _jpeg_encode_blocks(
+        [[[10] + [0] * 63, [-30] + [0] * 63],
+         [[0] + [0] * 63, [20] + [0] * 63],
+         [[5] + [0] * 63, [-5] + [0] * 63]],
+        16, 8, _Q_FLAT16,
+    )
+    d = _decode_jpeg(buf)
+    assert d is not None
+    w, h, nc, pxb = d
+    px = np.frombuffer(pxb, dtype=np.uint8).reshape(h, w, nc)
+    rr = (np.arange(6) * h) // 6
+    cc = (np.arange(8) * w) // 8
+    want = hashlib.sha256(
+        px[rr][:, cc, :].tobytes().hex().encode()
+    ).hexdigest()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(buf)), (2, bytearray(buf[:-9])), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in resize_jpeg(df).collect()}
+    assert got[1]["resized_sha"] == want
+    assert (got[1]["width"], got[1]["height"]) == (16, 8)
+    assert got[2]["resized_sha"] is None and got[3]["resized_sha"] is None
