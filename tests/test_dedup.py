@@ -822,3 +822,18 @@ def test_semdedup_prune_domination_rule(spark):
     cos_c = {r["id"]: r["cos_c"] for r in kept.collect()}
     assert cos_c[1] == round(math.cos(math.radians(40.0)), 6)
     assert cos_c[4] == round(math.cos(math.radians(10.0)), 6)
+
+
+def test_lsh_pairs_path_tracks_code_fingerprint(monkeypatch):
+    """A change to the pair-generation code must move the artifact
+    directory (never silently serve stale pairs): the path embeds an
+    8-hex fingerprint of the generator source, and changing what the
+    fingerprint sees changes the path."""
+    from poc_spark import contract
+
+    p1 = contract.lsh_pairs_path("/root/testdata/sf0.01")
+    fp = contract._lsh_code_fingerprint()
+    assert fp in p1 and len(fp) == 8
+    monkeypatch.setattr(contract, "_lsh_code_fingerprint", lambda: "deadbeef")
+    p2 = contract.lsh_pairs_path("/root/testdata/sf0.01")
+    assert p2 != p1 and "deadbeef" in p2
