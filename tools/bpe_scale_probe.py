@@ -19,7 +19,79 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _greedy_only(sf_dir: str, n: int) -> int:
+    """--greedy-only N: one deep dominance-batched run on the widened
+    corpus, appended to the existing BPE_SCALE.json as
+    `greedy_deep_run` — shows how batch width GROWS with the symbol
+    inventory (the dominance set widens as merges diversify symbols),
+    so the 32k extrapolation from a shallow run is conservative."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.textstats import bpe_learn_greedy
+    from poc_spark.session import get_spark
+    from poc_spark.sources.catalog import load_table
+
+    spark = get_spark("bpe-greedy-deep")
+    docs = load_table(spark, sf_dir, "documents")
+    wide = docs.select(
+        F.col("doc_id"),
+        F.concat_ws(
+            " ",
+            F.substring(F.md5("text"), 1, 8),
+            F.substring(F.md5("text"), 9, 8),
+            F.substring(F.md5("text"), 17, 8),
+            F.substring(F.md5("text"), 25, 8),
+        ).alias("text"),
+    )
+    wide.count()  # warm
+    stats: dict = {}
+    t0 = time.perf_counter()
+    learned = len(
+        bpe_learn_greedy(wide, num_merges=n, stats_out=stats).collect()
+    )
+    wall = time.perf_counter() - t0
+    widths = stats.get("widths", [])
+    q = len(widths) // 4 or 1
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BPE_SCALE.json",
+    )
+    with open(path) as fh:
+        out = json.load(fh)
+    out["greedy_deep_run"] = {
+        "corpus": "widened",
+        "num_merges": n,
+        "merges_learned": learned,
+        "wall_sec": round(wall, 2),
+        "sec_per_merge": round(wall / max(learned, 1), 4),
+        "rounds": len(widths),
+        "mean_batch_width": round(sum(widths) / max(len(widths), 1), 1),
+        "mean_width_by_quartile": [
+            round(sum(widths[i * q : (i + 1) * q])
+                  / max(len(widths[i * q : (i + 1) * q]), 1), 1)
+            for i in range(4)
+        ],
+        "max_batch_width": max(widths, default=0),
+        "extrapolated_32k_merges_hours": round(
+            wall / max(learned, 1) * 32000 / 3600, 2
+        ),
+    }
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out["greedy_deep_run"]))
+    print(f"updated {path}")
+    spark.stop()
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--greedy-only":
+        return _greedy_only(
+            sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1",
+            int(sys.argv[2]),
+        )
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     counts = [int(c) for c in sys.argv[2:]] or [100, 1000]
 
