@@ -2070,19 +2070,11 @@ def text_bpe_learn(spark, sf_dir):
     return bpe_learn(_t(spark, sf_dir, "documents"), num_merges=_BPE_LEARN_K)
 
 
-def _bpe_learn_dominance_sql(k: int, max_batch: int) -> str:
-    """Recursive-CTE twin of bpe_learn_greedy (dominance-batched BPE):
-    per iteration the layered windows rank the pair-exploded vocabulary
-    (dense_rank over the word-grain duplicates = the distinct-pair
-    rank), compute each symbol's best rank (min over the 2x-unnested
-    symbol rows), accept pairs whose BOTH symbols' best rank is their
-    own (min(mr) over the pair partition == rk — no higher-ranked pair
-    shares a symbol), cap by batch position, and collapse the accepted
-    set into one rank-sorted struct list via a window list aggregate
-    (one designated row per pair via row_number, then
-    list_sort(list_filter(...)) since list_distinct can't take
-    structs). The fold applies the whole batch in one pass with
-    pend-chaining semantics identical to the Spark _merge_batch_fold."""
+def _bpe_dominance_seg_sql(k: int, max_batch: int) -> str:
+    """The shared vocab+seg recursive core of the dominance-batched BPE
+    oracle (see _bpe_learn_dominance_sql for the full derivation notes);
+    composed by both the learner entry and the greedy train-then-apply
+    pipeline."""
     fold = (
         "list_reduce(string_split(s, ' '), (acc, x) -> CASE WHEN "
         "list_contains(list_transform(batch, b -> b.p), "
@@ -2090,7 +2082,7 @@ def _bpe_learn_dominance_sql(k: int, max_batch: int) -> str:
         "THEN acc || x ELSE acc || ' ' || x END)"
     )
     return f"""
-    WITH RECURSIVE vocab AS (
+    vocab AS (
       SELECT word, count(*)::BIGINT AS wc
       FROM (
         SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -2166,7 +2158,24 @@ def _bpe_learn_dominance_sql(k: int, max_batch: int) -> str:
       SELECT base, batch,
              unnest(generate_series(1, len(batch))) AS gs
       FROM rounds
-    )
+    )"""
+
+
+def _bpe_learn_dominance_sql(k: int, max_batch: int) -> str:
+    """Recursive-CTE twin of bpe_learn_greedy (dominance-batched BPE):
+    per iteration the layered windows rank the pair-exploded vocabulary
+    (dense_rank over the word-grain duplicates = the distinct-pair
+    rank), compute each symbol's best rank (min over the 2x-unnested
+    symbol rows), accept pairs whose BOTH symbols' best rank is their
+    own (min(mr) over the pair partition == rk — no higher-ranked pair
+    shares a symbol), cap by batch position, and collapse the accepted
+    set into one rank-sorted struct list via a window list aggregate
+    (one designated row per pair via row_number, then
+    list_sort(list_filter(...)) since list_distinct can't take
+    structs). The fold applies the whole batch in one pass with
+    pend-chaining semantics identical to the Spark _merge_batch_fold."""
+    return f"""
+    WITH RECURSIVE {_bpe_dominance_seg_sql(k, max_batch)}
     SELECT (base - len(batch) + gs)::BIGINT AS rank,
            string_split(batch[gs].p, ' ')[1] AS left_sym,
            string_split(batch[gs].p, ' ')[2] AS right_sym,
@@ -2329,6 +2338,95 @@ def _bpe_pipeline_sql(k: int) -> str:
     FROM w JOIN final f USING (word)
     GROUP BY w.doc_id
     """
+
+
+def _bpe_greedy_pipeline_sql(k: int, max_batch: int) -> str:
+    """Composed DOMINANCE-learn-then-apply oracle: the shared greedy
+    seg core (_bpe_dominance_seg_sql) yields rank-ordered merge keys
+    via rounds/expanded, then the identical apply machinery as
+    _bpe_pipeline_sql (second recursive CTE referencing mk.keys,
+    corpus re-join) tokenizes the corpus with the learned table."""
+    minr_apply = (
+        "list_min(list_filter("
+        "[list_position(mk.keys, p[1] || ' ' || p[2]) "
+        "FOR p IN list_zip(string_split(s, ' '), string_split(s, ' ')[2:])], "
+        "x -> x > 0))"
+    )
+    return f"""
+    WITH RECURSIVE {_bpe_dominance_seg_sql(k, max_batch)},
+    mk AS (
+      SELECT list(p ORDER BY rank) AS keys
+      FROM (SELECT (base - len(batch) + gs) AS rank, batch[gs].p AS p
+            FROM expanded)
+    ),
+    ap AS (
+      SELECT word,
+             array_to_string([substr(word, i, 1)
+                              FOR i IN range(1, len(word)+1)], ' ') AS s
+      FROM vocab
+      UNION ALL
+      SELECT word,
+             list_reduce(string_split(s, ' '),
+               (acc, x) -> CASE
+                 WHEN x = r AND (acc = l OR ends_with(acc, ' ' || l))
+                 THEN acc || x ELSE acc || ' ' || x END) AS s
+      FROM (
+        SELECT word, s,
+               string_split(mk.keys[minr], ' ')[1] AS l,
+               string_split(mk.keys[minr], ' ')[2] AS r
+        FROM (SELECT word, s, {minr_apply} AS minr FROM ap, mk), mk
+        WHERE minr IS NOT NULL
+      )
+    ),
+    final AS (
+      SELECT word, s
+      FROM (SELECT word, s, {minr_apply} AS minr FROM ap, mk)
+      WHERE minr IS NULL
+    ),
+    w AS (
+      SELECT doc_id, unnest(toks) AS word,
+             generate_subscripts(toks, 1) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> len(x) > 0) AS toks
+        FROM documents
+      )
+    )
+    SELECT w.doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(len(string_split(f.s, ' ')))::BIGINT AS n_bpe_tokens,
+           string_agg(f.s, ' ' ORDER BY w.pos) AS bpe_text
+    FROM w JOIN final f USING (word)
+    GROUP BY w.doc_id
+    """
+
+
+@register(
+    "pipeline_bpe_greedy_train_apply",
+    _bpe_greedy_pipeline_sql(_BPE_LEARN_K, _BPE_GREEDY_BATCH),
+)
+def pipeline_bpe_greedy_train_apply(spark, sf_dir):
+    """The PRODUCTION tokenizer path end-to-end: learn the merge table
+    with the dominance-batched greedy learner (the throughput policy a
+    32k-vocab training run would actually use — BPE_SCALE.json's
+    measured 2.8x), then apply it back to the corpus with the proven
+    vocabulary-factored apply. The learned table transits the driver as
+    num_merges bounded rows; the oracle chains the dominance seg core
+    with the apply recursive CTE, so selection, batch fold, AND
+    tokenization are verified as one composition."""
+    from poc_spark.operators.textstats import bpe_apply, bpe_learn_greedy
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = tuple(
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_learn_greedy(
+            docs, num_merges=_BPE_LEARN_K, max_batch=_BPE_GREEDY_BATCH
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    return bpe_apply(docs, merges)
 
 
 @register("pipeline_bpe_train_apply", _bpe_pipeline_sql(_BPE_LEARN_K))
@@ -7072,6 +7170,12 @@ _TAIL = [
     # family and stays oracled in the full local runs.
     "dedup_url",
     "dedup_incremental",
+    # dedup_minhash_lsh (the last r5 filler) demoted mid-round for the
+    # r8-new pipeline_bpe_greedy_train_apply: the live pair generator
+    # stays oracled in the full local runs and its banded-LSH machinery
+    # is capability-witnessed in-head by the composed consumers' shared
+    # artifact (whose path now embeds the generator code fingerprint).
+    "dedup_minhash_lsh",
     "op_join_point",
     "q_union_except",
     "sim_knn_brute",
