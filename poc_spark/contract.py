@@ -4331,6 +4331,115 @@ def stream_watermark_eviction(spark, sf_dir):
     )
 
 
+@register(
+    "stream_stateful_dedup",
+    """
+    SELECT user_id, event_type,
+           epoch_us(min(ts)) AS first_ts_us
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_stateful_dedup(spark, sf_dir):
+    """CUSTOM STATEFUL operator in-gate (applyInPandasWithState was
+    pytest-only per SURVEY §2.9): exactly-once cross-batch
+    first-occurrence dedup per (user_id, event_type), one boolean of
+    state per distinct key. The events table is re-staged as four
+    time-ordered landing files (mtime-ordered, maxFilesPerTrigger=1 —
+    four REAL micro-batches), so each key's first batch contains its
+    global-min row and the terminal emitted set equals the batch
+    GROUP BY min(ts) for ANY micro-batch split — which is exactly what
+    the DuckDB oracle computes. The entry fails loudly unless >= 4
+    batches ran and later batches actually DROPPED re-seen keys (the
+    cross-batch state did something), so it can never degrade into a
+    single-batch distinct."""
+    import time as _time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from poc_spark.streaming.stateful import first_event_stream
+
+    pdf = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("us"),
+        )
+        .toPandas()
+        .sort_values("us", kind="stable")
+        .reset_index(drop=True)
+    )
+    staged = _export_path("stream_dedup_src", sf_dir)
+    os.makedirs(staged, exist_ok=True)
+    for f in os.listdir(staged):
+        os.remove(os.path.join(staged, f))
+    arrow_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+        ]
+    )
+    t0 = _time.time() - 300
+    n = len(pdf)
+    for i in range(4):
+        part = pdf.iloc[i * n // 4 : (i + 1) * n // 4]
+        tbl = pa.table(
+            {
+                "user_id": pa.array(part["user_id"], pa.int64()),
+                "event_type": pa.array(part["event_type"], pa.string()),
+                "ts": pa.array(
+                    [int(u) for u in part["us"]], pa.timestamp("us", tz="UTC")
+                ),
+            },
+            schema=arrow_schema,
+        )
+        path = os.path.join(staged, f"f{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (t0 + 30 * i, t0 + 30 * i))
+
+    src = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    qname = "stream_dedup_" + uuid.uuid4().hex[:12]
+    q = (
+        first_event_stream(src)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    n_batches = sum(1 for p in progress if p["numInputRows"] > 0)
+    if n_batches < 4:
+        raise RuntimeError(
+            f"stateful dedup scenario degraded: {n_batches} micro-batches"
+        )
+    out = spark.table(qname)
+    emitted = [
+        (p["batchId"], p["sink"]["numOutputRows"]) for p in progress
+    ]
+    later_inputs = sum(
+        p["numInputRows"] for p in progress if p["batchId"] > 0
+    )
+    later_emits = sum(r for b, r in emitted if b > 0)
+    if later_inputs > 0 and later_emits >= later_inputs:
+        raise RuntimeError(
+            "cross-batch state dropped nothing — dedup unverified"
+        )
+    return out.select("user_id", "event_type", "first_ts_us")
+
+
 @register("sink_hive_partitioned", _hive_oracle("sf0.01"))
 def sink_hive_partitioned(spark, sf_dir):
     """Hive-partitioned parquet lake layout — THE 100 TB scan-avoidance
@@ -7176,6 +7285,12 @@ _TAIL = [
     # is capability-witnessed in-head by the composed consumers' shared
     # artifact (whose path now embeds the generator code fingerprint).
     "dedup_minhash_lsh",
+    # q17_small_qty_revenue (r4-witnessed filler) demoted mid-round for
+    # the r8-new stream_stateful_dedup — its scalar-subquery-against-
+    # aggregate shape is capability-witnessed by the in-head TPC-H
+    # block's correlated aggregates (q20/q21); it becomes the oldest
+    # witness for the r9 rotation.
+    "q17_small_qty_revenue",
     "op_join_point",
     "q_union_except",
     "sim_knn_brute",
