@@ -3687,6 +3687,84 @@ def src_csv_roundtrip(spark, sf_dir):
     return _content_agg(docs, "source")
 
 
+@register(
+    "src_warc_roundtrip",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(octet_length(encode(text)))::BIGINT AS sum_payload_bytes,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM documents GROUP BY source
+    """,
+)
+def src_warc_roundtrip(spark, sf_dir):
+    """WARC crawl-container round-trip (sources/warc.py — ISO 28500,
+    gzip-member-per-record): the documents table is rendered into
+    spec-valid `conversion` records (the WET extracted-text shape —
+    payload = UTF-8 text, identity fields riding WARC-Target-URI),
+    written as 8 task-local .warc.gz files, then re-read with the
+    streaming member parser and reconstructed. The oracle runs over
+    the algebraically-known payloads (the documents table itself — the
+    ORC-twin pattern, since DuckDB has no WARC reader), and the parsed
+    Content-Length sum must equal an INDEPENDENT byte-length
+    computation (octet_length(encode(text))) — so header arithmetic,
+    gzip member boundaries, and payload bytes are all checked, not
+    just a Spark self-round-trip. Zero quarantined records is asserted
+    in-gate; the malformed-member quarantine classes are pytest-pinned
+    (tests/test_warc.py)."""
+    from poc_spark.sources.warc import read_warc, write_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _export_path("warc", sf_dir)
+    recs = docs.select(
+        F.concat(
+            F.lit("<urn:uuid:"),
+            F.md5(F.col("doc_id").cast("string")),
+            F.lit(">"),
+        ).alias("record_id"),
+        F.lit("conversion").alias("warc_type"),
+        F.concat(
+            F.lit("urn:poc:doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&source="),
+            F.col("source"),
+            F.lit("&n_chars="),
+            F.col("n_chars").cast("string"),
+        ).alias("target_uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        F.lit("text/plain; charset=utf-8").alias("content_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    n = write_warc(recs, path, n_files=8)
+    back = read_warc(spark, path)
+    bad = back.filter(F.col("error").isNotNull()).count()
+    if bad or n != docs.count():
+        raise RuntimeError(
+            f"src_warc_roundtrip: {bad} quarantined records, "
+            f"{n} written — a fresh synthesized corpus must parse clean"
+        )
+    parsed = back.select(
+        F.regexp_extract("target_uri", r"[?&]source=([^&]*)", 1).alias(
+            "source"
+        ),
+        F.regexp_extract("target_uri", r"[?&]n_chars=(\d+)", 1)
+        .cast("long")
+        .alias("n_chars"),
+        F.decode("payload", "utf-8").alias("text"),
+        "content_length",
+    )
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("content_length").alias("sum_payload_bytes"),
+        _content_sum_expr(),
+    )
+
+
 @register("src_jsonl_roundtrip", _jsonl_oracle("sf0.01"))
 def src_jsonl_roundtrip(spark, sf_dir):
     """JSONL source/sink interop — the standard LLM-corpus format:
@@ -4030,9 +4108,15 @@ def stream_rollup_maintenance(spark, sf_dir):
             f"stream_rollup_maintenance: expected a multi-batch drain, "
             f"got {n_batches} — the incremental-merge claim needs >1"
         )
+    # read through the pointer resolver (manifest-first): under the
+    # forced fake-objectstore/symlink-off gates the root is not a
+    # path at all (the r9 fake gate caught exactly this latent
+    # symlink dependency)
+    from poc_spark.sources.lake import read_snapshot
+
     # the hive directory value day=2024-01-01 type-infers back as
     # DATE; the oracle's strftime yields VARCHAR — pin the string
-    return spark.read.parquet(agg_root).select(
+    return read_snapshot(spark, agg_root).select(
         F.col("day").cast("string").alias("day"),
         "event_type",
         F.col("n_rows").cast("long").alias("n_rows"),
@@ -4690,6 +4774,16 @@ def lake_merge_upsert(spark, sf_dir):
       FROM documents d WHERE d.doc_id % 5 <> 0
       UNION ALL SELECT * FROM up
     ),
+    up2 AS (
+      SELECT doc_id, text || ' v3' AS text, lang, source,
+             n_chars + 4 AS n_chars
+      FROM merged WHERE doc_id % 3 = 0
+    ),
+    merged2 AS (
+      SELECT m.doc_id, m.text, m.lang, m.source, m.n_chars
+      FROM merged m WHERE m.doc_id % 3 <> 0
+      UNION ALL SELECT * FROM up2
+    ),
     prev AS (
       SELECT 'prev' AS snapshot, lang, count(*) AS n_docs,
              sum(n_chars)::BIGINT AS sum_chars,
@@ -4697,32 +4791,44 @@ def lake_merge_upsert(spark, sf_dir):
                AS content_sum
       FROM documents GROUP BY lang
     ),
+    mid AS (
+      SELECT 'mid' AS snapshot, lang, count(*) AS n_docs,
+             sum(n_chars)::BIGINT AS sum_chars,
+             sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+               AS content_sum
+      FROM merged GROUP BY lang
+    ),
     cur AS (
       SELECT 'cur' AS snapshot, lang, count(*) AS n_docs,
              sum(n_chars)::BIGINT AS sum_chars,
              sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
                AS content_sum
-      FROM merged GROUP BY lang
+      FROM merged2 GROUP BY lang
     )
-    SELECT * FROM prev UNION ALL SELECT * FROM cur
+    SELECT * FROM prev UNION ALL SELECT * FROM mid
+    UNION ALL SELECT * FROM cur
     """,
 )
 def lake_time_travel(spark, sf_dir):
     """Time travel on the version-pointer lake (`VERSION AS OF` on
-    plain parquet — sources/lake.py read_version/list_versions): a
-    fresh partitioned base is written, one CoW merge commits an update
-    to every doc_id % 5 == 0 row, and the check then reads BOTH
-    retained snapshots — the pre-merge version by its commit number
-    and the current one through the pointer — returning per-snapshot
-    per-lang content aggregates. The oracle derives the two states
-    relationally (original table = prev, merge-emulated state = cur),
-    so this pins that published versions are immutable: the old
-    snapshot must still byte-hash to the ORIGINAL content after the
-    commit, and the pointer must serve the merged content. Reference
-    parity: the reference has no snapshot/versioning at all (its ETL
-    mutates MySQL in place, backend/main.py:380-384); this is the
-    extension lake layer's audit/reproducibility surface."""
+    plain parquet — sources/lake.py read_version/list_versions) with a
+    RETENTION DEPTH beyond current+prev (r8 VERDICT #2: depth-1
+    history was "compare against the last commit", not
+    reproducibility): under conf spark.poc.lake.retain=3, a fresh
+    partitioned base takes TWO successive CoW merges (doc_id % 5 == 0
+    gets ' v2', then % 3 == 0 of the merged state gets ' v3' — the
+    second merge compounds on the first, so snapshot order is
+    observable), and the check reads all THREE retained snapshots —
+    N-2 and N-1 by commit number, current through the pointer. The
+    oracle derives the three states relationally, so this pins both
+    immutability (the oldest snapshot still byte-hashes to ORIGINAL
+    content after two commits) and retention (N-2 must still resolve;
+    the pytest twin additionally pins that a destroyed retained
+    version fails loudly — tests/test_storage.py). Reference parity:
+    the reference has no snapshot/versioning at all (its ETL mutates
+    MySQL in place, backend/main.py:380-384)."""
     from poc_spark.sources.lake import (
+        drop_tree,
         list_versions,
         merge_upsert_partitioned,
         read_version,
@@ -4731,26 +4837,55 @@ def lake_time_travel(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     root = _export_path("timetravel", sf_dir)
-    # fresh base every run (the sink stale-artifact rule); the merge's
-    # publish prunes any version dirs a previous run left behind, so
-    # list_versions afterwards sees exactly [base, merged]
-    write_partitioned(docs, root, ["lang"])
-    updates = docs.filter("doc_id % 5 = 0").select(
-        "doc_id",
-        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
-        "lang",
-        "source",
-        (F.col("n_chars") + F.lit(3)).alias("n_chars"),
-    )
-    merge_upsert_partitioned(spark, root, updates, "doc_id", "lang")
-    versions = list_versions(root)
-    prev = read_version(spark, root, versions[0])
-    cur = read_version(spark, root, None)
-    return _content_agg(prev, "lang").select(
-        F.lit("prev").alias("snapshot"), "*"
-    ).unionByName(
-        _content_agg(cur, "lang").select(F.lit("cur").alias("snapshot"), "*")
-    )
+    # fresh LINEAGE every run (the sink stale-artifact rule): at
+    # retain=3 a previous run's pruned-to-depth version dirs would
+    # survive this run's prunes and versions[0] would read last run's
+    # final state — drop the whole tree, not just the root
+    drop_tree(root)
+    spark.conf.set("spark.poc.lake.retain", "3")
+    try:
+        write_partitioned(docs, root, ["lang"])
+        updates = docs.filter("doc_id % 5 = 0").select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + F.lit(3)).alias("n_chars"),
+        )
+        merge_upsert_partitioned(spark, root, updates, "doc_id", "lang")
+        # the second merge reads the MERGED state (compounding): rows
+        # hit by both merges carry ' v2 v3'
+        merged = read_version(spark, root, None)
+        updates2 = merged.filter("doc_id % 3 = 0").select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" v3")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + F.lit(4)).alias("n_chars"),
+        ).localCheckpoint(eager=False)  # updates derive from the tree
+        # being rewritten: cut the self-referential lineage
+        merge_upsert_partitioned(spark, root, updates2, "doc_id", "lang")
+        versions = list_versions(root)
+        assert len(versions) == 3, versions
+        prev = read_version(spark, root, versions[0])
+        mid = read_version(spark, root, versions[1])
+        cur = read_version(spark, root, None)
+        return (
+            _content_agg(prev, "lang")
+            .select(F.lit("prev").alias("snapshot"), "*")
+            .unionByName(
+                _content_agg(mid, "lang").select(
+                    F.lit("mid").alias("snapshot"), "*"
+                )
+            )
+            .unionByName(
+                _content_agg(cur, "lang").select(
+                    F.lit("cur").alias("snapshot"), "*"
+                )
+            )
+        )
+    finally:
+        spark.conf.unset("spark.poc.lake.retain")
 
 
 @register(
@@ -7248,49 +7383,79 @@ from poc_spark import contract_scale  # noqa: E402,F401  isort: skip
 # last. tests/test_contract_registry.py pins the invariant.
 
 _TAIL = [
-    # --- r8 rotation (VERDICT r7 #9): regenerated oldest-witness-first
-    # from the CORRECTNESS_r01-r07 union. The 50-slot head holds:
-    # (a) the 4 r8-new entries (mm_jpeg_decode, text_bpe_learn_batched,
-    #     text_bpe_learn_greedy, stream_watermark_eviction) — no driver
-    #     witness yet;
+    # --- r9 rotation (VERDICT r8 #6): regenerated oldest-witness-first
+    # from the CORRECTNESS_r01-r08 union. The 50-slot head holds:
+    # (a) r9-new entries with no driver witness yet: src_warc_roundtrip
+    #     (WARC/WET crawl source) and stream_session_window (added later
+    #     this round — one head slot is held free for it);
     # (b) mm_decode (pinned in-window by test_contract_registry);
-    # (c) the 12 lake-family entries whose shared machinery changed this
-    #     round (manifest-pointer publish, writer conflict detection,
-    #     bloom word-mask fix, bootstrap-atomic rollup) — every
-    #     version-pointer writer/reader must re-witness on the new code:
-    #     lake_stats/bloom_skipping, lake_merge_upsert, lake_time_travel,
-    #     lake_cdc_apply/merge, lake_rollup_incremental,
-    #     pipeline_lake_lifecycle, lake_expectations,
-    #     stream_rollup_maintenance, lake_compact, lake_snapshot_diff;
-    # (d) the 30 entries whose latest witness is r4 — the oldest alive
-    #     (r1-r3 witnesses were all retired in r7) — plus two
-    #     r5-witnessed fillers (dedup_incremental, dedup_minhash_lsh).
+    # (c) the lake-family entries whose shared machinery changed this
+    #     round (storage abstraction behind every carry/claim/publish,
+    #     fake-objectstore gate, retention-depth pruning, bootstrap
+    #     conditional-PUT commit, ''/NULL partition guards):
+    #     lake_merge_upsert, lake_time_travel, lake_cdc_apply/merge,
+    #     lake_rollup_incremental, pipeline_lake_lifecycle,
+    #     lake_snapshot_diff, lake_expectations,
+    #     stream_rollup_maintenance;
+    # (d) the BPE learners whose pair-count core moves to incremental
+    #     maintenance this round: text_bpe_learn_greedy/batched,
+    #     pipeline_bpe_greedy_train_apply;
+    # (e) q17_small_qty_revenue (the single r4 witness — oldest alive)
+    #     plus 34 of the 42 r5-witnessed entries, oldest-first.
+    # Eight r5-witnessed entries stay tailed for one more round (slots
+    # went to the changed-machinery re-witnesses above), each with an
+    # in-head capability twin: dedup_url (regex chain, no shared
+    # machinery), dedup_incremental + dedup_minhash_lsh (banded-LSH
+    # machinery witnessed via the composed consumers' shared
+    # fingerprinted artifact), op_graph_partitioned (twin of in-head
+    # op_graph_flagship), sim_ann_lsh/sim_ann_join (hyperplane-bucket
+    # machinery twinned by the in-head IVF family), emb_quantize/
+    # emb_project (stateless narrow projections). All eight stay
+    # oracled in the committed full-registry local runs.
     # Everything below is r5+-witnessed AND green in the committed
     # full-registry local runs at sf0.01/sf0.001 (sf0.1 for the
     # tractable subset); capability notes from earlier rotations remain
     # in git history.
-    #
-    # dedup_url (r5 filler) demoted mid-round for the r8-new
-    # mm_jpeg420_decode: the URL canonicalization regex chain stays
-    # oracled in the full local runs and has no shared machinery with
-    # anything that changed this round. dedup_incremental (r5 filler)
-    # likewise demoted for the r8-new mm_jpeg_resize — its persisted-
-    # index probe shape is capability-witnessed by the in-head LSH
-    # family and stays oracled in the full local runs.
+    "q_session_window",
+    "dedup_ngram_spans",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_semantic_buckets",
+    "text_bpe_count",
+    "mm_jpeg_decode",
+    "mm_jpeg_resize",
+    "mm_jpeg420_decode",
+    "mm_frame_sample",
+    "mm_resize",
+    "graph_triangles",
+    "q_cohort_retention",
+    "lake_stats_skipping",
+    "lake_bloom_skipping",
+    "stream_watermark_eviction",
+    "stream_stateful_dedup",
+    "lake_compact",
+    "sample_deterministic",
+    "sample_split",
+    "sample_mix",
+    "sample_pack",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q11_important_parts",
+    "q12_late_priority",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q20_heavy_suppliers",
+    "q21_sole_late_supplier",
+    "text_repetition",
+    "text_decontaminate",
+    "q_json_extract",
+    "q_resample_gapfill",
+    "graph_kcore",
+    "q_cube_events",
+    "q_group_ols",
     "dedup_url",
     "dedup_incremental",
-    # dedup_minhash_lsh (the last r5 filler) demoted mid-round for the
-    # r8-new pipeline_bpe_greedy_train_apply: the live pair generator
-    # stays oracled in the full local runs and its banded-LSH machinery
-    # is capability-witnessed in-head by the composed consumers' shared
-    # artifact (whose path now embeds the generator code fingerprint).
     "dedup_minhash_lsh",
-    # q17_small_qty_revenue (r4-witnessed filler) demoted mid-round for
-    # the r8-new stream_stateful_dedup — its scalar-subquery-against-
-    # aggregate shape is capability-witnessed by the in-head TPC-H
-    # block's correlated aggregates (q20/q21); it becomes the oldest
-    # witness for the r9 rotation.
-    "q17_small_qty_revenue",
     "op_join_point",
     "q_union_except",
     "sim_knn_brute",
@@ -7373,45 +7538,11 @@ _TAIL = [
     "pipeline_training_prep",
     "fuzzy_name_join",
     "text_bigram_lm",
-    "op_graph_flagship",
     "op_graph_partitioned",
-    "q1_pricing_summary",
-    "q_grouping_sets",
-    "q_intersect",
     "sim_ann_lsh",
     "sim_ann_join",
-    "text_winnowing",
-    "mm_audio_energy",
-    "graph_components",
-    "q_event_funnel",
-    "graph_pagerank",
-    "op_fn_hash",
-    "src_csv_roundtrip",
-    "src_jsonl_roundtrip",
-    "sink_hive_partitioned",
-    "sink_clustered_parquet",
-    "src_schema_evolution",
-    "src_orc_roundtrip",
-    "sim_ivf_kmeans",
-    "sample_leakage_split",
-    "sample_weighted",
-    "text_entropy",
-    "sample_stratified",
-    "text_unigram_lm",
-    "text_perplexity_bucket",
-    "text_hashed_features",
-    "sample_domain_cap",
     "emb_quantize",
     "emb_project",
-    "q_zorder_cells",
-    "q_rolling_time_avg",
-    "q_outlier_mad",
-    "q_user_paths",
-    "sample_weighted_k",
-    "sim_ivf_join",
-    "sample_temperature",
-    "text_classifier_score",
-    "q2_min_cost_supplier",
 ]
 
 

@@ -605,14 +605,15 @@ def test_compact_inplace_atomic_and_cross_engine(spark, tmp_path):
     assert got == (5000, sum(range(5000)))
 
 
-def test_atomic_publish_refuses_object_store_paths(spark):
+def test_unknown_scheme_names_the_storage_extension_point(spark):
     import pytest
 
     from poc_spark.sources.lake import compact_inplace
 
-    # the POINTER is object-store-safe (manifest), but the hardlink
-    # carry / os.* directory ops of this helper are local-only
-    with pytest.raises(ValueError, match="object-store-safe"):
+    # a real object-store path under the posix backend has no client
+    # in this container: the error must name the Storage subclass
+    # extension point rather than half-working through os.*
+    with pytest.raises(ValueError, match="Storage subclass"):
         compact_inplace(spark, "s3://bucket/tree")
 
 
@@ -1177,7 +1178,8 @@ def test_publish_base_recheck_detects_foreign_commit(spark, tmp_path):
     def foreign_commit():
         # simulate a competitor publishing a fresh-generation version
         os.makedirs(f"{root}.v000099/lang=en", exist_ok=True)
-        _write_manifest(root, f"{root}.v000099")
+        from poc_spark.sources.storage import PosixStorage
+        _write_manifest(root, f"{root}.v000099", PosixStorage())
 
     with pytest.raises(ConcurrentCommitError, match="no longer current"):
         merge_upsert_partitioned(
@@ -1288,7 +1290,8 @@ def test_manifest_preferred_over_symlink(spark, tmp_path):
     # both pointers at v2 now; simulate the crash window by pointing
     # the manifest back at v1 (manifest newer in the real scenario —
     # direction is irrelevant, only precedence is under test)
-    _write_manifest(root, f"{root}.v000001")
+    from poc_spark.sources.storage import PosixStorage
+    _write_manifest(root, f"{root}.v000001", PosixStorage())
     assert resolve_snapshot(root).endswith(".v000001")
     assert os.readlink(root).endswith(".v000002") or os.readlink(
         root
@@ -1334,29 +1337,40 @@ def test_hive_escaped_partition_values_rewrite_cleanly(spark, tmp_path):
 
 
 def test_null_partition_values_rejected(spark, tmp_path):
-    """NULL partition values cannot be addressed by the affected-
-    partition rewrite (their rows would silently vanish from the
-    merge) — the writers must refuse them loudly."""
+    """NULL and EMPTY-STRING partition values cannot be addressed by
+    the affected-partition rewrite (hive folds both into the
+    __HIVE_DEFAULT_PARTITION__ directory, so their rows would silently
+    vanish from the merge or collide in the carry — r8 ADVICE extended
+    the guard to '') — the writers must refuse them loudly."""
     import pytest
 
     from poc_spark.sources.lake import (
+        _hive_escape_value,
         merge_upsert_partitioned,
         rollup_incremental,
         write_partitioned,
     )
 
+    # Spark itself writes '' to the default-partition directory — the
+    # escape helper must agree (r8 ADVICE: '' escaped to '' and never
+    # matched the directory, so the stale partition was carried beside
+    # its rewrite and the staged adopt collided with ENOTEMPTY)
+    assert _hive_escape_value(None) == "__HIVE_DEFAULT_PARTITION__"
+    assert _hive_escape_value("") == "__HIVE_DEFAULT_PARTITION__"
+
     schema = "k long, text string, part string"
     root = str(tmp_path / "tree")
     base = spark.createDataFrame([(1, "a", "en")], schema)
     write_partitioned(base, root, ["part"])
-    up = spark.createDataFrame([(1, "a2", None)], schema)
-    with pytest.raises(ValueError, match="NULL partition"):
-        merge_upsert_partitioned(spark, root, up, "k", "part")
-    agg_root = str(tmp_path / "agg")
-    with pytest.raises(ValueError, match="NULL partition"):
-        rollup_incremental(
-            spark, agg_root, up, "part", ["k"], sum_cols=[]
-        )
+    for bad in (None, ""):
+        up = spark.createDataFrame([(1, "a2", bad)], schema)
+        with pytest.raises(ValueError, match="NULL or empty-string"):
+            merge_upsert_partitioned(spark, root, up, "k", "part")
+        agg_root = str(tmp_path / "agg")
+        with pytest.raises(ValueError, match="NULL or empty-string"):
+            rollup_incremental(
+                spark, agg_root, up, "part", ["k"], sum_cols=[]
+            )
 
 
 def test_rollup_bootstrap_is_atomic(spark, tmp_path, monkeypatch):
@@ -1377,12 +1391,20 @@ def test_rollup_bootstrap_is_atomic(spark, tmp_path, monkeypatch):
         [("en", 1, 10), ("en", 1, 20), ("de", 2, 5)], "part string, k long, v long"
     )
 
-    real_publish = lake._publish_version
+    # crash AT the bootstrap commit point: the conditional manifest
+    # create (bootstrap no longer routes through _publish_version —
+    # its commit is put_if_absent of the manifest, the only write a
+    # competing bootstrapper can lose)
+    from poc_spark.sources.storage import PosixStorage
 
-    def dying_publish(*a, **kw):
-        raise RuntimeError("crashed before pointer publish")
+    real_put = PosixStorage.put_if_absent
 
-    monkeypatch.setattr(lake, "_publish_version", dying_publish)
+    def dying_put(self, path, data):
+        if path.endswith("._VERSION.json"):
+            raise RuntimeError("crashed before pointer publish")
+        return real_put(self, path, data)
+
+    monkeypatch.setattr(PosixStorage, "put_if_absent", dying_put)
     with pytest.raises(RuntimeError, match="before pointer publish"):
         rollup_incremental(
             spark, agg_root, delta, "part", ["k"], sum_cols=["v"],
@@ -1393,7 +1415,12 @@ def test_rollup_bootstrap_is_atomic(spark, tmp_path, monkeypatch):
     assert read_tree_meta(agg_root) == {}
     assert not os.path.lexists(agg_root)
 
-    monkeypatch.setattr(lake, "_publish_version", real_publish)
+    monkeypatch.setattr(PosixStorage, "put_if_absent", real_put)
+    # the crashed bootstrap left a claimed v1 orphan (the claim→commit
+    # window); vacuum reclaims it so the retry can re-claim v1
+    from poc_spark.sources.lake import vacuum_tree
+
+    vacuum_tree(agg_root)
     affected = rollup_incremental(
         spark, agg_root, delta, "part", ["k"], sum_cols=["v"],
         commit_meta={"applied_batches": [0]},
