@@ -4416,6 +4416,182 @@ def stream_watermark_eviction(spark, sf_dir):
 
 
 @register(
+    "stream_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), labeled AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS sess_start_us,
+           epoch_us(max(ts)) + 1800 * 1000000 AS sess_end_us,
+           count(*) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM labeled GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """STREAMING session windows in-gate (closes r8 VERDICT missing #5
+    — the last built-in streaming shape without a gated entry, and
+    SURVEY §2.8's own north-star sentence): the events table is staged
+    as three TIME-CONTIGUOUS landing files (sorted by ts, split in
+    order — so no event ever arrives below the watermark and gets
+    wrongly late-dropped) plus TWO far-future sentinel files (the
+    measured one-batch watermark-propagation lag needs the second),
+    drained as >= 5 micro-batches (maxFilesPerTrigger=1,
+    mtime-ordered). The query is Spark's NATIVE `session_window(ts,
+    30 min)` aggregation under `withWatermark(30 min)` in APPEND mode:
+    a session row reaches the sink ONLY when the watermark passes its
+    end and its state is evicted — so the terminal sink content equals
+    the batch gaps-and-islands oracle only if (a) session merging
+    across micro-batch boundaries works (sessions spanning file splits
+    arrive in pieces), (b) the sentinel advance finalizes every real
+    session, and (c) eviction actually fires (asserted from
+    stateOperators, with >= 4 data batches — the scenario can never
+    degrade into a single-batch no-op). The sentinels' own sessions
+    are never finalized and must NOT appear. Batch twin:
+    q_session_window (same 30-min boundary semantics: a gap of exactly
+    the timeout starts a new session)."""
+    import time as _time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "value",
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("us"),
+        )
+        .toPandas()
+        .sort_values("us", kind="mergesort", ignore_index=True)
+    )
+    max_us = int(pdf["us"].max())
+    staged = _export_path("stream_sess_src", sf_dir)
+    os.makedirs(staged, exist_ok=True)
+    for f in os.listdir(staged):
+        os.remove(os.path.join(staged, f))
+    arrow_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("value", pa.float64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+        ]
+    )
+
+    def _write(name: str, users, values, uss, mtime: float) -> None:
+        tbl = pa.table(
+            {
+                "user_id": pa.array([int(u) for u in users], pa.int64()),
+                "value": pa.array([float(v) for v in values], pa.float64()),
+                "ts": pa.array(
+                    [int(u) for u in uss], pa.timestamp("us", tz="UTC")
+                ),
+            },
+            schema=arrow_schema,
+        )
+        path = os.path.join(staged, name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    t0 = _time.time() - 300
+    n = len(pdf)
+    cuts = [0, n // 3, (2 * n) // 3, n]
+    for i in range(3):
+        chunk = pdf.iloc[cuts[i]:cuts[i + 1]]
+        _write(
+            f"f{i + 1}_real.parquet",
+            chunk["user_id"],
+            chunk["value"],
+            chunk["us"],
+            t0 + 30 * i,
+        )
+    adv = max_us + 100 * 24 * 3_600_000_000
+    _write("f4_advance.parquet", [-1], [0.0], [adv], t0 + 90)
+    # second sentinel: the advanced watermark reaches the state-store
+    # eviction/finalization pass one batch late (measured in
+    # stream_watermark_eviction's staging)
+    _write(
+        "f5_advance2.parquet", [-2], [0.0], [adv + 3_600_000_000], t0 + 120
+    )
+
+    src = (
+        spark.readStream.schema("user_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    agg = (
+        src.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("sess_start_us"),
+            F.unix_micros("session_window.end").alias("sess_end_us"),
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+    qname = "stream_sess_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    n_batches = sum(1 for p in progress if p["numInputRows"] > 0)
+    removed = sum(
+        so.get("numRowsRemoved", 0)
+        for p in progress
+        for so in p.get("stateOperators", [])
+    )
+    if n_batches < 4:
+        raise RuntimeError(
+            f"session-window scenario degraded: {n_batches} data "
+            "micro-batches < 4 (the multi-batch session-merge claim "
+            "needs the staged drain)"
+        )
+    if removed == 0:
+        raise RuntimeError(
+            "session-window state was never evicted — append-mode "
+            "finalization did not fire; the bounded-state claim is "
+            "unverified this run"
+        )
+    out = spark.table(qname)
+    n_sentinel = out.filter(F.col("user_id") < 0).count()
+    if n_sentinel:
+        raise RuntimeError(
+            f"{n_sentinel} sentinel sessions were finalized — the "
+            "watermark should never pass their end"
+        )
+    return out.filter(F.col("user_id") >= 0)
+
+
+@register(
     "stream_stateful_dedup",
     """
     SELECT user_id, event_type,
