@@ -80,7 +80,21 @@ def _round_tag(repo_dir: str, n_queries: int) -> str:
         for m in [re.match(r"CORRECTNESS_r(\d+)\.json$", f)]
         if m
     ]
-    n = (max(rounds) + 1) if rounds else 1
+    if not rounds:
+        n = 1
+    else:
+        # end-of-round detection (VERDICT r8 #1: the driver's round-N
+        # close bench was labeled N+1): the driver writes
+        # CORRECTNESS_rN.json and THEN runs bench, with BENCH_rN.json
+        # recorded only after this run finishes — so at close time the
+        # newest correctness round has NO bench summary yet and this
+        # run belongs to that round. In-round builder runs see both
+        # files for round N and correctly tag N+1.
+        maxr = max(rounds)
+        closing = not os.path.exists(
+            os.path.join(repo_dir, f"BENCH_r{maxr:02d}.json")
+        )
+        n = maxr if closing else maxr + 1
     import subprocess
 
     for _ in range(10):  # bounded probe

@@ -86,9 +86,103 @@ def _greedy_only(sf_dir: str, n: int) -> int:
     return 0
 
 
+def _incremental_only(sf_dir: str, n: int) -> int:
+    """--incremental-only N: recount vs incremental greedy on a
+    LARGE-VOCABULARY corpus (160k distinct words — 32 md5 words per
+    document; the regime the incremental fork exists for: per-round
+    cost must scale with AFFECTED words, not the vocabulary), appended
+    as `incremental_bigvocab`. Asserts bit-identical tables."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.textstats import bpe_learn_greedy
+    from poc_spark.session import get_spark
+    from poc_spark.sources.catalog import load_table
+
+    spark = get_spark("bpe-incremental-probe")
+    docs = load_table(spark, sf_dir, "documents")
+    big = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            ).alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
+    )
+    vocab = (
+        big.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .distinct()
+        .count()
+    )
+    big.count()  # warm
+    t0 = time.perf_counter()
+    rec = bpe_learn_greedy(big, num_merges=n, incremental=False).collect()
+    t1 = time.perf_counter()
+    st: dict = {}
+    inc = bpe_learn_greedy(
+        big, num_merges=n, incremental=True, stats_out=st
+    ).collect()
+    t2 = time.perf_counter()
+    identical = [tuple(r) for r in rec] == [tuple(r) for r in inc]
+    if not identical:
+        raise AssertionError("incremental diverged from recount")
+    widths = st.get("widths", [])
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BPE_SCALE.json",
+    )
+    with open(path) as fh:
+        out = json.load(fh)
+    out["incremental_bigvocab"] = {
+        "corpus": "bigvocab (32 md5-hex words/doc)",
+        "vocab_rows": vocab,
+        "num_merges": n,
+        "tables_identical": True,
+        "recount_wall_sec": round(t1 - t0, 2),
+        "incremental_wall_sec": round(t2 - t1, 2),
+        "speedup_incremental": round((t1 - t0) / max(t2 - t1, 1e-9), 2),
+        "rounds": len(widths),
+        "mean_batch_width": round(sum(widths) / max(len(widths), 1), 1),
+        "note": (
+            "incremental=auto dispatches on vocab >= "
+            "spark.poc.bpe.incrementalMinVocab (default 100k): at the "
+            "tiny test vocabularies the delta machinery costs more "
+            "than the explode it saves (measured), at production "
+            "vocabularies per-round work follows the AFFECTED-word "
+            "set, which shrinks as merges get rarer. Selection is the "
+            "distributed min_by-per-symbol formulation on both paths "
+            "(no single-partition window — the prior global "
+            "row_number sort was a one-task bottleneck at millions "
+            "of distinct pairs)."
+        ),
+    }
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out["incremental_bigvocab"]))
+    print(f"updated {path}")
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--greedy-only":
         return _greedy_only(
+            sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1",
+            int(sys.argv[2]),
+        )
+    if len(sys.argv) > 1 and sys.argv[1] == "--incremental-only":
+        return _incremental_only(
             sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1",
             int(sys.argv[2]),
         )
