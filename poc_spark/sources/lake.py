@@ -622,6 +622,64 @@ def _publish_version(
         fs.delete_tree(os.path.join(parent, stale))
 
 
+def create_table_versioned(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    partition_cols: list[str] | None = None,
+    commit_meta: dict | None = None,
+) -> None:
+    """Create a pointer table VERSIONED FROM BIRTH: the data is
+    assembled in a unique build prefix, promoted onto the first
+    version number, and committed with a conditional manifest PUT —
+    so the table is never a plain directory and the one-time migration
+    window `_ensure_versioned` has on rename-less backends (carry +
+    delete of a live plain tree) never exists. This is how a real
+    object-store deployment should create tables; plain
+    `write_partitioned` + first-rewrite migration remains for POSIX
+    convenience and legacy trees. Exactly one creator wins a race
+    (ConcurrentCommitError for the rest — same contract as the rollup
+    bootstrap, whose commit sequence this shares). Fails if the table
+    already exists in any form."""
+    import os
+    import uuid
+
+    fs = _fs(spark, root)
+    if fs.is_dir(root) or fs.exists(_manifest_path(root)) or os.path.islink(
+        root
+    ):
+        raise ValueError(
+            f"create_table_versioned: a table already exists at {root!r}"
+        )
+    v1 = _fresh_generation_dir(root, fs)
+    build = f"{root}.commit-{uuid.uuid4().hex[:8]}"
+    try:
+        if partition_cols:
+            df.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+                build
+            )
+        else:
+            df.write.mode("overwrite").parquet(build)
+        if commit_meta is not None:
+            _write_tree_meta(build, commit_meta, fs)
+        if not fs.promote_tree_exclusive(build, v1):
+            raise ConcurrentCommitError(
+                f"create_table_versioned: version directory {v1} is "
+                "already claimed — a concurrent creator got there first"
+            )
+        if not fs.put_if_absent(_manifest_path(root), _manifest_payload(v1)):
+            fs.delete_tree(v1)
+            raise ConcurrentCommitError(
+                "create_table_versioned: the table was created by a "
+                "concurrent writer — read the existing table instead"
+            )
+        if _symlink_enabled(spark, root, fs):
+            fs.replace_symlink(os.path.basename(v1), root)
+    finally:
+        fs.delete_tree(build)
+    spark.catalog.refreshByPath(root)
+
+
 def merge_upsert_partitioned(
     spark: SparkSession,
     root: str,

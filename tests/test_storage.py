@@ -420,3 +420,64 @@ def test_retention_floor_is_two(spark):
             _retention_keep(spark)
     finally:
         spark.conf.unset("spark.poc.lake.retain")
+
+
+def test_create_table_versioned_from_birth(spark, tmp_path, fake_fs_conf):
+    """Object-store table creation without the plain-tree migration
+    window: born as v000001 + manifest (conditional PUT), readable
+    through the resolver, mergeable, and a second create fails."""
+    from poc_spark.sources.lake import (
+        ConcurrentCommitError,
+        create_table_versioned,
+        list_versions,
+        merge_upsert_partitioned,
+        read_snapshot,
+        read_tree_meta,
+    )
+
+    root = str(tmp_path / "tree")
+    base = spark.createDataFrame(
+        [(1, "a", "en", "w", 1), (2, "b", "de", "w", 1)], SCHEMA
+    )
+    create_table_versioned(
+        spark, base, root, ["lang"], commit_meta={"origin": "birth"}
+    )
+    assert not os.path.lexists(root)  # never a plain path on the store
+    assert list_versions(root) == [1]
+    assert read_tree_meta(root) == {"origin": "birth"}
+    assert _tree_content(spark, root) == [
+        (1, "a", "en", 1), (2, "b", "de", 1)
+    ]
+    with pytest.raises(ValueError, match="already exists"):
+        create_table_versioned(spark, base, root, ["lang"])
+    # and the normal CoW lifecycle continues from the born version
+    up = spark.createDataFrame([(1, "a2", "en", "w", 2)], SCHEMA)
+    merge_upsert_partitioned(spark, root, up, "doc_id", "lang")
+    assert list_versions(root) == [1, 2]
+    assert _tree_content(spark, root) == [
+        (1, "a2", "en", 2), (2, "b", "de", 1)
+    ]
+    # racing creator loses at the conditional manifest PUT
+    from poc_spark.sources import lake
+
+    lake.drop_tree(root)
+    from poc_spark.sources.storage import FakeObjectStorage
+
+    real = FakeObjectStorage.promote_tree_exclusive
+    fired = {"done": False}
+
+    def interleave(self, src, dst):
+        ok = real(self, src, dst)
+        if ok and not fired["done"]:
+            fired["done"] = True
+            # a competitor completes its whole create between our
+            # version claim and our conditional manifest PUT
+            lake._write_manifest(root, dst, self)
+        return ok
+
+    FakeObjectStorage.promote_tree_exclusive = interleave
+    try:
+        with pytest.raises(ConcurrentCommitError, match="concurrent"):
+            create_table_versioned(spark, base, root, ["lang"])
+    finally:
+        FakeObjectStorage.promote_tree_exclusive = real

@@ -570,3 +570,45 @@ def test_bpe_greedy_auto_dispatch_reads_conf(spark):
         tuple(r) for r in bpe_learn_greedy(df, num_merges=4).collect()
     ]
     assert forced == default
+
+
+def test_bpe_learn_local_equals_distributed_sequential(spark, sf_dir):
+    """The driver-local trainer (distributed word count + in-memory
+    incremental-heap merge loop — the production tokenizer-trainer
+    architecture) must be BIT-IDENTICAL to the distributed sequential
+    learner, pair counts included, on the corpus and on the
+    adversarial tie/overlap structures."""
+    from poc_spark.operators.textstats import bpe_learn, bpe_learn_local
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seq = [tuple(r) for r in bpe_learn(docs, num_merges=30).collect()]
+    loc = [tuple(r) for r in bpe_learn_local(docs, num_merges=30).collect()]
+    assert loc == seq and len(seq) == 30
+
+    corpora = [
+        "ab cd ef gh ab cd ef gh",
+        "ab ab ab zab zab azb azb aabb aabb aabb",
+        "abc abc abc bc bc ab ab a b c",
+        "aaaa aaaa aa aa a",
+    ]
+    for text in corpora:
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        for k in (3, 7, 12):
+            seq = [tuple(r) for r in bpe_learn(df, num_merges=k).collect()]
+            loc = [
+                tuple(r)
+                for r in bpe_learn_local(df, num_merges=k).collect()
+            ]
+            assert loc == seq, (text, k)
+
+
+def test_bpe_learn_local_vocab_budget_guard(spark):
+    from poc_spark.operators.textstats import bpe_learn_local
+
+    df = spark.createDataFrame(
+        [(1, "one two three")], "doc_id long, text string"
+    )
+    import pytest as pt
+
+    with pt.raises(ValueError, match="max_local_vocab"):
+        bpe_learn_local(df, num_merges=2, max_local_vocab=2)
