@@ -866,7 +866,9 @@ def bpe_learn_local(
         a, b = pair
         merges.append((len(merges) + 1, a, b, cur))
         ab = a + b
-        for i in sorted(posting.get(pair, ())):
+        for i in list(posting.get(pair, ())):
+            # (iteration order is free: count updates are commutative
+            # integer adds, so the result is order-independent)
             seg, w = segs[i], wcs[i]
             # one greedy left-to-right pass (leftmost, non-overlapping)
             out: list[str] = []
@@ -881,21 +883,26 @@ def bpe_learn_local(
                     j += 1
             if not changed:
                 continue
-            touched: set[tuple[str, str]] = set()
-            for side in (seg, out):
-                for x, y in zip(side, side[1:]):
-                    touched.add((x, y))
-            # retract the old adjacencies, add the new ones
+            # apply only the PER-WORD DELTA: pairs away from the
+            # merge sites keep their exact multiplicity, so they get
+            # no dict update and — critically — no heap push. (The
+            # naive retract-all/add-all form pushed ~|word| heap
+            # entries per rewrite; at 32k merges on a 160k-word
+            # vocabulary that is hundreds of millions of live tuples
+            # — measured as a GC stall, not a slowdown.)
+            old_c: dict[tuple[str, str], int] = defaultdict(int)
             for x, y in zip(seg, seg[1:]):
-                counts[(x, y)] -= w
+                old_c[(x, y)] += 1
+            new_c: dict[tuple[str, str], int] = defaultdict(int)
             for x, y in zip(out, out[1:]):
-                counts[(x, y)] += w
+                new_c[(x, y)] += 1
             segs[i] = out
-            for p in touched:
-                has = any(
-                    x == p[0] and y == p[1] for x, y in zip(out, out[1:])
-                )
-                if has:
+            for p in old_c.keys() | new_c.keys():
+                d = new_c[p] - old_c[p]
+                if d == 0:
+                    continue
+                counts[p] += d * w
+                if new_c[p]:
                     posting[p].add(i)
                 else:
                     posting[p].discard(i)
