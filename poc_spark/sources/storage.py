@@ -56,6 +56,17 @@ import os
 import shutil
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so a just-created/renamed entry survives power
+    loss — the durability step that makes a rename or O_EXCL create a
+    real commit point rather than one the kernel may roll back."""
+    dfd = os.open(path or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 class Storage:
     """Object-store-shaped filesystem API (see module docstring).
 
@@ -189,11 +200,7 @@ class PosixStorage(Storage):
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
-        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        _fsync_dir(os.path.dirname(path))
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
         try:
@@ -205,6 +212,12 @@ class PosixStorage(Storage):
             os.fsync(fd)
         finally:
             os.close(fd)
+        # the O_EXCL create is a COMMIT POINT for create_table_versioned
+        # and the rollup bootstrap — without the parent-directory fsync
+        # a crash after reported success can undo the manifest creation
+        # (the same power-loss rollback class put_atomic closes; r9
+        # ADVICE)
+        _fsync_dir(os.path.dirname(path))
         return True
 
     def make_prefix(self, path: str) -> None:
@@ -316,6 +329,10 @@ class FakeObjectStorage(Storage):
             os.fsync(fd)
         finally:
             os.close(fd)
+        # symmetry with PosixStorage: a real store's conditional PUT is
+        # durable by the store's guarantee; the double models it with
+        # the same parent-directory fsync (r9 ADVICE)
+        _fsync_dir(os.path.dirname(path))
         return True
 
     def make_prefix(self, path: str) -> None:
@@ -348,13 +365,17 @@ class FakeObjectStorage(Storage):
 
     def migrate_tree(self, src: str, dst: str) -> None:
         # no atomic directory rename on a store: copy out, then delete
-        # the plain tree. Readers in the deletion window get a loud
-        # "no table" (never partial data — lake._ensure_versioned
-        # orders the manifest write AFTER the delete precisely so the
-        # plain-directory-wins resolution rule can't serve a half
-        # deleted tree). Real deployments avoid the window entirely by
-        # bootstrapping versioned-from-birth (the rollup bootstrap
-        # path) instead of migrating a live plain table.
+        # the plain tree. HONEST LIMIT (r9 ADVICE): while delete_tree
+        # runs, the plain root still exists partially populated, and
+        # the plain-directory-wins resolution rule serves that
+        # half-deleted tree to concurrent plain-path readers until the
+        # delete completes — there is no sentinel-first scheme on a
+        # rename-free store that plain `spark.read.parquet(root)` (no
+        # library code) would notice. The migration is therefore a
+        # one-time, writer-quiesced step on object stores; real
+        # deployments avoid the window entirely by creating tables
+        # versioned-from-birth (create_table_versioned / the rollup
+        # bootstrap), which never have a plain-directory phase.
         self.carry_tree(src, dst)
         self.delete_tree(src)
 

@@ -1110,6 +1110,120 @@ def test_vacuum_age_floor_spares_live_stage(tmp_path):
     assert vacuum_tree(root) == ["tree.stage-11111111"]
 
 
+def _merge_once(spark, root, schema, n):
+    from poc_spark.sources.lake import merge_upsert_partitioned
+
+    up = spark.createDataFrame([(1, f"a{n}", "en", n)], schema)
+    merge_upsert_partitioned(spark, root, up, "k", "lang")
+
+
+def test_age_retention_survives_count_prune(spark, tmp_path):
+    """With spark.poc.lake.retain.hours set, publish-time pruning keeps
+    versions the count policy alone would delete — whichever policy
+    retains MORE wins (r9 VERDICT missing #3)."""
+    import os
+
+    from poc_spark.sources.lake import list_versions, write_partitioned
+
+    schema = "k long, text string, lang string, n long"
+    root = str(tmp_path / "tree")
+    spark.conf.set("spark.poc.lake.retain.hours", "24")
+    try:
+        write_partitioned(
+            spark.createDataFrame([(1, "a", "en", 1)], schema), root, ["lang"]
+        )
+        for i in range(3):
+            _merge_once(spark, root, schema, i)
+        # count policy (default retain=2) would keep 2; every version
+        # is minutes old, so the 24h age policy keeps all of them
+        assert len(list_versions(root)) == 4
+        assert os.path.isdir(f"{root}.v000001")
+    finally:
+        spark.conf.unset("spark.poc.lake.retain.hours")
+
+
+def test_count_retention_survives_age_prune_and_floor(spark, tmp_path):
+    """The converse: versions past the age horizon survive when the
+    count policy still names them — and age alone can never prune
+    below the floor of 2 (current + previous)."""
+    import os
+    import time
+
+    from poc_spark.sources.lake import list_versions, vacuum_tree, write_partitioned
+
+    schema = "k long, text string, lang string, n long"
+    root = str(tmp_path / "tree")
+    spark.conf.set("spark.poc.lake.retain", "4")
+    try:
+        write_partitioned(
+            spark.createDataFrame([(1, "a", "en", 1)], schema), root, ["lang"]
+        )
+        for i in range(3):
+            _merge_once(spark, root, schema, i)
+        assert len(list_versions(root)) == 4
+        # expire every version past a tiny age horizon
+        old = time.time() - 7200
+        for v in list_versions(root):
+            os.utime(f"{root}.v{v:06d}", (old, old))
+        spark.conf.set("spark.poc.lake.retain.hours", "0.001")
+        # count=4 retains more than age: nothing is removed
+        assert vacuum_tree(root) == []
+        assert len(list_versions(root)) == 4
+        # drop the count policy to the floor: age has expired all four,
+        # but the floor of 2 (current + previous) always holds
+        spark.conf.set("spark.poc.lake.retain", "2")
+        removed = vacuum_tree(root)
+        assert len(removed) == 2
+        assert len(list_versions(root)) == 2
+    finally:
+        spark.conf.unset("spark.poc.lake.retain")
+        spark.conf.unset("spark.poc.lake.retain.hours")
+
+
+def test_retention_conf_and_keep_validation(spark, tmp_path):
+    """Floors fail loudly: vacuum keep below 2, non-positive or
+    non-numeric retain.hours."""
+    import pytest
+
+    from poc_spark.sources.lake import vacuum_tree
+
+    with pytest.raises(ValueError, match="floor of 2"):
+        vacuum_tree(str(tmp_path / "t"), keep=1)
+    spark.conf.set("spark.poc.lake.retain.hours", "0")
+    try:
+        with pytest.raises(ValueError, match="must be > 0"):
+            vacuum_tree(str(tmp_path / "t"))
+        spark.conf.set("spark.poc.lake.retain.hours", "soon")
+        with pytest.raises(ValueError, match="must be a number"):
+            vacuum_tree(str(tmp_path / "t"))
+    finally:
+        spark.conf.unset("spark.poc.lake.retain.hours")
+
+
+def test_vacuum_default_keep_follows_session_retain(spark, tmp_path):
+    """r9 ADVICE: a default vacuum_tree() on a retain=3 session must
+    not delete the N-2 version that time travel still promises."""
+    import os
+
+    from poc_spark.sources.lake import list_versions, vacuum_tree, write_partitioned
+
+    schema = "k long, text string, lang string, n long"
+    root = str(tmp_path / "tree")
+    spark.conf.set("spark.poc.lake.retain", "3")
+    try:
+        write_partitioned(
+            spark.createDataFrame([(1, "a", "en", 1)], schema), root, ["lang"]
+        )
+        for i in range(3):
+            _merge_once(spark, root, schema, i)
+        assert len(list_versions(root)) == 3  # publish pruned to 3
+        assert vacuum_tree(root) == []  # default keep = session retain
+        assert len(list_versions(root)) == 3
+        assert os.path.isdir(f"{root}.v000002")
+    finally:
+        spark.conf.unset("spark.poc.lake.retain")
+
+
 def test_concurrent_writers_exactly_one_commits(spark, tmp_path):
     """Two writers racing from the same base version (r7 VERDICT #2 /
     ADVICE lost-update race): writer B commits fully while writer A is
