@@ -118,47 +118,142 @@ def _parse_record(member: bytes) -> dict:
     }
 
 
-def _iter_members(buf: bytes):
+#: streaming read granularity — one disk read / decompress feed unit
+CHUNK_BYTES = 4 * 1024 * 1024
+
+
+def _iter_members_stream(fh, chunk_size: int = CHUNK_BYTES):
     """Yield (decompressed_member_bytes | None, error | None) for each
-    gzip member of a .warc.gz byte string. On a corrupt member,
-    quarantine it and RESYNC deterministically at the next gzip magic
-    — one bad record costs one quarantine row, not the file tail."""
+    gzip member of a ``.warc.gz`` STREAM, reading `chunk_size` bytes at
+    a time — the file is never materialized (r9 ADVICE: the old
+    whole-buffer form held the full segment AND re-sliced it per
+    member, O(file × members) copying at Common Crawl scale).
+
+    Memory bound: one member's DECOMPRESSED output is capped at
+    MAX_RECORD_BYTES (gzip-bomb guard), and the member's COMPRESSED
+    bytes are retained only until it completes (they seed the resync
+    scan on corruption) — so peak memory is O(one record), never
+    O(file). On a corrupt member, quarantine it and RESYNC
+    deterministically at the next gzip magic — one bad record costs
+    one quarantine row, not the file tail."""
     import zlib
+    from collections import deque
 
-    pos, total = 0, len(buf)
-    while pos < total:
+    unfed: deque[bytes] = deque()  # read but not yet decompressed
+    eof = False
+
+    def pull() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        c = fh.read(chunk_size)
+        if not c:
+            eof = True
+            return False
+        unfed.append(c)
+        return True
+
+    while unfed or pull():
         d = zlib.decompressobj(wbits=47)  # gzip wrapper
-        try:
-            out = d.decompress(buf[pos:], MAX_RECORD_BYTES + 1)
-            if not d.eof:
-                if len(out) > MAX_RECORD_BYTES:
-                    raise zlib.error("member exceeds MAX_RECORD_BYTES")
-                raise zlib.error("truncated gzip member")
-        except zlib.error as e:
-            nxt = buf.find(GZIP_MAGIC, pos + 1)
-            yield None, f"gzip-error at offset {pos}: {e}"
-            if nxt < 0:
-                return
-            pos = nxt
+        parts: list[bytes] = []
+        fed: list[bytes] = []  # this member's compressed bytes (resync seed)
+        n_out, err = 0, None
+        while True:
+            if d.unconsumed_tail:
+                chunk = d.unconsumed_tail  # output-cap leftover
+            elif unfed:
+                chunk = unfed.popleft()
+                fed.append(chunk)
+            elif pull():
+                continue
+            else:
+                err = "gzip-error: truncated gzip member"
+                break
+            try:
+                piece = d.decompress(chunk, MAX_RECORD_BYTES + 1 - n_out)
+            except zlib.error as e:
+                err = f"gzip-error: {e}"
+                break
+            parts.append(piece)
+            n_out += len(piece)
+            if n_out > MAX_RECORD_BYTES:
+                err = "gzip-error: member exceeds MAX_RECORD_BYTES"
+                break
+            if d.eof:
+                break
+        if err is None:
+            yield b"".join(parts), None
+            if d.unused_data:  # next member starts inside the last feed
+                unfed.appendleft(d.unused_data)
             continue
-        yield out, None
-        consumed = len(buf) - pos - len(d.unused_data)
-        if consumed <= 0:  # defensive: never loop in place
+        yield None, err
+        # resync: the next gzip magic STRICTLY AFTER this member's
+        # start — scan the member's own bytes first (corruption may sit
+        # mid-member with a clean member packed right behind it), then
+        # stream forward chunk by chunk with a 2-byte seam overlap
+        window = b"".join(fed) + b"".join(unfed)
+        unfed.clear()
+        start = 1
+        while True:
+            nxt = window.find(GZIP_MAGIC, start)
+            if nxt >= 0:
+                unfed.append(window[nxt:])
+                break
+            if eof:
+                return
+            c = fh.read(chunk_size)
+            if not c:
+                eof = True
+                return
+            keep = window[-(len(GZIP_MAGIC) - 1):] if window else b""
+            window = keep + c
+            start = 0
+
+
+def _iter_members(buf: bytes):
+    """Byte-string convenience wrapper over the streaming member
+    iterator (fixtures/tests; read_warc streams from the file)."""
+    import io
+
+    yield from _iter_members_stream(io.BytesIO(buf))
+
+
+#: headers are a handful of short lines per spec; a terminator not
+#: found within this bound means the "record" is not a WARC record
+MAX_HEADER_BYTES = 1024 * 1024
+
+
+def _iter_plain_records_stream(fh, chunk_size: int = CHUNK_BYTES):
+    """Yield raw record byte spans of an UNCOMPRESSED ``.warc`` stream
+    by walking Content-Length (the only spec-sound way to split —
+    scanning for 'WARC/' would tear payloads that contain it). Reads
+    `chunk_size` at a time; peak memory is O(one record)."""
+    buf = b""
+    eof = False
+
+    def fill(target: int) -> None:
+        """Grow buf to >= target bytes (or to stream end)."""
+        nonlocal buf, eof
+        while len(buf) < target and not eof:
+            c = fh.read(chunk_size)
+            if not c:
+                eof = True
+                return
+            buf += c
+
+    while True:
+        fill(1)
+        if not buf:
             return
-        pos += consumed
-
-
-def _iter_plain_records(buf: bytes):
-    """Yield raw record byte spans of an UNCOMPRESSED .warc file by
-    walking Content-Length (the only spec-sound way to split —
-    scanning for 'WARC/' would tear payloads that contain it)."""
-    pos, total = 0, len(buf)
-    while pos < total:
-        sep = buf.find(b"\r\n\r\n", pos)
+        sep = buf.find(b"\r\n\r\n")
+        while sep < 0 and not eof and len(buf) <= MAX_HEADER_BYTES:
+            scan_from = max(0, len(buf) - 3)  # seam overlap
+            fill(len(buf) + chunk_size)
+            sep = buf.find(b"\r\n\r\n", scan_from)
         if sep < 0:
-            yield buf[pos:], "no-header-terminator"
+            yield buf, "no-header-terminator"
             return
-        head = buf[pos:sep]
+        head = buf[:sep]
         n = None
         for line in head.split(b"\r\n"):
             if line.lower().startswith(b"content-length:"):
@@ -167,12 +262,24 @@ def _iter_plain_records(buf: bytes):
                 except ValueError:
                     n = None
         if n is None or n < 0 or n > MAX_RECORD_BYTES:
-            # cannot locate the record end: quarantine the file tail
-            yield buf[pos:], "unresolvable-content-length"
+            # cannot locate the record end: quarantine the buffered tail
+            yield buf, "unresolvable-content-length"
             return
-        end = min(sep + 4 + n + 4, total)
-        yield buf[pos:end], None
-        pos = end
+        end = sep + 4 + n + 4
+        fill(end)
+        cut = min(end, len(buf))
+        yield buf[:cut], None
+        buf = buf[cut:]
+        if not buf and eof:
+            return
+
+
+def _iter_plain_records(buf: bytes):
+    """Byte-string convenience wrapper over the streaming plain-WARC
+    iterator."""
+    import io
+
+    yield from _iter_plain_records_stream(io.BytesIO(buf))
 
 
 def read_warc(
@@ -185,10 +292,14 @@ def read_warc(
 
     Scale: the file list (bounded, one status call per file — the same
     driver-side budget as every manifest) fans out via mapInPandas;
-    each task streams members with bounded memory (MAX_RECORD_BYTES
-    ceiling per record). Parallelism is #files, the inherent WARC
-    contract (gzip members are not seekable) — crawls ship thousands
-    of ~1 GB segments precisely so this saturates a cluster."""
+    each task STREAMS its files member-by-member (CHUNK_BYTES reads
+    feeding one decompressobj — a 1 GB segment is never held in
+    memory; r9 ADVICE) and FLUSHES rows to Arrow in bounded batches
+    (BATCH_ROWS rows or BATCH_BYTES of payload, whichever first), so
+    peak task memory is O(one record + one batch) regardless of file
+    size. Parallelism is #files, the inherent WARC contract (gzip
+    members are not seekable) — crawls ship thousands of ~1 GB
+    segments precisely so this saturates a cluster."""
     import os
 
     files = sorted(
@@ -199,42 +310,84 @@ def read_warc(
     if not files:
         raise ValueError(f"read_warc: no .warc/.warc.gz under {path}")
 
+    BATCH_ROWS = 1024
+    BATCH_BYTES = MAX_RECORD_BYTES  # ~64 MB of payload per Arrow batch
+
     def scan(batches):
         import pandas as pd
 
         cols = [f.name for f in RECORDS_SCHEMA.fields]
+        rows: list[list] = []
+        n_bytes = 0
+
+        def flush():
+            nonlocal rows, n_bytes
+            out = pd.DataFrame(rows, columns=cols)
+            rows, n_bytes = [], 0
+            return out
+
         for pdf in batches:
-            rows = []
             for fname in pdf["file"]:
                 with open(fname, "rb") as fh:
-                    buf = fh.read()
-                if buf[:3] == GZIP_MAGIC:
-                    members = _iter_members(buf)
-                else:
-                    members = _iter_plain_records(buf)
-                for member, err in members:
-                    if err is not None:
-                        rec = {"error": err}
+                    magic = fh.read(len(GZIP_MAGIC))
+                    fh.seek(0)
+                    if magic == GZIP_MAGIC:
+                        members = _iter_members_stream(fh)
                     else:
-                        rec = _parse_record(member)
-                    rows.append(
-                        [
-                            fname,
-                            rec.get("record_id"),
-                            rec.get("warc_type"),
-                            rec.get("target_uri"),
-                            rec.get("warc_date"),
-                            rec.get("content_type"),
-                            rec.get("content_length"),
-                            rec.get("payload"),
-                            rec.get("error"),
-                        ]
-                    )
-            yield pd.DataFrame(rows, columns=cols)
+                        members = _iter_plain_records_stream(fh)
+                    for member, err in members:
+                        if err is not None:
+                            rec = {"error": err}
+                        else:
+                            rec = _parse_record(member)
+                        rows.append(
+                            [
+                                fname,
+                                rec.get("record_id"),
+                                rec.get("warc_type"),
+                                rec.get("target_uri"),
+                                rec.get("warc_date"),
+                                rec.get("content_type"),
+                                rec.get("content_length"),
+                                rec.get("payload"),
+                                rec.get("error"),
+                            ]
+                        )
+                        n_bytes += len(rec.get("payload") or b"")
+                        if len(rows) >= BATCH_ROWS or n_bytes >= BATCH_BYTES:
+                            yield flush()
+        if rows:
+            yield flush()
 
     fdf = spark.createDataFrame([(f,) for f in files], "file string")
     return fdf.repartition(min(len(files), n_tasks)).mapInPandas(
         scan, RECORDS_SCHEMA
+    )
+
+
+def read_wet_text(
+    spark: SparkSession, path: str, n_tasks: int = 64
+) -> DataFrame:
+    """WET convenience path — the first mile of a crawl-to-corpus
+    pipeline: filter the clean ``conversion`` records of a WET
+    directory (WET = WARC whose records carry extracted plain text)
+    and project them into the ``documents`` shape the downstream
+    text/dedup/sampling tiers consume: (url, text). The payload→string
+    step is a binary cast (JVM-side, zero-copy UTF-8 wrap — WET
+    payloads are UTF-8 text by the format's own convention; bytes that
+    aren't valid UTF-8 pass through rather than erroring, matching how
+    crawl pipelines treat stray mojibake: a later quality filter drops
+    it, the reader never dies on it). Quarantined records (error set)
+    and non-conversion records (warcinfo, request/response in full
+    WARC) are excluded by definition."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path, n_tasks=n_tasks)
+    return recs.filter(
+        F.col("error").isNull() & (F.col("warc_type") == "conversion")
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.col("payload").cast("string").alias("text"),
     )
 
 

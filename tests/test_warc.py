@@ -129,6 +129,62 @@ def test_member_iteration_handles_trailing_garbage():
     assert out[1][1] is not None  # quarantined tail, loop terminates
 
 
+def test_streaming_iterators_tiny_chunks_bit_equal():
+    """The streaming member/plain iterators must produce identical
+    output at ANY read granularity — chunk_size=5 forces members to
+    span dozens of reads, resync magics to straddle chunk seams, and
+    headers/payloads to split mid-token."""
+    import io
+
+    from poc_spark.sources.warc import (
+        _iter_members_stream,
+        _iter_plain_records,
+        _iter_plain_records_stream,
+    )
+
+    big = _rec(9, "x" * 5000)
+    blob = _gz(_rec(1)) + _gz(big)[:33] + _gz(_rec(2)) + _gz(big)
+    want = list(_iter_members(blob))
+    for cs in (5, 17, 1 << 20):
+        got = list(_iter_members_stream(io.BytesIO(blob), chunk_size=cs))
+        assert got == want, f"chunk_size={cs} diverged"
+    assert [e is None for _, e in want] == [True, False, True, True]
+
+    plain = _rec(1) + big + _rec(2)
+    want_p = list(_iter_plain_records(plain))
+    for cs in (5, 17, 1 << 20):
+        got = list(
+            _iter_plain_records_stream(io.BytesIO(plain), chunk_size=cs)
+        )
+        assert got == want_p, f"plain chunk_size={cs} diverged"
+    assert [e for _, e in want_p] == [None, None, None]
+
+
+def test_read_wet_text_documents_shape(spark, tmp_path):
+    """read_wet_text: conversion records only, (url, text) projection,
+    quarantined members excluded."""
+    from poc_spark.sources.warc import read_wet_text
+
+    p = tmp_path / "w"
+    p.mkdir()
+    info = _render_record(
+        "<urn:uuid:info>", "warcinfo", None,
+        "2024-01-01T00:00:00Z", "application/warc-fields",
+        b"software: poc\r\n",
+    )
+    with open(p / "f.warc.gz", "wb") as f:
+        f.write(
+            _gz(info)
+            + _gz(_rec(1, "hello é"))
+            + _gz(_rec(2))[:15]  # corrupt: quarantined, must not surface
+            + _gz(_rec(3, "world"))
+        )
+    rows = sorted(
+        (r["url"], r["text"]) for r in read_wet_text(spark, str(p)).collect()
+    )
+    assert rows == [("urn:poc:doc/1", "hello é"), ("urn:poc:doc/3", "world")]
+
+
 def test_empty_dir_raises(spark, tmp_path):
     p = tmp_path / "w"
     p.mkdir()
