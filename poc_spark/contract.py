@@ -5088,6 +5088,137 @@ def lake_time_travel(spark, sf_dir):
 
 
 @register(
+    "lake_schema_evolution",
+    """
+    WITH scored AS (
+      SELECT doc_id, text || ' scored' AS text, lang, source, n_chars,
+             CAST(doc_id % 100 AS DOUBLE) AS quality
+      FROM documents WHERE doc_id % 4 = 0 AND lang IN ('en', 'zh')
+    ),
+    cur AS (
+      SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+             CAST(NULL AS DOUBLE) AS quality
+      FROM documents d
+      WHERE NOT (d.doc_id % 4 = 0 AND d.lang IN ('en', 'zh'))
+      UNION ALL SELECT * FROM scored
+    ),
+    pre_agg AS (
+      SELECT 'pre' AS snapshot, lang, count(*) AS n_docs,
+             sum(n_chars)::BIGINT AS sum_chars,
+             sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+               AS content_sum,
+             5::INTEGER AS n_cols,
+             (-1)::BIGINT AS n_scored,
+             (-1)::BIGINT AS q_sum
+      FROM documents GROUP BY lang
+    ),
+    cur_agg AS (
+      SELECT 'cur' AS snapshot, lang, count(*) AS n_docs,
+             sum(n_chars)::BIGINT AS sum_chars,
+             sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+               AS content_sum,
+             6::INTEGER AS n_cols,
+             count(quality)::BIGINT AS n_scored,
+             COALESCE(floor(sum(quality)), 0)::BIGINT AS q_sum
+      FROM cur GROUP BY lang
+    )
+    SELECT * FROM pre_agg UNION ALL SELECT * FROM cur_agg
+    """,
+)
+def lake_schema_evolution(spark, sf_dir):
+    """IN-FORMAT SCHEMA EVOLUTION on the version-pointer lake (closes
+    r9 VERDICT missing #1 — "add a quality-score column to the corpus"
+    is the first mutation every curation pipeline makes after its
+    first scoring run, and it previously forced a full rewrite outside
+    the table format): a documents table is created VERSIONED FROM
+    BIRTH (create_table_versioned — the object-store-safe path), then
+    ONE CoW merge lands a scoring batch that (a) updates text for
+    doc_id % 4 == 0 rows of lang en/zh and (b) carries a brand-new
+    `quality` column. The commit logs the evolved schema with the
+    version (_schema.json); the THREE untouched language partitions
+    are hardlink-carried byte-for-byte and backfill quality=NULL at
+    READ time through that logged schema — no history rewrite — while
+    the PRE-evolution snapshot still reads under its own 5-column
+    schema (asserted in-entry, and its content hash proves the frozen
+    bytes). The oracle replays both states relationally; n_cols /
+    n_scored / q_sum pin the shape, the NULL backfill, and the scored
+    values. The type-change rejection arm lives in
+    tests/test_lake.py::test_schema_evolution_rejects_type_change."""
+    from poc_spark.sources.lake import (
+        create_table_versioned,
+        drop_tree,
+        list_versions,
+        merge_upsert_partitioned,
+        read_snapshot,
+        read_version,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _export_path("schemaevo", sf_dir)
+    drop_tree(root)  # fresh lineage every run (stale-artifact rule)
+    create_table_versioned(spark, docs, root, ["lang"])
+    updates = docs.filter(
+        "doc_id % 4 = 0 AND lang IN ('en', 'zh')"
+    ).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" scored")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+        (F.col("doc_id") % 100).cast("double").alias("quality"),
+    )
+    affected = merge_upsert_partitioned(spark, root, updates, "doc_id", "lang")
+    if not (0 < len(affected) < 5):
+        raise RuntimeError(
+            f"schema-evolution scenario degraded: {affected} partitions "
+            "rewritten — the carried-partition NULL-backfill claim needs "
+            "untouched partitions"
+        )
+    versions = list_versions(root)
+    pre = read_version(spark, root, versions[0])
+    cur = read_snapshot(spark, root)
+    if "quality" in pre.columns:
+        raise RuntimeError(
+            "pre-evolution snapshot grew the added column — per-version "
+            "schema isolation is broken"
+        )
+    if "quality" not in cur.columns:
+        raise RuntimeError("evolved snapshot lacks the added column")
+    base_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        _content_sum_expr(),
+    ]
+    pre_agg = pre.groupBy("lang").agg(*base_aggs).select(
+        F.lit("pre").alias("snapshot"),
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "content_sum",
+        F.lit(len(pre.columns)).cast("int").alias("n_cols"),
+        F.lit(-1).cast("long").alias("n_scored"),
+        F.lit(-1).cast("long").alias("q_sum"),
+    )
+    cur_agg = cur.groupBy("lang").agg(
+        *base_aggs,
+        F.count("quality").alias("n_scored"),
+        F.coalesce(F.floor(F.sum("quality")), F.lit(0))
+        .cast("long")
+        .alias("q_sum"),
+    ).select(
+        F.lit("cur").alias("snapshot"),
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "content_sum",
+        F.lit(len(cur.columns)).cast("int").alias("n_cols"),
+        "n_scored",
+        "q_sum",
+    )
+    return pre_agg.unionByName(cur_agg)
+
+
+@register(
     "lake_cdc_apply",
     """
     WITH final AS (
