@@ -4148,6 +4148,125 @@ def stream_rollup_maintenance(spark, sf_dir):
 
 
 @register(
+    "stream_restart_rollup",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_rows,
+           sum(user_id)::BIGINT AS sum_user_id,
+           min(user_id) AS min_user_id,
+           max(user_id) AS max_user_id
+    FROM events GROUP BY day, event_type
+    """,
+)
+def stream_restart_rollup(spark, sf_dir):
+    """STREAMING RESTART / EXACTLY-ONCE in-gate (closes r9 VERDICT
+    missing #4 — at 100 TB every stream restarts eventually, and this
+    was the one streaming guarantee still outside the gate): the
+    events backlog lands in TWO deliveries. Query 1 (checkpointed
+    FileStreamSource, availableNow, maxFilesPerTrigger=1) drains the
+    first half into a per-(day, event_type) rollup tree and STOPS.
+    Between the runs, a crash-REPLAY of an already-applied batch id is
+    injected straight at the sink (apply_rollup_batch_exactly_once
+    with a duplicate id carrying poison rows) — the batch-id
+    transaction metadata must absorb it without touching the tree.
+    Query 2 is a brand-NEW query started from the SAME checkpoint
+    after the second half lands; the durable source offsets mean it
+    drains ONLY the new files (batch-count asserted), and its batch
+    ids continue past query 1's (redelivery of an old id would be
+    absorbed the same way). The terminal rollup must equal the
+    one-shot batch aggregate — count/sum/min/max merges associative
+    across an arbitrary split AND a restart boundary, every increment
+    applied exactly once. The restart-from-checkpoint pytest
+    (tests/test_streaming.py) pins the same machinery on the chat
+    path; this entry puts it under the DuckDB oracle."""
+    import shutil
+
+    from poc_spark.sources.lake import drop_tree
+    from poc_spark.streaming.ingest import (
+        apply_rollup_batch_exactly_once,
+        maintain_rollup_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    landing = _export_path("stream_restart_src", sf_dir)
+    ckpt = _export_path("stream_restart_ckpt", sf_dir)
+    agg_root = _export_path("stream_restart_agg", sf_dir)
+    # fresh landing + checkpoint + tree every run (stale-artifact
+    # rule: a reused checkpoint would skip the whole backlog)
+    shutil.rmtree(landing, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    drop_tree(agg_root)
+    first = ev.filter(F.col("user_id") % 2 == 0)
+    second = ev.filter(F.col("user_id") % 2 != 0)
+    first.repartition(3).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    def prepare(df):
+        return df.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "user_id",
+        )
+
+    def drain():
+        return maintain_rollup_stream(
+            spark,
+            landing,
+            schema,
+            agg_root,
+            prepare,
+            "day",
+            ["event_type"],
+            ["user_id"],
+            max_files_per_trigger=1,
+            checkpoint=ckpt,
+            min_cols=["user_id"],
+            max_cols=["user_id"],
+        )
+    n1 = drain()  # query 1: first delivery only, then stops
+    if n1 < 2:
+        raise RuntimeError(
+            f"stream_restart_rollup: query 1 drained {n1} batches — the "
+            "multi-batch restart scenario needs >= 2"
+        )
+    # crash replay between the runs: batch 0 was applied by query 1;
+    # redelivering it (with poison rows that would corrupt every
+    # aggregate) must be a no-op via the txn-metadata dedup
+    replay = spark.createDataFrame(
+        [("1970-01-01", "poison", int(1e12))],
+        "day string, event_type string, user_id long",
+    )
+    if apply_rollup_batch_exactly_once(
+        spark, agg_root, replay, 0, "day", ["event_type"], ["user_id"],
+        min_cols=["user_id"], max_cols=["user_id"],
+    ):
+        raise RuntimeError(
+            "stream_restart_rollup: a replayed batch id was APPLIED — "
+            "exactly-once dedup is broken"
+        )
+    # second delivery lands as NEW files; a brand-new query resumes
+    # from the same checkpoint
+    second.repartition(3).write.mode("append").parquet(landing)
+    n2 = drain()  # query 2: must drain ONLY the new files
+    if not (1 <= n2 <= 3):
+        raise RuntimeError(
+            f"stream_restart_rollup: query 2 drained {n2} batches — a "
+            "restart that reprocesses the first delivery (>3) or sees "
+            "nothing (0) breaks the checkpoint-resume claim"
+        )
+    from poc_spark.sources.lake import read_snapshot
+
+    return read_snapshot(spark, agg_root).select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_user_id").cast("long").alias("sum_user_id"),
+        F.col("min_user_id").cast("long").alias("min_user_id"),
+        F.col("max_user_id").cast("long").alias("max_user_id"),
+    )
+
+
+@register(
     "stream_click_attribution",
     """
     WITH i AS (

@@ -175,6 +175,8 @@ def maintain_rollup_stream(
     sum_cols: list,
     max_files_per_trigger: int = 1,
     checkpoint: str | None = None,
+    min_cols: list = (),
+    max_cols: list = (),
 ) -> int:
     """CONTINUOUS rollup maintenance: a FileStreamSource drains the
     landing directory micro-batch by micro-batch (availableNow honors
@@ -213,6 +215,8 @@ def maintain_rollup_stream(
             partition_col,
             key_cols,
             sum_cols,
+            min_cols=min_cols,
+            max_cols=max_cols,
         )
 
     writer = (
@@ -237,6 +241,8 @@ def apply_rollup_batch_exactly_once(
     partition_col: str,
     key_cols: list,
     sum_cols: list,
+    min_cols: list = (),
+    max_cols: list = (),
 ) -> bool:
     """Idempotent micro-batch apply — the transactional half of
     foreachBatch exactly-once (the half Spark does NOT give you: the
@@ -258,6 +264,8 @@ def apply_rollup_batch_exactly_once(
         partition_col,
         key_cols,
         sum_cols,
+        min_cols=min_cols,
+        max_cols=max_cols,
         commit_meta={"applied_batches": sorted(applied | {int(batch_id)})},
     )
     return True
