@@ -5338,6 +5338,140 @@ def lake_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "lake_retention_policy",
+    """
+    WITH up AS (
+      SELECT doc_id, text || ' r2' AS text, lang, source,
+             n_chars + 2 AS n_chars
+      FROM documents WHERE doc_id % 6 = 0
+    ),
+    merged AS (
+      SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+      FROM documents d WHERE d.doc_id % 6 <> 0
+      UNION ALL SELECT * FROM up
+    ),
+    s1 AS (
+      SELECT 'age_kept' AS stage, lang, count(*) AS n_docs,
+             sum(n_chars)::BIGINT AS sum_chars,
+             sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+               AS content_sum,
+             3::INTEGER AS n_versions
+      FROM documents GROUP BY lang
+    ),
+    s2 AS (
+      SELECT 'count_kept' AS stage, lang, count(*) AS n_docs,
+             sum(n_chars)::BIGINT AS sum_chars,
+             sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+               AS content_sum,
+             3::INTEGER AS n_versions
+      FROM documents GROUP BY lang
+    ),
+    s3 AS (
+      SELECT 'pruned' AS stage, lang, count(*) AS n_docs,
+             sum(n_chars)::BIGINT AS sum_chars,
+             sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+               AS content_sum,
+             2::INTEGER AS n_versions
+      FROM merged GROUP BY lang
+    )
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+    """,
+)
+def lake_retention_policy(spark, sf_dir):
+    """COMPOSED count/age retention (closes r9 VERDICT missing #3 —
+    count-based-only retention forces the operator to know the commit
+    cadence; `spark.poc.lake.retain.hours` is the Delta
+    logRetentionDuration form): three stages over one tree, each
+    stage's OLDEST retained snapshot content-hashed plus the real
+    retained-version count.
+
+      1. age_kept — two merges land under retain=2 (count would prune
+         to 2) + retain.hours=24: the minutes-old N-2 version SURVIVES
+         because the age policy retains more, and still hashes to the
+         ORIGINAL content.
+      2. count_kept — every version's mtime is then backdated 2 hours
+         and the age horizon dropped to ~4 s (age would prune ALL);
+         under retain=3 a default vacuum_tree() — which now resolves
+         the SESSION retention policy, the r9 ADVICE fix — must remove
+         nothing: count retains more.
+      3. pruned — retain=2 with the same expired age: vacuum prunes
+         exactly to the floor of 2 (age alone can never go below
+         current + previous), and the new oldest snapshot hashes to
+         the FIRST MERGE's state, proving the right version died.
+
+    The oracle replays the original and first-merge states
+    relationally; n_versions carries the retention counts into the
+    value hash."""
+    import time as _time
+
+    from poc_spark.sources.lake import (
+        drop_tree,
+        list_versions,
+        merge_upsert_partitioned,
+        read_version,
+        vacuum_tree,
+        write_partitioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _export_path("retentionpol", sf_dir)
+    drop_tree(root)  # fresh lineage every run (stale-artifact rule)
+    spark.conf.set("spark.poc.lake.retain.hours", "24")
+    try:
+        write_partitioned(docs, root, ["lang"])
+        updates = docs.filter("doc_id % 6 = 0").select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" r2")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + F.lit(2)).alias("n_chars"),
+        )
+        merge_upsert_partitioned(spark, root, updates, "doc_id", "lang")
+        merged = read_version(spark, root, None)
+        updates2 = merged.filter("doc_id % 7 = 0").select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" r3")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + F.lit(5)).alias("n_chars"),
+        ).localCheckpoint(eager=False)  # self-referential rewrite
+        merge_upsert_partitioned(spark, root, updates2, "doc_id", "lang")
+
+        def stage(name, df, versions):
+            # each stage reads a version the NEXT stage may vacuum:
+            # materialize the (5-row) aggregate now, not at the lazy
+            # terminal union after the tree has moved on
+            return _content_agg(df, "lang").select(
+                F.lit(name).alias("stage"),
+                "lang",
+                "n_docs",
+                "sum_chars",
+                "content_sum",
+                F.lit(len(versions)).cast("int").alias("n_versions"),
+            ).localCheckpoint(eager=True)
+
+        v1 = list_versions(root)
+        s1 = stage("age_kept", read_version(spark, root, v1[0]), v1)
+        # expire every version, then flip the policies stage by stage
+        old_ts = _time.time() - 7200
+        for v in v1:
+            os.utime(f"{root}.v{v:06d}", (old_ts, old_ts))
+        spark.conf.set("spark.poc.lake.retain.hours", "0.001")
+        spark.conf.set("spark.poc.lake.retain", "3")
+        vacuum_tree(root)  # count retains more: must remove nothing
+        v2 = list_versions(root)
+        s2 = stage("count_kept", read_version(spark, root, v2[0]), v2)
+        spark.conf.set("spark.poc.lake.retain", "2")
+        vacuum_tree(root)  # prunes to the floor of 2
+        v3 = list_versions(root)
+        s3 = stage("pruned", read_version(spark, root, v3[0]), v3)
+        return s1.unionByName(s2).unionByName(s3)
+    finally:
+        spark.conf.unset("spark.poc.lake.retain.hours")
+        spark.conf.unset("spark.poc.lake.retain")
+
+
+@register(
     "lake_cdc_apply",
     """
     WITH final AS (
