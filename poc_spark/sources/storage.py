@@ -280,6 +280,32 @@ class FakeObjectStorage(Storage):
     name = "fake-objectstore"
     CLAIM = "_CLAIM"
 
+    #: default listing page size (S3 ListObjectsV2 MaxKeys default)
+    DEFAULT_PAGE_SIZE = 1000
+    #: default single-request copy cap (S3 CopyObject refuses objects
+    #: over 5 GB; larger ones must go through multipart UploadPartCopy)
+    DEFAULT_COPY_CHUNK = 5 * 1024 * 1024 * 1024
+
+    def __init__(
+        self,
+        page_size: int | None = None,
+        copy_chunk_bytes: int | None = None,
+    ):
+        # the two real-store quirks the r9 double was friendlier than
+        # (r9 VERDICT missing #2): listings come back in PAGES behind
+        # an opaque continuation token, and server-side copy caps the
+        # per-request size. Both forceable tiny via conf
+        # (spark.poc.lake.fake.pageSize / .copyChunk) so the protocol
+        # is exercised against them registry-wide without a network.
+        self.page_size = int(page_size or self.DEFAULT_PAGE_SIZE)
+        self.copy_chunk_bytes = int(
+            copy_chunk_bytes or self.DEFAULT_COPY_CHUNK
+        )
+        if self.page_size < 1 or self.copy_chunk_bytes < 1:
+            raise ValueError(
+                "fake-objectstore pageSize/copyChunk must be >= 1"
+            )
+
     def get_bytes(self, path: str) -> bytes:
         with open(path, "rb") as f:
             return f.read()
@@ -290,15 +316,49 @@ class FakeObjectStorage(Storage):
     def is_dir(self, path: str) -> bool:
         return os.path.isdir(path)
 
-    def list_names(self, parent: str) -> list[str]:
+    def _list_page(
+        self, parent: str, token: str | None
+    ) -> tuple[list[str], str | None]:
+        """ONE listing page — the ListObjectsV2 shape: names are served
+        in lexicographic order, at most `page_size` per call, resuming
+        strictly AFTER the opaque continuation token. Each page re-lists
+        the backing store (real stores list live state too: names
+        created after the cursor appear, earlier ones don't)."""
+        import base64
+
+        after = (
+            base64.urlsafe_b64decode(token.encode()).decode()
+            if token is not None
+            else ""
+        )
         try:
-            return os.listdir(parent or ".")
+            names = sorted(
+                n for n in os.listdir(parent or ".") if n > after
+            )
         except FileNotFoundError:
-            return []
+            return [], None
+        page = names[: self.page_size]
+        if len(names) > self.page_size:
+            nxt = base64.urlsafe_b64encode(page[-1].encode()).decode()
+            return page, nxt
+        return page, None
+
+    def list_names(self, parent: str) -> list[str]:
+        # drain the paged protocol — a consumer that assumed one
+        # complete listing breaks the moment pageSize is forced to 2
+        out: list[str] = []
+        token: str | None = None
+        while True:
+            page, token = self._list_page(parent, token)
+            out.extend(page)
+            if token is None:
+                return out
 
     def scan_entries(self, parent: str) -> list[tuple[str, bool]]:
-        with os.scandir(parent) as it:
-            return [(e.name, e.is_dir()) for e in it]
+        return [
+            (n, os.path.isdir(os.path.join(parent, n)))
+            for n in self.list_names(parent)
+        ]
 
     def mtime(self, path: str) -> float:
         return os.stat(path).st_mtime
@@ -341,8 +401,26 @@ class FakeObjectStorage(Storage):
         os.makedirs(path, exist_ok=True)
 
     def carry_obj(self, src: str, dst: str) -> None:
+        # stand-in for server-side copy, WITH the real cap: one
+        # CopyObject request covers at most copy_chunk_bytes; a larger
+        # object goes through multipart copy — N part-copy requests
+        # assembled and finalized atomically at Complete (the
+        # temp+replace below simulates Complete's atomicity, the same
+        # store-guarantee simulation as put_atomic)
         os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
-        shutil.copyfile(src, dst)  # stand-in for server-side copy
+        if os.path.getsize(src) <= self.copy_chunk_bytes:
+            shutil.copyfile(src, dst)
+            return
+        tmp = f"{dst}.mpu"
+        with open(src, "rb") as fsrc, open(tmp, "wb") as fdst:
+            while True:
+                part = fsrc.read(self.copy_chunk_bytes)
+                if not part:
+                    break
+                fdst.write(part)
+            fdst.flush()
+            os.fsync(fdst.fileno())
+        os.replace(tmp, dst)
 
     def adopt_tree(self, src: str, dst: str) -> None:
         # both names are this writer's own — copy then delete
@@ -419,7 +497,20 @@ def storage_for(spark=None, root: str | None = None) -> Storage:
         except Exception:
             mode = "posix"
     if mode == "fake-objectstore":
-        return _FAKE
+        # optional hardening knobs: force tiny listing pages / copy
+        # chunks so the protocol runs against real-store limits
+        def _iconf(key):
+            try:
+                v = spark.conf.get(key, "") if spark is not None else ""
+            except Exception:
+                v = ""
+            return int(v) if v else None
+
+        ps = _iconf("spark.poc.lake.fake.pageSize")
+        cc = _iconf("spark.poc.lake.fake.copyChunk")
+        if ps is None and cc is None:
+            return _FAKE
+        return FakeObjectStorage(page_size=ps, copy_chunk_bytes=cc)
     if mode != "posix":
         raise ValueError(
             f"spark.poc.lake.fs={mode!r} is not a known storage backend "

@@ -207,6 +207,66 @@ def _tree_content(spark, root):
 SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
+def test_fake_listing_paginates_behind_opaque_token(tmp_path):
+    """list_names drains the ListObjectsV2-shaped page protocol: with
+    page_size=2, a 7-name prefix comes back complete and sorted across
+    4 pages, and a name created AFTER the cursor position mid-drain
+    appears (live listing, like a real store) while one created before
+    it does not."""
+    fs = FakeObjectStorage(page_size=2)
+    d = str(tmp_path / "p")
+    os.makedirs(d)
+    names = ["a", "b", "c", "d", "e", "f", "g"]
+    for n in names:
+        open(os.path.join(d, n), "wb").close()
+    assert fs.list_names(d) == names
+    # page mechanics: token is opaque, resume is strictly-after
+    page1, tok = fs._list_page(d, None)
+    assert page1 == ["a", "b"] and tok is not None and tok != "b"
+    open(os.path.join(d, "bb"), "wb").close()  # after cursor: visible
+    open(os.path.join(d, "aa"), "wb").close()  # before cursor: missed
+    rest = []
+    while tok is not None:
+        page, tok = fs._list_page(d, tok)
+        rest.extend(page)
+    assert rest == ["bb", "c", "d", "e", "f", "g"]
+    # absent prefix still lists empty, never raises
+    assert fs.list_names(str(tmp_path / "nope")) == []
+
+
+def test_fake_carry_multipart_past_copy_cap(tmp_path):
+    """carry_obj over the per-request copy cap goes through the
+    multipart-copy path (chunked, atomic at Complete) and the copy is
+    byte-identical; at/under the cap it single-requests."""
+    fs = FakeObjectStorage(copy_chunk_bytes=4)
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    payload = bytes(range(11))  # 11 bytes -> 3 parts of <= 4
+    with open(src, "wb") as f:
+        f.write(payload)
+    fs.carry_obj(src, dst)
+    assert open(dst, "rb").read() == payload
+    assert not os.path.exists(dst + ".mpu")  # Complete finalized
+    small_src, small_dst = str(tmp_path / "s2"), str(tmp_path / "d2")
+    with open(small_src, "wb") as f:
+        f.write(b"abcd")
+    fs.carry_obj(small_src, small_dst)
+    assert open(small_dst, "rb").read() == b"abcd"
+
+
+def test_fake_hardening_confs_select_configured_instance(spark):
+    spark.conf.set("spark.poc.lake.fs", "fake-objectstore")
+    spark.conf.set("spark.poc.lake.fake.pageSize", "2")
+    spark.conf.set("spark.poc.lake.fake.copyChunk", "4")
+    try:
+        fs = storage_for(spark)
+        assert isinstance(fs, FakeObjectStorage)
+        assert fs.page_size == 2 and fs.copy_chunk_bytes == 4
+    finally:
+        spark.conf.unset("spark.poc.lake.fs")
+        spark.conf.unset("spark.poc.lake.fake.pageSize")
+        spark.conf.unset("spark.poc.lake.fake.copyChunk")
+
+
 def test_lake_lifecycle_on_fake_objectstore(spark, tmp_path, fake_fs_conf):
     """The full CoW lifecycle with NO rename/hardlink/symlink
     available: write → migrate → merge (update+insert+new partition) →
