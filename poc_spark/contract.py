@@ -4605,72 +4605,70 @@ def stream_session_window(spark, sf_dir):
     are never finalized and must NOT appear. Batch twin:
     q_session_window (same 30-min boundary semantics: a gap of exactly
     the timeout starts a new session)."""
+    import shutil as _shutil
     import time as _time
     import uuid
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    pdf = (
-        _t(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            "value",
-            F.expr(
-                "timestampdiff(MICROSECOND, "
-                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-            ).alias("us"),
-        )
-        .toPandas()
-        .sort_values("us", kind="mergesort", ignore_index=True)
+    # STAGING WITHOUT A DRIVER ROUND-TRIP (r9 VERDICT #6: the old form
+    # .toPandas()'d the full events table to split it): the three
+    # time-contiguous landing files are VALUE-RANGE slices at the
+    # 1/3 and 2/3 timestamp terciles — a range split is contiguous by
+    # construction (no event in a later file precedes an earlier
+    # file's maximum, so nothing ever arrives below the watermark) —
+    # and each slice is written executor-side; the driver only moves
+    # the finished part file into place and stamps its mtime.
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.expr(
+            "timestamp_micros(timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+        ).alias("ts"),
     )
-    max_us = int(pdf["us"].max())
+    cut_row = ev.agg(
+        F.percentile_approx("ts", [1.0 / 3.0, 2.0 / 3.0]).alias("cuts"),
+        F.max("ts").alias("mx"),
+    ).collect()[0]  # 1-row scalar collect: two cuts + max
+    c1, c2 = cut_row["cuts"]
+    max_us = int(cut_row["mx"].timestamp() * 1_000_000)
     staged = _export_path("stream_sess_src", sf_dir)
+    _shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(staged, exist_ok=True)
-    for f in os.listdir(staged):
-        os.remove(os.path.join(staged, f))
-    arrow_schema = pa.schema(
-        [
-            ("user_id", pa.int64()),
-            ("value", pa.float64()),
-            ("ts", pa.timestamp("us", tz="UTC")),
-        ]
-    )
 
-    def _write(name: str, users, values, uss, mtime: float) -> None:
-        tbl = pa.table(
-            {
-                "user_id": pa.array([int(u) for u in users], pa.int64()),
-                "value": pa.array([float(v) for v in values], pa.float64()),
-                "ts": pa.array(
-                    [int(u) for u in uss], pa.timestamp("us", tz="UTC")
-                ),
-            },
-            schema=arrow_schema,
-        )
-        path = os.path.join(staged, name)
-        pq.write_table(tbl, path)
-        os.utime(path, (mtime, mtime))
+    def _stage(df, name: str, mtime: float) -> None:
+        import glob
+
+        tmp = os.path.join(staged, name + ".stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(staged, name)
+        os.replace(part, dest)
+        _shutil.rmtree(tmp)
+        os.utime(dest, (mtime, mtime))
 
     t0 = _time.time() - 300
-    n = len(pdf)
-    cuts = [0, n // 3, (2 * n) // 3, n]
-    for i in range(3):
-        chunk = pdf.iloc[cuts[i]:cuts[i + 1]]
-        _write(
-            f"f{i + 1}_real.parquet",
-            chunk["user_id"],
-            chunk["value"],
-            chunk["us"],
-            t0 + 30 * i,
-        )
+    slices = [
+        ev.filter(F.col("ts") < F.lit(c1)),
+        ev.filter((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
+        ev.filter(F.col("ts") >= F.lit(c2)),
+    ]
+    for i, sl in enumerate(slices):
+        _stage(sl, f"f{i + 1}_real.parquet", t0 + 30 * i)
     adv = max_us + 100 * 24 * 3_600_000_000
-    _write("f4_advance.parquet", [-1], [0.0], [adv], t0 + 90)
+
+    def _sentinel(uid: int, us: int):
+        return spark.range(1).select(
+            F.lit(uid).cast("long").alias("user_id"),
+            F.lit(0.0).alias("value"),
+            F.expr(f"timestamp_micros({us})").alias("ts"),
+        )
+
+    _stage(_sentinel(-1, adv), "f4_advance.parquet", t0 + 90)
     # second sentinel: the advanced watermark reaches the state-store
     # eviction/finalization pass one batch late (measured in
     # stream_watermark_eviction's staging)
-    _write(
-        "f5_advance2.parquet", [-2], [0.0], [adv + 3_600_000_000], t0 + 120
+    _stage(
+        _sentinel(-2, adv + 3_600_000_000), "f5_advance2.parquet", t0 + 120
     )
 
     src = (
