@@ -7098,6 +7098,147 @@ def sample_leakage_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _crawl_corpus_sql() -> str:
+    """Oracle for pipeline_crawl_to_corpus: replay crawl-with-dups →
+    exact-dedup-keep-min → 25% content-addressed sample → stopword
+    langid, all relationally over `documents` (DuckDB has no WARC
+    reader — the container round-trip itself is pinned by
+    src_warc_roundtrip's independent byte arithmetic)."""
+    hits = ",\n        ".join(
+        "len(list_intersect(dt, [{}]))::BIGINT AS h_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]), lang
+        )
+        for lang in LANG_ORDER
+    )
+    best_lang, best_hits = f"'{LANG_ORDER[0]}'", f"h_{LANG_ORDER[0]}"
+    for lang in LANG_ORDER[1:]:
+        best_lang = (
+            f"CASE WHEN h_{lang} > ({best_hits}) THEN '{lang}' "
+            f"ELSE ({best_lang}) END"
+        )
+        best_hits = (
+            f"CASE WHEN h_{lang} > ({best_hits}) THEN h_{lang} "
+            f"ELSE ({best_hits}) END"
+        )
+    return f"""
+    WITH crawl AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 9 = 0
+    ),
+    fp AS (SELECT doc_id, text, md5({_NORM_SQL}) AS f FROM crawl),
+    keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+    surv AS (SELECT p.doc_id, p.text FROM fp p JOIN keep k
+             ON p.f = k.f AND p.doc_id = k.doc_id),
+    sampled AS (
+      SELECT doc_id, text FROM surv
+      WHERE {_b60("doc_id", ":sample", 1_000_000)} < 250000
+    ),
+    t AS (SELECT doc_id, text, {_TOKS_SQL} AS dt FROM sampled),
+    h AS (SELECT doc_id, text,
+        {hits}
+      FROM t)
+    SELECT {best_lang} AS pred_lang,
+           count(*) AS n_docs,
+           sum(length(text))::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM h GROUP BY 1
+    """
+
+
+@register("pipeline_crawl_to_corpus", _crawl_corpus_sql())
+def pipeline_crawl_to_corpus(spark, sf_dir):
+    """The FULL FIRST MILE of a training-data pipeline in one gated
+    query (r9 VERDICT #8): crawl container → text → dedup → sample →
+    langid report. A synthetic crawl (documents plus an exact-dup
+    re-crawl of every doc_id % 9 == 0 page under a different URL, plus
+    warcinfo noise records) is sharded into 8 WET files
+    (sources/warc.py write_warc — gzip member per record), read back
+    through the streaming `read_wet_text` convenience path (clean
+    `conversion` records only → (url, text)), exact-deduped by
+    normalized-content fingerprint keeping the lowest-id URL, sampled
+    at 25% content-addressed (deterministic_sample — stable across
+    engines/layouts), and language-classified (stopword-hit langid).
+    Counts are asserted at the two lossy boundaries: the WET read must
+    yield exactly the conversion records (warcinfo filtered, zero
+    quarantined), and dedup must collapse every planted re-crawl. At
+    100 TB every stage is the scale shape already proven by its
+    standalone entry: file-per-task WARC parallelism, uniform sha
+    shuffle, stateless narrow sample/langid projections."""
+    from poc_spark.operators.dedup import normalized_text
+    from poc_spark.operators.sampling import deterministic_sample
+    from poc_spark.sources.warc import read_wet_text, write_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    crawl = docs.select("doc_id", "text").unionByName(
+        docs.filter("doc_id % 9 = 0").select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+        )
+    )
+    recs = crawl.select(
+        F.concat(
+            F.lit("<urn:uuid:"),
+            F.md5(F.col("doc_id").cast("string")),
+            F.lit(">"),
+        ).alias("record_id"),
+        F.lit("conversion").alias("warc_type"),
+        F.concat(
+            F.lit("urn:poc:crawl/"), F.col("doc_id").cast("string")
+        ).alias("target_uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        F.lit("text/plain; charset=utf-8").alias("content_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    info = spark.range(5).select(
+        F.concat(
+            F.lit("<urn:uuid:info-"), F.col("id").cast("string"), F.lit(">")
+        ).alias("record_id"),
+        F.lit("warcinfo").alias("warc_type"),
+        F.lit(None).cast("string").alias("target_uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        F.lit("application/warc-fields").alias("content_type"),
+        F.encode(F.lit("software: poc\r\n"), "utf-8").alias("payload"),
+    )
+    path = _export_path("wetcorpus", sf_dir)
+    n_conv = crawl.count()
+    write_warc(recs.unionByName(info), path, n_files=8)
+    wet = read_wet_text(spark, path)
+    parsed = wet.select(
+        F.regexp_extract("url", r"crawl/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "text",
+    )
+    if parsed.count() != n_conv:
+        raise RuntimeError(
+            "pipeline_crawl_to_corpus: WET read must yield exactly the "
+            "conversion records (warcinfo filtered, zero quarantined)"
+        )
+    fp = parsed.select(
+        "doc_id", "text", F.md5(normalized_text(F.col("text"))).alias("f")
+    )
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+    surv = fp.join(keep, ["f", "doc_id"], "leftsemi").select(
+        "doc_id", "text"
+    )
+    n_surv = surv.count()
+    if not n_surv < n_conv:
+        raise RuntimeError(
+            "pipeline_crawl_to_corpus: dedup collapsed nothing — the "
+            "planted re-crawls must die"
+        )
+    sampled = deterministic_sample(surv, 0.25)
+    return sampled.join(lang_id(sampled), "doc_id").groupBy(
+        "pred_lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        _content_sum_expr(),
+    )
+
+
 @register(
     "sample_mix",
     f"""
