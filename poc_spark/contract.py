@@ -8105,171 +8105,167 @@ from poc_spark import contract_scale  # noqa: E402,F401  isort: skip
 # last. tests/test_contract_registry.py pins the invariant.
 
 _TAIL = [
-    # --- r9 rotation (VERDICT r8 #6): regenerated oldest-witness-first
-    # from the CORRECTNESS_r01-r08 union. The 50-slot head holds:
-    # (a) r9-new entries with no driver witness yet: src_warc_roundtrip
-    #     (WARC/WET crawl source) and stream_session_window (added later
-    #     this round — one head slot is held free for it);
+    # --- r10 rotation (VERDICT r9 #4): regenerated oldest-witness-first
+    # from the CORRECTNESS_r01-r09 union. The 50-slot head holds:
+    # (a) the four r10-new entries with no driver witness yet:
+    #     lake_schema_evolution, lake_retention_policy,
+    #     stream_restart_rollup, pipeline_crawl_to_corpus;
     # (b) mm_decode (pinned in-window by test_contract_registry);
-    # (c) the lake-family entries whose shared machinery changed this
-    #     round (storage abstraction behind every carry/claim/publish,
-    #     fake-objectstore gate, retention-depth pruning, bootstrap
-    #     conditional-PUT commit, ''/NULL partition guards):
-    #     lake_merge_upsert, lake_time_travel, lake_cdc_apply/merge,
-    #     lake_rollup_incremental, pipeline_lake_lifecycle,
-    #     lake_snapshot_diff, lake_expectations,
-    #     stream_rollup_maintenance;
-    # (d) the BPE learners whose pair-count core moves to incremental
-    #     maintenance this round: text_bpe_learn_greedy/batched,
-    #     pipeline_bpe_greedy_train_apply;
-    # (e) q17_small_qty_revenue (the single r4 witness — oldest alive)
-    #     plus 34 of the 42 r5-witnessed entries, oldest-first.
-    # Eight r5-witnessed entries stay tailed for one more round (slots
-    # went to the changed-machinery re-witnesses above), each with an
-    # in-head capability twin: dedup_url (regex chain, no shared
-    # machinery), dedup_incremental + dedup_minhash_lsh (banded-LSH
-    # machinery witnessed via the composed consumers' shared
-    # fingerprinted artifact), op_graph_partitioned (twin of in-head
-    # op_graph_flagship), sim_ann_lsh/sim_ann_join (hyperplane-bucket
-    # machinery twinned by the in-head IVF family), emb_quantize/
-    # emb_project (stateless narrow projections). All eight stay
-    # oracled in the committed full-registry local runs.
-    # Everything below is r5+-witnessed AND green in the committed
-    # full-registry local runs at sf0.01/sf0.001 (sf0.1 for the
-    # tractable subset); capability notes from earlier rotations remain
-    # in git history.
-    # text_winnowing (r5 filler) demoted mid-round for the r9-new
-    # text_bpe_learn_local: its md5-60 winnowing stays oracled in the
-    # full local runs and the fingerprint machinery has no shared code
-    # with anything that changed this round.
-    "text_winnowing",
-    "q_session_window",
-    "dedup_ngram_spans",
-    "dedup_simhash",
+    # (c) the entries whose machinery CHANGED this round: the lake
+    #     family whose every commit now logs _schema.json and reads
+    #     schema-first (lake_merge_upsert, lake_time_travel,
+    #     lake_cdc_apply/merge, lake_rollup_incremental,
+    #     pipeline_lake_lifecycle, lake_snapshot_diff,
+    #     stream_rollup_maintenance), src_warc_roundtrip (the WARC
+    #     reader was rewritten to stream with bounded memory), and
+    #     stream_session_window (staging moved executor-side);
+    # (d) ALL NINE r5-witnessed stragglers the r9 verdict listed
+    #     (dedup_url/incremental/minhash_lsh, op_graph_partitioned,
+    #     sim_ann_lsh/join, emb_quantize/project, text_winnowing) —
+    #     the rotation target "no witness older than r6 after r10";
+    # (e) 26 of the 43-entry r6-witnessed cohort, alphabetical-first;
+    #     the remaining 17 r6 entries stay tailed one more round (all
+    #     green in every committed full-registry local sweep) and lead
+    #     the r11 rotation: q_events_by_type, q_outer_join_order_fill,
+    #     q_percentiles, q_pivot_events, q_profile_orders,
+    #     q_rank_top3_per_segment, q_rollup_lineitem, q_running_sum,
+    #     q_semi_orders_with_items, q_user_sessions, q_value_histogram,
+    #     sim_ann_filtered, sim_ivf_append, stream_hourly_counts,
+    #     text_bigram_lm, text_doc_stats, text_langid.
+    # Tail order below is oldest-witness-first, then name — the next
+    # rotation reads it top-down.
+    "q_events_by_type",
+    "q_outer_join_order_fill",
+    "q_percentiles",
+    "q_pivot_events",
+    "q_profile_orders",
+    "q_rank_top3_per_segment",
+    "q_rollup_lineitem",
+    "q_running_sum",
+    "q_semi_orders_with_items",
+    "q_user_sessions",
+    "q_value_histogram",
+    "sim_ann_filtered",
+    "sim_ivf_append",
+    "stream_hourly_counts",
+    "text_bigram_lm",
+    "text_doc_stats",
+    "text_langid",
+    "dedup_semdedup",
+    "mm_audio_autocorr",
+    "mm_payload_stats",
+    "mm_png_decode",
+    "mm_png_resize",
+    "op_agg_wordfreq",
+    "op_fn_sqrt",
+    "op_join_point",
+    "op_proj_users",
+    "op_src_doc_scan",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_balances",
+    "q4_late_ship_priority",
+    "q7_volume_shipping",
+    "q_range_bucket_join",
+    "q_union_except",
+    "q_window_zoo",
+    "sample_epoch_order",
+    "sim_knn_brute",
+    "sim_knn_join",
+    "sketch_distinct_bounds",
+    "sketch_hll_union",
+    "sketch_quantile_bounds",
+    "stream_click_attribution",
+    "text_bigrams",
+    "text_boilerplate",
+    "text_bpe_apply",
+    "text_bpe_learn",
+    "text_chunking",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_sentences",
+    "text_tfidf",
+    "text_token_count",
+    "text_unicode_normalize",
     "dedup_embedding_cosine",
+    "dedup_ngram_spans",
     "dedup_semantic_buckets",
-    "text_bpe_count",
+    "dedup_simhash",
+    "graph_kcore",
+    "graph_triangles",
+    "lake_bloom_skipping",
+    "lake_compact",
+    "lake_stats_skipping",
+    "mm_frame_sample",
+    "mm_jpeg420_decode",
     "mm_jpeg_decode",
     "mm_jpeg_resize",
-    "mm_jpeg420_decode",
-    "mm_frame_sample",
     "mm_resize",
-    "graph_triangles",
-    "q_cohort_retention",
-    "lake_stats_skipping",
-    "lake_bloom_skipping",
-    "stream_watermark_eviction",
-    "stream_stateful_dedup",
-    "lake_compact",
-    "sample_deterministic",
-    "sample_split",
-    "sample_mix",
-    "sample_pack",
-    "q8_market_share",
-    "q9_profit_by_nation",
     "q11_important_parts",
     "q12_late_priority",
     "q15_top_supplier",
     "q16_supplier_cnt",
     "q20_heavy_suppliers",
     "q21_sole_late_supplier",
-    "text_repetition",
-    "text_decontaminate",
-    "q_json_extract",
-    "q_resample_gapfill",
-    "graph_kcore",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q_cohort_retention",
     "q_cube_events",
     "q_group_ols",
-    "dedup_url",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "op_join_point",
-    "q_union_except",
-    "sim_knn_brute",
-    "sim_knn_join",
-    "text_token_count",
-    "text_fingerprint",
-    "text_chunking",
-    "text_bpe_learn",
-    "text_bpe_apply",
-    "mm_payload_stats",
-    "mm_png_decode",
-    "mm_png_resize",
-    "mm_audio_autocorr",
-    "sample_epoch_order",
-    "text_tfidf",
-    "text_bigrams",
-    "stream_click_attribution",
-    "dedup_semdedup",
-    "text_unicode_normalize",
-    "text_pii_scrub",
-    "text_sentences",
-    "text_boilerplate",
-    "sketch_distinct_bounds",
-    "sketch_hll_union",
-    "sketch_quantile_bounds",
-    "q4_late_ship_priority",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q7_volume_shipping",
-    "q13_customer_distribution",
-    "q22_idle_balances",
-    "q_range_bucket_join",
-    "q_window_zoo",
-    "op_proj_users",
-    "op_src_doc_scan",
-    "op_agg_wordfreq",
-    "op_fn_sqrt",
-    "pipeline_bpe_train_apply",
-    "op_agg_nodes",
-    "op_lag_edge",
-    "op_limit_n",
-    "op_fil_daterange",
-    "op_join_semi",
-    "op_parse_regex",
-    "op_norm_sender",
-    "op_topk",
-    "q3_top_revenue",
-    "q_customers_per_region",
-    "q_events_by_type",
-    "q_semi_orders_with_items",
-    "q_anti_customers_no_orders",
-    "op_fil_substr",
-    "q6_selective_revenue",
-    "q5_revenue_by_region",
-    "q_rollup_lineitem",
-    "q_asof_last_click",
-    "q_outer_join_order_fill",
-    "q_rank_top3_per_segment",
-    "q_user_sessions",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_span_removal",
-    "sim_ann_filtered",
-    "text_doc_stats",
-    "text_langid",
-    "q_running_sum",
-    "q_pivot_events",
-    "q_value_histogram",
-    "q_percentiles",
-    "q_profile_orders",
-    "graph_degrees",
-    "stream_hourly_counts",
-    "sim_ivf_append",
-    "dedup_minhash_clusters",
-    "dedup_cluster_report",
-    "dedup_keep_best",
-    "pipeline_training_prep",
-    "fuzzy_name_join",
-    "text_bigram_lm",
-    "op_graph_partitioned",
-    "sim_ann_lsh",
-    "sim_ann_join",
-    "emb_quantize",
-    "emb_project",
+    "q_json_extract",
+    "q_resample_gapfill",
+    "q_session_window",
+    "sample_deterministic",
+    "sample_mix",
+    "sample_pack",
+    "sample_split",
+    "stream_stateful_dedup",
+    "stream_watermark_eviction",
+    "text_bpe_count",
+    "text_decontaminate",
+    "text_repetition",
+    "graph_components",
+    "graph_pagerank",
+    "lake_expectations",
+    "mm_audio_energy",
+    "op_fn_hash",
+    "op_graph_flagship",
+    "pipeline_bpe_greedy_train_apply",
+    "q17_small_qty_revenue",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q_event_funnel",
+    "q_grouping_sets",
+    "q_intersect",
+    "q_outlier_mad",
+    "q_rolling_time_avg",
+    "q_user_paths",
+    "q_zorder_cells",
+    "sample_domain_cap",
+    "sample_leakage_split",
+    "sample_stratified",
+    "sample_temperature",
+    "sample_weighted",
+    "sample_weighted_k",
+    "sim_ivf_join",
+    "sim_ivf_kmeans",
+    "sink_clustered_parquet",
+    "sink_hive_partitioned",
+    "src_csv_roundtrip",
+    "src_jsonl_roundtrip",
+    "src_orc_roundtrip",
+    "src_schema_evolution",
+    "text_bpe_learn_batched",
+    "text_bpe_learn_greedy",
+    "text_bpe_learn_local",
+    "text_classifier_score",
+    "text_entropy",
+    "text_hashed_features",
+    "text_perplexity_bucket",
+    "text_unigram_lm",
 ]
 
 
