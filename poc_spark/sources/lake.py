@@ -812,13 +812,36 @@ def _validate_evolution(
     NULL on read — the Delta `mergeSchema` discipline), and must NOT
     retype an existing column (parquet cannot re-encode history in
     place; Delta/Iceberg reject this too — loud failure, the r10 pin).
-    Returns the added column names in the batch's order."""
+    Returns the added column names in the batch's order.
+
+    Type comparison ignores nullability RECURSIVELY (struct fields,
+    array elements, map values): a batch whose nested element
+    nullability differs from the logged schema carries compatible
+    data — parquet encodes optionality per leaf and the reader merges
+    to the relaxed form — so only genuine type changes are rejected."""
+
+    def _relaxed(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(f.name, _relaxed(f.dataType), True)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_relaxed(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                _relaxed(dt.keyType), _relaxed(dt.valueType), True
+            )
+        return dt
+
     tree_types = {f.name: f.dataType for f in tree_schema.fields}
     up_types = {f.name: f.dataType for f in up_schema.fields}
     changed = sorted(
         n
         for n, dt in up_types.items()
-        if n in tree_types and dt != tree_types[n]
+        if n in tree_types and _relaxed(dt) != _relaxed(tree_types[n])
     )
     if changed:
         detail = ", ".join(
@@ -1801,6 +1824,14 @@ def merge_apply_cdc(
     upserts = final.filter(F.col("_op") != delete_op).drop("_op")
     touched_keys = final.select(key_col)
 
+    # Validate the evolution contract BEFORE the affected-partition
+    # early return: a changelog carrying a type-changed or missing
+    # column must fail loudly even when it touches zero partitions
+    # (merge_upsert_partitioned orders it the same way).
+    added = _validate_evolution(
+        tree.schema, upserts.schema, "merge_apply_cdc"
+    )
+
     up_vals = [
         r[0] for r in upserts.select(partition_col).distinct().collect()
     ]
@@ -1822,9 +1853,6 @@ def merge_apply_cdc(
     affected = sorted(up_parts | old_parts)
     if not affected:
         return []
-    added = _validate_evolution(
-        tree.schema, upserts.schema, "merge_apply_cdc"
-    )
     merged = (
         tree.filter(F.col(partition_col).cast("string").isin(affected))
         .join(F.broadcast(touched_keys), key_col, "left_anti")

@@ -504,7 +504,15 @@ def storage_for(spark=None, root: str | None = None) -> Storage:
                 v = spark.conf.get(key, "") if spark is not None else ""
             except Exception:
                 v = ""
-            return int(v) if v else None
+            if not v:
+                return None
+            try:
+                return int(v)
+            except ValueError:
+                raise ValueError(
+                    f"{key}={v!r} is not an integer; set a positive "
+                    "byte/row count or unset the conf"
+                ) from None
 
         ps = _iconf("spark.poc.lake.fake.pageSize")
         cc = _iconf("spark.poc.lake.fake.copyChunk")

@@ -141,19 +141,25 @@ def _iter_members_stream(fh, chunk_size: int = CHUNK_BYTES):
 
     unfed: deque[bytes] = deque()  # read but not yet decompressed
     eof = False
+    n_pulled = 0  # cumulative compressed bytes read from the stream
 
     def pull() -> bool:
-        nonlocal eof
+        nonlocal eof, n_pulled
         if eof:
             return False
         c = fh.read(chunk_size)
         if not c:
             eof = True
             return False
+        n_pulled += len(c)
         unfed.append(c)
         return True
 
     while unfed or pull():
+        # compressed-byte offset of this member's first byte — the
+        # triage pointer quarantine errors carry (a corrupt member in
+        # a ~1 GB segment is otherwise unlocatable)
+        member_off = n_pulled - sum(len(c) for c in unfed)
         d = zlib.decompressobj(wbits=47)  # gzip wrapper
         parts: list[bytes] = []
         fed: list[bytes] = []  # this member's compressed bytes (resync seed)
@@ -167,17 +173,23 @@ def _iter_members_stream(fh, chunk_size: int = CHUNK_BYTES):
             elif pull():
                 continue
             else:
-                err = "gzip-error: truncated gzip member"
+                err = (
+                    f"gzip-error near offset {member_off}: "
+                    "truncated gzip member"
+                )
                 break
             try:
                 piece = d.decompress(chunk, MAX_RECORD_BYTES + 1 - n_out)
             except zlib.error as e:
-                err = f"gzip-error: {e}"
+                err = f"gzip-error near offset {member_off}: {e}"
                 break
             parts.append(piece)
             n_out += len(piece)
             if n_out > MAX_RECORD_BYTES:
-                err = "gzip-error: member exceeds MAX_RECORD_BYTES"
+                err = (
+                    f"gzip-error near offset {member_off}: "
+                    "member exceeds MAX_RECORD_BYTES"
+                )
                 break
             if d.eof:
                 break
@@ -241,6 +253,21 @@ def _iter_plain_records_stream(fh, chunk_size: int = CHUNK_BYTES):
                 return
             buf += c
 
+    def quarantine_tail(err: str):
+        """Terminal quarantine: the split walk cannot continue, so the
+        ENTIRE unread remainder belongs to the quarantine row — drain
+        it (bounded by MAX_RECORD_BYTES, the same bomb guard as the
+        happy path) so no byte of the file vanishes unaccounted."""
+        nonlocal buf
+        fill(MAX_RECORD_BYTES + 1)
+        if len(buf) > MAX_RECORD_BYTES:
+            return (
+                buf[:MAX_RECORD_BYTES],
+                f"{err}: trailing bytes beyond MAX_RECORD_BYTES "
+                "discarded from quarantine payload",
+            )
+        return buf, err
+
     while True:
         fill(1)
         if not buf:
@@ -251,7 +278,7 @@ def _iter_plain_records_stream(fh, chunk_size: int = CHUNK_BYTES):
             fill(len(buf) + chunk_size)
             sep = buf.find(b"\r\n\r\n", scan_from)
         if sep < 0:
-            yield buf, "no-header-terminator"
+            yield quarantine_tail("no-header-terminator")
             return
         head = buf[:sep]
         n = None
@@ -262,8 +289,8 @@ def _iter_plain_records_stream(fh, chunk_size: int = CHUNK_BYTES):
                 except ValueError:
                     n = None
         if n is None or n < 0 or n > MAX_RECORD_BYTES:
-            # cannot locate the record end: quarantine the buffered tail
-            yield buf, "unresolvable-content-length"
+            # cannot locate the record end: quarantine the file's tail
+            yield quarantine_tail("unresolvable-content-length")
             return
         end = sep + 4 + n + 4
         fill(end)

@@ -1697,3 +1697,88 @@ def test_plain_overwrite_supersedes_stale_manifest(spark, tmp_path):
     assert resolve_snapshot(root).endswith(".v000004")  # past stale v2+1
     assert [(r["k"], r["text"]) for r in
             read_snapshot(spark, root).collect()] == [(7, "fresh2")]
+
+
+def test_cdc_validates_evolution_before_empty_early_return(spark, tmp_path):
+    """r10 ADVICE: a changelog carrying a TYPE-changed column must fail
+    loudly even when it touches ZERO partitions (merge_apply_cdc used
+    to validate only after the `if not affected` early return)."""
+    import pytest
+
+    from poc_spark.sources.lake import merge_apply_cdc, write_partitioned
+
+    root = str(tmp_path / "tree")
+    write_partitioned(
+        spark.createDataFrame(
+            [(1, "a", "en")], "k long, text string, lang string"
+        ),
+        root,
+        ["lang"],
+    )
+    # every changelog row is a retraction of a key that never existed:
+    # zero affected partitions, but `text` arrives retyped
+    cdc = spark.createDataFrame(
+        [(99, 1, "D", 7, "en")],
+        "k long, seq long, op string, text long, lang string",
+    )
+    with pytest.raises(ValueError, match="TYPE-changed"):
+        merge_apply_cdc(spark, root, cdc, "k", "lang")
+
+
+def test_evolution_ignores_nested_nullability(spark, tmp_path):
+    """r10 ADVICE: nested struct/array element nullability differences
+    are NOT a type change — parquet encodes optionality per leaf and
+    the merged read relaxes it; only genuine retypes reject."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from poc_spark.sources.lake import (
+        merge_upsert_partitioned,
+        read_snapshot,
+    )
+
+    def sch(nullable_elem: bool) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField(
+                    "tags", T.ArrayType(T.StringType(), nullable_elem)
+                ),
+                T.StructField(
+                    "meta",
+                    T.StructType(
+                        [T.StructField("n", T.LongType(), nullable_elem)]
+                    ),
+                ),
+            ]
+        )
+
+    from poc_spark.sources.lake import write_partitioned
+
+    root = str(tmp_path / "tree")
+    write_partitioned(
+        spark.createDataFrame([(1, "en", ["a"], (3,))], sch(True)),
+        root,
+        ["lang"],
+    )
+    strict = spark.createDataFrame([(1, "en", ["b"], (4,))], sch(False))
+    merge_upsert_partitioned(spark, root, strict, "k", "lang")
+    got = read_snapshot(spark, root).collect()
+    assert len(got) == 1 and got[0]["tags"] == ["b"]
+
+    # a genuine nested retype still rejects
+    retyped = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("tags", T.ArrayType(T.LongType(), True)),
+            T.StructField(
+                "meta",
+                T.StructType([T.StructField("n", T.LongType(), True)]),
+            ),
+        ]
+    )
+    bad = spark.createDataFrame([(1, "en", [1], (5,))], retyped)
+    with pytest.raises(ValueError, match="TYPE-changed"):
+        merge_upsert_partitioned(spark, root, bad, "k", "lang")

@@ -541,3 +541,22 @@ def test_create_table_versioned_from_birth(spark, tmp_path, fake_fs_conf):
             create_table_versioned(spark, base, root, ["lang"])
     finally:
         FakeObjectStorage.promote_tree_exclusive = real
+
+
+def test_fake_store_conf_error_names_key(spark):
+    """r10 ADVICE: a non-numeric fake-store knob raises a named,
+    actionable error instead of a bare int() ValueError."""
+    import pytest
+
+    from poc_spark.sources.storage import storage_for
+
+    spark.conf.set("spark.poc.lake.fs", "fake-objectstore")
+    spark.conf.set("spark.poc.lake.fake.pageSize", "lots")
+    try:
+        with pytest.raises(
+            ValueError, match=r"spark\.poc\.lake\.fake\.pageSize='lots'"
+        ):
+            storage_for(spark)
+    finally:
+        spark.conf.unset("spark.poc.lake.fake.pageSize")
+        spark.conf.unset("spark.poc.lake.fs")

@@ -209,3 +209,58 @@ def test_wet_filter_shape(spark, tmp_path):
     conv = df.filter(F.col("warc_type") == "conversion").collect()
     assert [r["target_uri"] for r in conv] == ["urn:poc:doc/7"]
     assert df.count() == 2
+
+
+def test_quarantine_drains_unread_tail_and_offsets():
+    """r10 ADVICE pins: (1) a terminal plain-WARC quarantine drains the
+    UNREAD stream remainder into the quarantine row (the old form
+    silently discarded bytes past the buffered prefix), bounded by
+    MAX_RECORD_BYTES with the bound stated in the error; (2) gzip
+    quarantine errors carry the member's compressed-byte offset."""
+    import io
+
+    from poc_spark.sources.warc import (
+        _iter_members_stream,
+        _iter_plain_records_stream,
+    )
+
+    # (1) headerless stream far longer than one chunk: every byte must
+    # land in the single quarantine row
+    junk = b"not-a-warc-" * 1000  # 11 kB, chunk_size=64 below
+    out = list(_iter_plain_records_stream(io.BytesIO(junk), chunk_size=64))
+    assert len(out) == 1
+    assert out[0][0] == junk and "no-header-terminator" in out[0][1]
+
+    # unresolvable Content-Length: record head + a long tail, all kept
+    bad = b"WARC/1.0\r\nContent-Length: xx\r\n\r\n" + junk
+    out = list(_iter_plain_records_stream(io.BytesIO(bad), chunk_size=64))
+    assert len(out) == 1
+    assert out[0][0] == bad and "unresolvable-content-length" in out[0][1]
+
+    # bound: a tail beyond MAX_RECORD_BYTES is truncated LOUDLY
+    class _Endless(io.RawIOBase):
+        def __init__(self, n):
+            self.left = n
+
+        def read(self, k=-1):
+            k = min(k if k > 0 else 1 << 20, self.left)
+            self.left -= k
+            return b"\xff" * k
+
+    out = list(
+        _iter_plain_records_stream(
+            _Endless(MAX_RECORD_BYTES + 100), chunk_size=1 << 20
+        )
+    )
+    assert len(out) == 1
+    assert len(out[0][0]) == MAX_RECORD_BYTES
+    assert "trailing bytes beyond MAX_RECORD_BYTES" in out[0][1]
+
+    # (2) gzip member offset: corrupt the SECOND member; the error must
+    # name a byte offset at/near that member's start
+    m1, m2 = _gz(_rec(1)), _gz(_rec(2))
+    blob = m1 + m2[:20] + _gz(_rec(3))
+    rows = list(_iter_members_stream(io.BytesIO(blob), chunk_size=7))
+    errs = [e for _, e in rows if e is not None]
+    assert len(errs) == 1
+    assert f"near offset {len(m1)}" in errs[0], errs[0]
