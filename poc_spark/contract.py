@@ -3988,41 +3988,72 @@ def stream_hourly_counts(spark, sf_dir):
     SELECT count(*) AS n_events,
            sum(user_id)::BIGINT AS uid_sum,
            count(DISTINCT event_type) AS n_types
-    FROM events WHERE user_id BETWEEN 10 AND 29
+    FROM (
+      SELECT user_id, event_type FROM events
+      UNION ALL
+      SELECT 20 + event_id AS user_id, 'click' AS event_type
+      FROM events WHERE event_id BETWEEN 1 AND 3
+    ) m
+    WHERE user_id BETWEEN 10 AND 29
     """,
 )
 def lake_stats_skipping(spark, sf_dir):
-    """File-level data skipping via a min/max stats index (sources/
-    lake.py build_stats_index / read_with_skipping — the Delta/Iceberg
-    skipping-manifest shape on plain parquet): events are re-laid
-    range-clustered on user_id (write_clustered → disjoint per-file
-    ranges), a distributed footer scan builds the one-row-per-file
-    index, and the range query [10, 29] prunes the FILE LIST from the
-    index before Spark lists the data directory — the entry RAISES if
-    no file was actually skipped, so the pruning claim is enforced,
-    not assumed. The oracle runs the same range aggregate over the
-    original un-clustered table, pinning that skipping lost no rows
-    and the clustered rewrite preserved content. At 100 TB this is
-    the difference between opening every footer per query and reading
-    a few-thousand-row manifest."""
+    """COMMIT-SCOPED data skipping (sources/lake.py
+    create_stats_index_tree / read_tree_with_skipping — the
+    Delta/Iceberg stats-in-the-commit-manifest discipline, r10 VERDICT
+    missing #2): events land as a versioned hive tree partitioned by
+    event_type with files range-clustered on user_id, the stats index
+    is added AS A COMMIT (shards live inside the version directory),
+    and then a MERGE inserts three new click rows whose user_ids sit
+    inside the probe range. The merge rewrites ONLY the click
+    partition (asserted) — its index shard is rebuilt from the staged
+    files while every other partition's shard is CARRIED — and the
+    range read resolves the index THROUGH THE VERSION POINTER with
+    loud version+coverage validation. A stale standalone index (the
+    pre-r11 shape) would miss the merged rows because the retained old
+    version's files still exist to serve silently; here the oracle
+    replays the merge relationally, so serving pre-merge data is a
+    value-hash mismatch, and the entry RAISES unless files were
+    actually pruned. At 100 TB: per-query footer reads become one
+    small validated manifest, maintained at merge time for the cost of
+    the rewritten partitions only."""
     from poc_spark.sources.lake import (
-        build_stats_index,
-        read_with_skipping,
-        write_clustered,
+        create_stats_index_tree,
+        drop_tree,
+        merge_upsert_partitioned,
+        read_tree_with_skipping,
+        write_partitioned,
     )
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    data = _export_path("skiptree", sf_dir)
-    idxp = _export_path("skipidx", sf_dir)
-    # fresh layout + index each run (stale-artifact rule)
-    write_clustered(ev, data, "user_id", n_files=16)
-    build_stats_index(spark, data, ["user_id"], idxp)
-    df, n_sel, n_tot = read_with_skipping(
-        spark, data, idxp, "user_id", 10, 29
+    root = _export_path("skiptreev", sf_dir)
+    # fresh tree + index each run (stale-artifact rule)
+    drop_tree(root)
+    write_partitioned(
+        ev.repartitionByRange(8, "user_id"), root, ["event_type"]
     )
-    if n_sel >= n_tot:
+    create_stats_index_tree(spark, root, ["user_id"], name="stats")
+    ups = ev.filter("event_id BETWEEN 1 AND 3").select(
+        (-F.col("event_id")).alias("event_id"),
+        "ts",
+        (F.lit(20) + F.col("event_id")).alias("user_id"),
+        F.lit("click").alias("event_type"),
+    )
+    affected = merge_upsert_partitioned(
+        spark, root, ups, "event_id", "event_type"
+    )
+    if affected != ["click"]:
+        raise RuntimeError(
+            f"lake_stats_skipping: merge touched {affected} — inserts "
+            "keyed into one partition must rewrite exactly [click] "
+            "(everything else is shard-carry territory)"
+        )
+    df, n_sel, n_tot = read_tree_with_skipping(
+        spark, root, "user_id", 10, 29, "stats"
+    )
+    if not 0 < n_sel < n_tot:
         raise RuntimeError(
             f"lake_stats_skipping: index selected {n_sel}/{n_tot} files — "
             "range-clustered layout should prune; skipping is not working"
@@ -4037,37 +4068,52 @@ def lake_stats_skipping(spark, sf_dir):
 @register(
     "lake_bloom_skipping",
     """
-    SELECT event_id, user_id, event_type
+    SELECT event_id, (-77)::BIGINT AS user_id, event_type
     FROM events WHERE event_id = 42
     """,
 )
 def lake_bloom_skipping(spark, sf_dir):
-    """Point-lookup data skipping via a per-file BLOOM index (sources/
-    lake.py build_bloom_index / read_with_bloom), the complement of
-    lake_stats_skipping: events are laid out round-robin (NOT
-    clustered — min/max stats are useless for a point lookup here),
-    yet the equality probe event_id = 42 touches only the file(s)
-    whose bloom admits the value — ~1 of 16 plus false positives. The
-    index is built with pure DataFrame ops (input_file_name tag →
-    k-hash explode → bit_or per (file, word)); the entry RAISES if no
-    file was pruned, and the oracle is the direct relational point
-    query — false positives may waste a read but can never change the
-    answer, and that invariant is what the value-hash checks. At
-    100 TB this is the Iceberg/ORC column-bloom pattern as a
-    relational index a plain-parquet lake can maintain itself."""
-    from poc_spark.sources.lake import build_bloom_index, read_with_bloom
+    """Point-lookup skipping via a COMMIT-SCOPED bloom index (sources/
+    lake.py create_bloom_index_tree / read_tree_with_bloom), the
+    equality complement of lake_stats_skipping: events land as a
+    versioned tree partitioned by event_type with files round-robin on
+    event_id (min/max stats are useless for this probe), the bloom is
+    committed as index shards inside the version directory, and a
+    MERGE then UPDATES the probed key's row (user_id := -77) —
+    rewriting its partition and REBUILDING that partition's bloom
+    shard while the others are carried. The point read resolves
+    through the pointer with version+coverage validation; a stale
+    index would still serve the pre-update row (the retained old
+    version's files exist), which the oracle — the relational point
+    query with the update applied — turns into a value-hash mismatch.
+    False positives waste a file read but never change the answer;
+    the entry RAISES if nothing was pruned. Build params (bits/k/
+    column type) live in the committed meta, so probe and index can
+    never drift (xxhash64 is type-sensitive)."""
+    from poc_spark.sources.lake import (
+        create_bloom_index_tree,
+        drop_tree,
+        merge_upsert_partitioned,
+        read_tree_with_bloom,
+        write_partitioned,
+    )
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    data = _export_path("bloomtree", sf_dir)
-    idxp = _export_path("bloomidx", sf_dir)
-    # fresh layout + index each run (stale-artifact rule)
-    ev.repartition(16).write.mode("overwrite").parquet(data)
-    build_bloom_index(spark, data, "event_id", idxp, bits=65536, k=3)
-    df, n_sel, n_tot = read_with_bloom(
-        spark, data, idxp, "event_id", 42, bits=65536, k=3
+    root = _export_path("bloomtreev", sf_dir)
+    # fresh tree + index each run (stale-artifact rule)
+    drop_tree(root)
+    write_partitioned(ev.repartition(8, "event_id"), root, ["event_type"])
+    create_bloom_index_tree(
+        spark, root, "event_id", name="bloom", bits=65536, k=3
     )
+    ups = ev.filter("event_id = 42").select(
+        "event_id", "ts", F.lit(-77).cast("long").alias("user_id"),
+        "event_type",
+    )
+    merge_upsert_partitioned(spark, root, ups, "event_id", "event_type")
+    df, n_sel, n_tot = read_tree_with_bloom(spark, root, 42, "bloom")
     if n_sel >= n_tot:
         raise RuntimeError(
             f"lake_bloom_skipping: bloom selected {n_sel}/{n_tot} files — "

@@ -1,0 +1,196 @@
+"""Commit-scoped skipping indexes (sources/lake.py — r10 VERDICT
+missing #2): stats/bloom shards living INSIDE the version directory,
+carried where data is carried and rebuilt where it is rewritten, read
+through the pointer with loud version/coverage validation. The hazard
+this layer closes: a standalone index keyed by absolute paths keeps
+pointing at the retained OLD version's files after a merge — those
+files still exist, so a stale index silently serves pre-merge data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from poc_spark.sources.lake import (
+    _INDEX_DIR,
+    compact_inplace,
+    create_bloom_index_tree,
+    create_stats_index_tree,
+    create_table_versioned,
+    merge_upsert_partitioned,
+    read_snapshot,
+    read_tree_with_bloom,
+    read_tree_with_skipping,
+    resolve_snapshot,
+    write_partitioned,
+)
+
+
+@pytest.fixture(params=["posix", "fake-objectstore"])
+def lake_fs(request, spark):
+    """Run each lifecycle on both backends — the fake store has no
+    hardlinks/renames, so shard carry exercises the server-side-copy
+    path there."""
+    if request.param == "fake-objectstore":
+        spark.conf.set("spark.poc.lake.fs", "fake-objectstore")
+    try:
+        yield request.param
+    finally:
+        if request.param == "fake-objectstore":
+            spark.conf.unset("spark.poc.lake.fs")
+
+
+def _mk_tree(spark, root):
+    """3-partition tree, files range-clustered on v within partitions
+    so stats pruning has something to prune."""
+    rows = [(i, f"p{i % 3}", i * 10) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "k long, part string, v long")
+    write_partitioned(df.repartitionByRange(4, "v"), root, ["part"])
+    return df
+
+
+def _shard_inos(cur, name):
+    out = {}
+    base = os.path.join(cur, _INDEX_DIR, name)
+    for pd in os.listdir(base):
+        full = os.path.join(base, pd)
+        if os.path.isdir(full):
+            out[pd] = sorted(
+                os.stat(os.path.join(full, f)).st_ino
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_stats_index_merge_carries_and_rebuilds(spark, tmp_path, lake_fs):
+    root = str(tmp_path / "t")
+    _mk_tree(spark, root)
+    n_shards = create_stats_index_tree(spark, root, ["v"], name="sv")
+    assert n_shards == 3
+
+    df, n_sel, n_tot = read_tree_with_skipping(spark, root, "v", 100, 200, "sv")
+    got = sorted(r["k"] for r in df.collect())
+    assert got == list(range(10, 21))
+    assert 0 < n_sel < n_tot, (n_sel, n_tot)
+
+    v_before = resolve_snapshot(root, spark)
+    inos_before = _shard_inos(v_before, "sv") if lake_fs == "posix" else None
+
+    # merge: rewrite ONLY partition p1 (k=100 lands v=150 inside the
+    # probe range; k=4 moves its v outside it)
+    up = spark.createDataFrame(
+        [(100, "p1", 150), (4, "p1", 999)], "k long, part string, v long"
+    )
+    merge_upsert_partitioned(spark, root, up, "k", "part")
+
+    df2, n_sel2, n_tot2 = read_tree_with_skipping(
+        spark, root, "v", 100, 200, "sv"
+    )
+    got2 = sorted(r["k"] for r in df2.collect())
+    want2 = sorted(set(range(10, 21)) - {4} | {100})
+    assert got2 == want2  # stale index would miss k=100 / keep k=4
+    assert 0 < n_sel2 < n_tot2
+
+    v_after = resolve_snapshot(root, spark)
+    assert v_after != v_before
+    if lake_fs == "posix":
+        inos_after = _shard_inos(v_after, "sv")
+        # untouched partitions' shards are CARRIED (same inodes —
+        # hardlinks, zero bytes copied); the rewritten one is rebuilt
+        assert inos_after["part=p0"] == inos_before["part=p0"]
+        assert inos_after["part=p2"] == inos_before["part=p2"]
+        assert inos_after["part=p1"] != inos_before["part=p1"]
+
+
+def test_bloom_index_tree_point_lookup_across_merge(spark, tmp_path, lake_fs):
+    root = str(tmp_path / "t")
+    _mk_tree(spark, root)
+    create_bloom_index_tree(spark, root, "k", name="bk", bits=65536, k=3)
+
+    df, n_sel, n_tot = read_tree_with_bloom(spark, root, 42, "bk")
+    assert [r["v"] for r in df.collect()] == [420]
+    assert n_sel < n_tot
+
+    up = spark.createDataFrame([(42, "p0", -1)], "k long, part string, v long")
+    merge_upsert_partitioned(spark, root, up, "k", "part")
+    df2, n_sel2, _ = read_tree_with_bloom(spark, root, 42, "bk")
+    assert [r["v"] for r in df2.collect()] == [-1]
+    assert n_sel2 < n_tot
+
+
+def test_index_version_mismatch_fails_loudly(spark, tmp_path):
+    import json
+
+    root = str(tmp_path / "t")
+    _mk_tree(spark, root)
+    create_stats_index_tree(spark, root, ["v"], name="sv")
+    cur = resolve_snapshot(root, spark)
+    mp = os.path.join(cur, _INDEX_DIR, "sv.meta.json")
+    meta = json.loads(open(mp).read())
+    meta["version"] = "v999999"
+    open(mp, "w").write(json.dumps(meta))
+    with pytest.raises(RuntimeError, match="mismatched index"):
+        read_tree_with_skipping(spark, root, "v", 0, 1, "sv")
+
+
+def test_index_coverage_mismatch_fails_loudly(spark, tmp_path):
+    import shutil
+
+    root = str(tmp_path / "t")
+    _mk_tree(spark, root)
+    create_stats_index_tree(spark, root, ["v"], name="sv")
+    cur = resolve_snapshot(root, spark)
+    # simulate a commit path that forgot index maintenance: a data
+    # file the index has never seen
+    pdir = os.path.join(cur, "part=p0")
+    src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    shutil.copyfile(
+        os.path.join(pdir, src), os.path.join(pdir, "rogue.parquet")
+    )
+    with pytest.raises(RuntimeError, match="does not cover"):
+        read_tree_with_skipping(spark, root, "v", 0, 1, "sv")
+
+
+def test_missing_index_names_builders(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk_tree(spark, root)
+    with pytest.raises(ValueError, match="create_stats_index_tree"):
+        read_tree_with_skipping(spark, root, "v", 0, 1, "nope")
+
+
+def test_compaction_rebuilds_flat_index(spark, tmp_path, lake_fs):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 201)], "k long, v long"
+    )
+    create_table_versioned(
+        spark, df.repartitionByRange(8, "v"), root
+    )
+    create_stats_index_tree(spark, root, ["v"], name="sv")
+    _, n_sel, n_tot = read_tree_with_skipping(spark, root, "v", 10, 90, "sv")
+    assert 0 < n_sel < n_tot
+
+    n_files = compact_inplace(spark, root, target_bytes=1 << 30)
+    assert n_files == 1
+    df2, n_sel2, n_tot2 = read_tree_with_skipping(
+        spark, root, "v", 10, 90, "sv"
+    )
+    assert n_tot2 == 1 and n_sel2 == 1  # one compacted file, rebuilt index
+    assert sorted(r["k"] for r in df2.collect()) == list(range(1, 10))
+    assert read_snapshot(spark, root).count() == 200
+
+
+def test_second_index_carries_first(spark, tmp_path):
+    """Adding a second index is a commit too — the first index's
+    shards carry through it and both stay valid."""
+    root = str(tmp_path / "t")
+    _mk_tree(spark, root)
+    create_stats_index_tree(spark, root, ["v"], name="sv")
+    create_bloom_index_tree(spark, root, "k", name="bk", bits=65536, k=3)
+    _, n_sel, _ = read_tree_with_skipping(spark, root, "v", 100, 200, "sv")
+    assert n_sel > 0
+    dfb, _, _ = read_tree_with_bloom(spark, root, 7, "bk")
+    assert [r["v"] for r in dfb.collect()] == [70]
