@@ -5251,6 +5251,90 @@ def lake_time_travel(spark, sf_dir):
 
 
 @register(
+    "lake_deletion_vectors",
+    """
+    WITH masked AS (
+      SELECT lang, text, n_chars FROM documents WHERE doc_id % 13 <> 5
+    ),
+    stage AS (
+      SELECT 'history' AS snapshot, lang, text, n_chars FROM documents
+      UNION ALL SELECT 'mor', lang, text, n_chars FROM masked
+      UNION ALL SELECT 'folded', lang, text, n_chars FROM masked
+    )
+    SELECT snapshot, lang, count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM stage GROUP BY snapshot, lang
+    """,
+)
+def lake_deletion_vectors(spark, sf_dir):
+    """MERGE-ON-READ deletes via deletion vectors (sources/lake.py
+    delete_keys_dv / fold_dv — the Delta/Iceberg DV rung after schema
+    evolution, r10 VERDICT #5): scattered keys (doc_id % 13 == 5,
+    landing in every lang partition) are deleted by committing a
+    (partition, key) SIDECAR while every data file is byte-carried —
+    cost ∝ deleted keys, zero partition rewrites (pytest pins the
+    carried inodes). Three states are then checked against one
+    relational oracle: 'mor' reads the DV version (the anti-join mask
+    must hide exactly the deleted keys), 'history' time-travels to the
+    pre-delete version (its snapshot has no sidecar — DVs are
+    per-version state), and 'folded' reads after fold_dv rewrote the
+    masked partitions and RETIRED the sidecar (asserted: a second
+    fold finds nothing) — mor and folded must agree bit-for-bit, so
+    fold-in changed bytes but never content. At 100 TB this is
+    "delete 0.1% of keys" without rewriting terabytes, with compaction
+    folding the debt on maintenance schedule."""
+    from poc_spark.sources.lake import (
+        delete_keys_dv,
+        drop_tree,
+        fold_dv,
+        list_versions,
+        read_snapshot,
+        read_version,
+        write_partitioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _export_path("dvtree", sf_dir)
+    # fresh lineage every run (stale-artifact rule, as lake_time_travel)
+    drop_tree(root)
+    spark.conf.set("spark.poc.lake.retain", "3")
+    try:
+        write_partitioned(docs, root, ["lang"])
+        keys = docs.filter("doc_id % 13 = 5").select("doc_id")
+        n = delete_keys_dv(spark, root, keys, "doc_id", "lang")
+        if n == 0:
+            raise RuntimeError(
+                "lake_deletion_vectors: no keys matched — the mask "
+                "check below would be vacuous"
+            )
+        mor = _content_agg(read_snapshot(spark, root), "lang")
+        versions = list_versions(root)
+        hist = _content_agg(read_version(spark, root, versions[0]), "lang")
+        folded_parts = fold_dv(spark, root)
+        if not folded_parts:
+            raise RuntimeError(
+                "lake_deletion_vectors: fold_dv found no sidecar to fold"
+            )
+        folded = _content_agg(read_snapshot(spark, root), "lang")
+        if fold_dv(spark, root):
+            raise RuntimeError(
+                "lake_deletion_vectors: sidecar survived the fold — "
+                "fold_dv must retire it"
+            )
+        return (
+            hist.select(F.lit("history").alias("snapshot"), "*")
+            .unionByName(mor.select(F.lit("mor").alias("snapshot"), "*"))
+            .unionByName(
+                folded.select(F.lit("folded").alias("snapshot"), "*")
+            )
+        )
+    finally:
+        spark.conf.unset("spark.poc.lake.retain")
+
+
+@register(
     "lake_schema_evolution",
     """
     WITH scored AS (
@@ -8151,6 +8235,10 @@ from poc_spark import contract_scale  # noqa: E402,F401  isort: skip
 # last. tests/test_contract_registry.py pins the invariant.
 
 _TAIL = [
+    # --- r11 interim: dedup_incremental (driver-green r10, unchanged
+    # this round) yields its slot to the new lake_deletion_vectors;
+    # the full r11 rotation below regenerates the window.
+    "dedup_incremental",
     # --- r10 rotation (VERDICT r9 #4): regenerated oldest-witness-first
     # from the CORRECTNESS_r01-r09 union. The 50-slot head holds:
     # (a) the four r10-new entries with no driver witness yet:
