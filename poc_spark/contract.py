@@ -4313,6 +4313,127 @@ def stream_restart_rollup(spark, sf_dir):
 
 
 @register(
+    "stream_append_table",
+    """
+    WITH t AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id
+      FROM events
+    )
+    SELECT day, count(*) AS n_rows,
+           sum(user_id)::BIGINT AS sum_user_id,
+           sum(('0x' || substr(md5(day || '|' || event_type || '|' ||
+                               user_id::VARCHAR), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM t GROUP BY day
+    """,
+)
+def stream_append_table(spark, sf_dir):
+    """STREAMING INGESTION INTO A VERSIONED LAKE TABLE (r10 VERDICT
+    #6 — generalizes stream_restart_rollup's exactly-once from the
+    aggregated rollup to the raw landing table, the actual production
+    ingestion shape): the events backlog arrives in two deliveries.
+    Query 1 (checkpointed FileStreamSource, availableNow,
+    maxFilesPerTrigger=1) appends the first half micro-batch by
+    micro-batch — each batch one atomic version-pointer commit whose
+    metadata records the applied batch id — and stops. Between the
+    runs a crash-REPLAY of an applied id carrying poison rows is
+    injected at the sink and must be absorbed without touching the
+    table. Query 2 is a brand-new query on the SAME checkpoint after
+    the second half lands: durable offsets mean it drains ONLY the
+    new files (asserted). The terminal TABLE — not an aggregate of
+    it, the per-row content checksum pins multiplicity — must equal
+    the one-shot batch of all events: every row appended exactly
+    once across an arbitrary batch split, a restart boundary, and a
+    replay. Readers at any instant see a complete prefix of the
+    stream (pointer-flip atomicity), which is the guarantee that lets
+    every other query in this registry run against a table a stream
+    is writing."""
+    import shutil
+
+    from poc_spark.sources.lake import drop_tree, read_snapshot
+    from poc_spark.streaming.ingest import (
+        append_batch_exactly_once,
+        ingest_stream_to_table,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    landing = _export_path("stream_append_src", sf_dir)
+    ckpt = _export_path("stream_append_ckpt", sf_dir)
+    root = _export_path("stream_append_table", sf_dir)
+    # fresh landing + checkpoint + table every run (stale-artifact
+    # rule: a reused checkpoint would skip the whole backlog)
+    shutil.rmtree(landing, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    drop_tree(root)
+    first = ev.filter(F.col("user_id") % 2 == 0)
+    second = ev.filter(F.col("user_id") % 2 != 0)
+    first.repartition(3).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    def prepare(df):
+        return df.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "user_id",
+        )
+
+    def drain():
+        return ingest_stream_to_table(
+            spark, landing, schema, root, prepare, "day",
+            max_files_per_trigger=1, checkpoint=ckpt,
+        )
+
+    n1 = drain()
+    if n1 < 2:
+        raise RuntimeError(
+            f"stream_append_table: query 1 drained {n1} batches — the "
+            "multi-batch restart scenario needs >= 2"
+        )
+    # crash replay: batch 0 was applied; redelivering it with poison
+    # rows must be a no-op via the commit-metadata dedup
+    replay = spark.createDataFrame(
+        [("1970-01-01", "poison", int(1e12))],
+        "day string, event_type string, user_id long",
+    )
+    if append_batch_exactly_once(spark, root, replay, 0, "day"):
+        raise RuntimeError(
+            "stream_append_table: a replayed batch id was APPLIED — "
+            "exactly-once dedup is broken"
+        )
+    second.repartition(3).write.mode("append").parquet(landing)
+    n2 = drain()  # new query, same checkpoint: only the new files
+    if not (1 <= n2 <= 3):
+        raise RuntimeError(
+            f"stream_append_table: query 2 drained {n2} batches — a "
+            "restart that reprocesses the first delivery (>3) or sees "
+            "nothing (0) breaks the checkpoint-resume claim"
+        )
+    t = read_snapshot(spark, root)
+    return t.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").cast("long").alias("sum_user_id"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("day").cast("string"),
+                            "event_type",
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias("content_sum"),
+    )
+
+
+@register(
     "stream_click_attribution",
     """
     WITH i AS (
@@ -8235,10 +8356,12 @@ from poc_spark import contract_scale  # noqa: E402,F401  isort: skip
 # last. tests/test_contract_registry.py pins the invariant.
 
 _TAIL = [
-    # --- r11 interim: dedup_incremental (driver-green r10, unchanged
-    # this round) yields its slot to the new lake_deletion_vectors;
-    # the full r11 rotation below regenerates the window.
+    # --- r11 interim: dedup_incremental and emb_project (driver-green
+    # r10, unchanged this round) yield their slots to the new
+    # lake_deletion_vectors / stream_append_table; the full r11
+    # rotation below regenerates the window.
     "dedup_incremental",
+    "emb_project",
     # --- r10 rotation (VERDICT r9 #4): regenerated oldest-witness-first
     # from the CORRECTNESS_r01-r09 union. The 50-slot head holds:
     # (a) the four r10-new entries with no driver witness yet:

@@ -269,3 +269,79 @@ def apply_rollup_batch_exactly_once(
         commit_meta={"applied_batches": sorted(applied | {int(batch_id)})},
     )
     return True
+
+
+def append_batch_exactly_once(
+    spark,
+    root: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    partition_col: str,
+) -> bool:
+    """Idempotent raw-append micro-batch — the table-landing twin of
+    apply_rollup_batch_exactly_once (r10 VERDICT #6): the applied
+    batch ids ride the table's own commit metadata, so "batch
+    recorded" and "batch's rows appended" are the SAME atomic pointer
+    flip. A replayed id (crash between commit and checkpoint advance)
+    returns False without touching the table."""
+    from poc_spark.sources.lake import (
+        append_partitioned_versioned,
+        read_tree_meta,
+    )
+
+    applied = set(read_tree_meta(root).get("applied_batches", []))
+    if int(batch_id) in applied:
+        return False
+    append_partitioned_versioned(
+        spark,
+        root,
+        batch_df,
+        partition_col,
+        commit_meta={"applied_batches": sorted(applied | {int(batch_id)})},
+    )
+    return True
+
+
+def ingest_stream_to_table(
+    spark,
+    landing_dir: str,
+    schema,
+    root: str,
+    prepare,
+    partition_col: str,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+) -> int:
+    """CONTINUOUS ingestion into a versioned lake TABLE — the
+    production landing shape ("the stream lands in the table other
+    queries read", r10 VERDICT #6): a FileStreamSource drains the
+    landing directory micro-batch by micro-batch and each batch
+    APPENDS to the partitioned table as one atomic version-pointer
+    commit with batch-id dedup (append_batch_exactly_once). Readers
+    always see a complete prefix of the stream, never a torn batch;
+    a crashed batch re-runs from the checkpointed offset and its
+    redelivery is absorbed by the txn metadata. `prepare` maps the
+    raw micro-batch to the table's row shape (the ns-timestamp quirk
+    belongs there). Returns the number of micro-batches this query
+    processed."""
+    n_batches = 0
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        append_batch_exactly_once(
+            spark, root, prepare(batch_df), batch_id, partition_col
+        )
+
+    writer = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return n_batches
