@@ -4586,86 +4586,81 @@ def stream_watermark_eviction(spark, sf_dir):
     can never silently degrade into a single-batch no-op). State-size argument at scale:
     streaming/joins.py — state is O(rate x (watermark + window)) per
     key, independent of stream length, BECAUSE of this eviction."""
+    import shutil as _shutil
     import time as _time
     import uuid
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from poc_spark.streaming.joins import attribute_clicks
 
-    pdf = (
+    # STAGING WITHOUT A DRIVER ROUND-TRIP (r10 VERDICT #4 — the last
+    # two full-table toPandas stagings; same executor-side pattern as
+    # stream_session_window): every landing file is computed and
+    # WRITTEN by executors — f1 is the real stream, f4 derives the
+    # late clicks from the view events in-plan (event_type→'click',
+    # ts+1h) — and the driver only moves each finished part file into
+    # place and stamps its mtime. The only driver data movement is a
+    # 1-row max() scalar.
+    ev = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("view", "click"))
         .select(
             "event_type",
             F.col("user_id").alias("ad_id"),
             F.expr(
-                "timestampdiff(MICROSECOND, "
-                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-            ).alias("us"),
+                "timestamp_micros(timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ).alias("ts"),
         )
-        .toPandas()
     )
-    max_us = int(pdf["us"].max())
-    late = pdf[pdf["event_type"] == "view"].copy()
-    late["event_type"] = "click"
-    late["us"] = late["us"] + 3_600_000_000  # 1 h after the impression
+    max_row = ev.agg(F.max("ts").alias("mx")).collect()[0]  # 1-row scalar
+    max_us = int(max_row["mx"].timestamp() * 1_000_000)
     staged = _export_path("stream_evict_src", sf_dir)
+    _shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(staged, exist_ok=True)
-    for f in os.listdir(staged):
-        os.remove(os.path.join(staged, f))
-    arrow_schema = pa.schema(
-        [
-            ("event_type", pa.string()),
-            ("ad_id", pa.int64()),
-            ("ts", pa.timestamp("us", tz="UTC")),
-        ]
-    )
 
-    def _write(name: str, etypes, ad_ids, uss, mtime: float) -> None:
-        tbl = pa.table(
-            {
-                "event_type": pa.array(etypes, pa.string()),
-                "ad_id": pa.array(ad_ids, pa.int64()),
-                "ts": pa.array([int(u) for u in uss], pa.timestamp("us", tz="UTC")),
-            },
-            schema=arrow_schema,
+    def _stage(df, name: str, mtime: float) -> None:
+        import glob
+
+        tmp = os.path.join(staged, name + ".stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(staged, name)
+        os.replace(part, dest)
+        _shutil.rmtree(tmp)
+        os.utime(dest, (mtime, mtime))
+
+    def _sentinels(pairs, us: int):
+        return spark.createDataFrame(
+            list(pairs), "event_type string, ad_id long"
+        ).select(
+            "event_type", "ad_id", F.expr(f"timestamp_micros({us})").alias("ts")
         )
-        path = os.path.join(staged, name)
-        pq.write_table(tbl, path)
-        os.utime(path, (mtime, mtime))
 
     t0 = _time.time() - 300
-    _write(
-        "f1_real.parquet",
-        pdf["event_type"].tolist(),
-        pdf["ad_id"].tolist(),
-        pdf["us"].tolist(),
-        t0,
-    )
+    _stage(ev, "f1_real.parquet", t0)
     adv = max_us + 100 * 24 * 3_600_000_000
-    _write("f2_advance.parquet", ["view", "click"], [-1, -2], [adv, adv], t0 + 30)
+    _stage(
+        _sentinels([("view", -1), ("click", -2)], adv),
+        "f2_advance.parquet",
+        t0 + 30,
+    )
     # a second sentinel batch between the advance and the late file:
     # Spark propagates a new watermark to the late-input filter with a
     # one-batch lag (measured here: the late rows sail through when they
     # arrive in the very next batch even though the progress line already
     # reports the advanced watermark), so the eviction claim needs the
     # late data to arrive two batches after the jump.
-    _write(
+    _stage(
+        _sentinels([("view", -3), ("click", -4)], adv + 3_600_000_000),
         "f3_advance2.parquet",
-        ["view", "click"],
-        [-3, -4],
-        [adv + 3_600_000_000, adv + 3_600_000_000],
         t0 + 60,
     )
-    _write(
-        "f4_late.parquet",
-        late["event_type"].tolist(),
-        late["ad_id"].tolist(),
-        late["us"].tolist(),
-        t0 + 90,
+    late = ev.filter("event_type = 'view'").select(
+        F.lit("click").alias("event_type"),
+        "ad_id",
+        F.expr("ts + INTERVAL 1 HOUR").alias("ts"),
     )
+    _stage(late, "f4_late.parquet", t0 + 90)
 
     src_schema = "event_type string, ad_id long, ts timestamp"
 
@@ -4920,56 +4915,56 @@ def stream_stateful_dedup(spark, sf_dir):
     batches ran and later batches actually DROPPED re-seen keys (the
     cross-batch state did something), so it can never degrade into a
     single-batch distinct."""
+    import shutil as _shutil
     import time as _time
     import uuid
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from poc_spark.streaming.stateful import first_event_stream
 
-    pdf = (
-        _t(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            "event_type",
-            F.expr(
-                "timestampdiff(MICROSECOND, "
-                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-            ).alias("us"),
-        )
-        .toPandas()
-        .sort_values("us", kind="stable")
-        .reset_index(drop=True)
+    # STAGING WITHOUT A DRIVER ROUND-TRIP (r10 VERDICT #4 — same
+    # executor-side pattern as stream_session_window): the four
+    # time-ordered landing files are VALUE-RANGE slices at the
+    # timestamp quartiles — a range split is time-contiguous by
+    # construction, so every key's FIRST slice holds its global-min
+    # row for any split (ties at a cut land together on the >= side).
+    # Each slice is written by executors; the driver collects only a
+    # 1-row quartile scalar and stamps mtimes.
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "timestamp_micros(timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+        ).alias("ts"),
     )
+    cuts = ev.agg(
+        F.percentile_approx("ts", [0.25, 0.5, 0.75]).alias("c")
+    ).collect()[0]["c"]  # 1-row scalar collect: three cuts
     staged = _export_path("stream_dedup_src", sf_dir)
+    _shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(staged, exist_ok=True)
-    for f in os.listdir(staged):
-        os.remove(os.path.join(staged, f))
-    arrow_schema = pa.schema(
-        [
-            ("user_id", pa.int64()),
-            ("event_type", pa.string()),
-            ("ts", pa.timestamp("us", tz="UTC")),
-        ]
-    )
+
+    def _stage(df, name: str, mtime: float) -> None:
+        import glob
+
+        tmp = os.path.join(staged, name + ".stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(staged, name)
+        os.replace(part, dest)
+        _shutil.rmtree(tmp)
+        os.utime(dest, (mtime, mtime))
+
     t0 = _time.time() - 300
-    n = len(pdf)
+    bounds = [None, *cuts, None]
     for i in range(4):
-        part = pdf.iloc[i * n // 4 : (i + 1) * n // 4]
-        tbl = pa.table(
-            {
-                "user_id": pa.array(part["user_id"], pa.int64()),
-                "event_type": pa.array(part["event_type"], pa.string()),
-                "ts": pa.array(
-                    [int(u) for u in part["us"]], pa.timestamp("us", tz="UTC")
-                ),
-            },
-            schema=arrow_schema,
-        )
-        path = os.path.join(staged, f"f{i}.parquet")
-        pq.write_table(tbl, path)
-        os.utime(path, (t0 + 30 * i, t0 + 30 * i))
+        lo, hi = bounds[i], bounds[i + 1]
+        sl = ev
+        if lo is not None:
+            sl = sl.filter(F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            sl = sl.filter(F.col("ts") < F.lit(hi))
+        _stage(sl, f"f{i}.parquet", t0 + 30 * i)
 
     src = (
         spark.readStream.schema("user_id long, event_type string, ts timestamp")
