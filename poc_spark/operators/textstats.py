@@ -106,6 +106,122 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+#: hashed feature space of the trained n-gram language classifier
+LANGID_NGRAM_FEATURES = 4096
+
+
+def _char_trigrams(text_col: str) -> Column:
+    """Char-trigram array of the lowercased text (SQL-expression form
+    so the identical extraction embeds in the DuckDB oracle). Empty
+    array under 3 chars — the guard matters: Spark's sequence(1, n)
+    COUNTS DOWN for n < 1 instead of returning empty."""
+    return F.expr(
+        f"CASE WHEN length(lower({text_col})) >= 3 THEN "
+        f"transform(sequence(1, length(lower({text_col})) - 2), "
+        f"i -> substr(lower({text_col}), i, 3)) "
+        "ELSE array() END"
+    )
+
+
+def _gram_bucket(gram: Column, n_features: int) -> Column:
+    """Hashing-trick bucket of one n-gram — md5-60 (the cross-engine
+    hash) mod the feature-space size, salted by purpose."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(gram, F.lit(":lid"))), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(n_features),
+    )
+
+
+def langid_ngram_train(
+    df: DataFrame,
+    n_features: int = LANGID_NGRAM_FEATURES,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """TRAIN the hashed char-n-gram language classifier (the fastText
+    langid shape, r10 VERDICT #8 — the honest upgrade over the
+    stopword-hit heuristic): explode every labeled document into char
+    trigrams, hash each into `n_features` buckets, and count per
+    (lang, bucket). Returns the model as a RELATION —
+    (lang, bucket, c, total) — at most n_langs × n_features rows, so
+    it broadcasts at apply time no matter how big the corpus was.
+
+    The gram explode is the only corpus-sized stage and it map-side
+    combines into the (lang, bucket) hash agg — one shuffle of at most
+    model-sized partials per task. Scoring uses empirical frequencies
+    c/total directly (one exact integer fold + one final double
+    division) instead of log-probabilities: bit-exact cross-engine,
+    no libm, same argmax family (monotone per-class linear scorer)."""
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(_char_trigrams(text_col)).alias("g"),
+    )
+    model = grams.select(
+        "lang", _gram_bucket(F.col("g"), n_features).alias("bucket")
+    ).groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    totals = model.groupBy("lang").agg(F.sum("c").alias("total"))
+    return model.join(totals, "lang").select(
+        "lang", "bucket", F.col("c").cast("long").alias("c"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
+def langid_ngram_score(
+    df: DataFrame,
+    model: DataFrame,
+    n_features: int = LANGID_NGRAM_FEATURES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY the trained n-gram classifier: hash each document's
+    trigrams, broadcast-join the model, score each language as
+    Σ tf·c / total (exact integer numerator, one double division,
+    round 6 — bit-exact cross-engine), argmax with (score DESC,
+    lang ASC) determinism. Returns (id, pred_lang, score). Documents
+    whose grams hit no model bucket have no row (both engines agree).
+
+    Scale: corpus-sized work is the gram explode + two hash aggs keyed
+    by (id, ...); the model side is broadcast (≤ langs × n_features
+    rows) — no corpus shuffle against the model, ever."""
+    from pyspark.sql import Window
+
+    docg = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_char_trigrams(text_col)).alias("g"),
+        )
+        .select("id", _gram_bucket(F.col("g"), n_features).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        docg.join(F.broadcast(model), "bucket")
+        .groupBy("id", "lang")
+        .agg(
+            F.sum(F.col("tf") * F.col("c")).cast("long").alias("num"),
+            F.max("total").alias("total"),  # constant within the group
+        )
+        .select(
+            "id",
+            "lang",
+            F.round(
+                F.col("num").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", F.col("lang").alias("pred_lang"), "score")
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fp) — md5 of the whitespace-normalized, casefolded text: the
     canonical content fingerprint (identical in any engine with md5)."""
