@@ -5550,6 +5550,74 @@ def lake_deletion_vectors(spark, sf_dir):
 
 
 @register(
+    "lake_compact_partitions",
+    """
+    SELECT lang, count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM documents WHERE doc_id % 11 <> 3 GROUP BY lang
+    """,
+)
+def lake_compact_partitions(spark, sf_dir):
+    """Per-partition COMPACTION composed with the whole table format
+    (sources/lake.py compact_partitions — the scheduled OPTIMIZE job
+    streaming append ingestion needs): documents land fragmented
+    (8 files per lang partition), a commit-scoped stats index is
+    added, scattered keys are deletion-vector-deleted (byte-carried
+    commit), and then ONE compaction commit rewrites every fragmented
+    partition down to its size-math file count — through
+    _commit_partitions, so the index shards REBUILD for the compacted
+    partitions and the DV rows FOLD into the rewrite (the feeding
+    read is DV-applied). The entry asserts the file count actually
+    collapsed (via the validated index's own file census), that the
+    sidecar is fully retired (a fold pass finds nothing), and reads
+    the result THROUGH the pointer-resolved index; the oracle is the
+    original table minus the deleted keys — so compaction changed
+    bytes and layout but not one row of content."""
+    from poc_spark.sources.lake import (
+        compact_partitions,
+        create_stats_index_tree,
+        delete_keys_dv,
+        drop_tree,
+        fold_dv,
+        read_tree_with_skipping,
+        write_partitioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _export_path("cptree", sf_dir)
+    # fresh tree every run (stale-artifact rule)
+    drop_tree(root)
+    write_partitioned(docs.repartition(8), root, ["lang"])
+    create_stats_index_tree(spark, root, ["n_chars"], name="stats")
+    delete_keys_dv(
+        spark, root, docs.filter("doc_id % 11 = 3").select("doc_id"),
+        "doc_id", "lang",
+    )
+    affected = compact_partitions(spark, root, "lang", target_bytes=1 << 30)
+    if not affected:
+        raise RuntimeError(
+            "lake_compact_partitions: nothing compacted — the staged "
+            "tree must be fragmented"
+        )
+    if fold_dv(spark, root):
+        raise RuntimeError(
+            "lake_compact_partitions: deletion vector survived the "
+            "compaction — the rewrite must fold it"
+        )
+    df, n_sel, n_tot = read_tree_with_skipping(
+        spark, root, "n_chars", -(1 << 60), 1 << 60, "stats"
+    )
+    if n_tot != len(affected):
+        raise RuntimeError(
+            f"lake_compact_partitions: {n_tot} files after compaction, "
+            f"expected one per rewritten partition ({len(affected)})"
+        )
+    return _content_agg(df, "lang")
+
+
+@register(
     "lake_schema_evolution",
     """
     WITH scored AS (
@@ -8468,10 +8536,13 @@ _TAIL = [
     # (d) all 17 r6-witnessed entries (the oldest cohort — finishes
     #     the rotation promised in r10: after r11 no witness is older
     #     than r7);
-    # (e) 12 r7-witnessed fillers, oldest-first alphabetical.
+    # (e) 11 r7-witnessed fillers, oldest-first alphabetical
+    #     (q13_customer_distribution yielded its slot to the late
+    #     r11 addition lake_compact_partitions).
     # Everything below has a driver witness >= r7 (or r10 for the
     # newest demotions) and is re-witnessed by the local full-registry
     # sweeps (CORRECTNESS_local_r11*.json) each round.
+    "q13_customer_distribution",
     "op_agg_nodes",
     "op_lag_edge",
     "op_limit_n",

@@ -1424,6 +1424,72 @@ def compact_inplace(
     return n
 
 
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    _pre_publish_hook=None,
+) -> list[str]:
+    """Per-partition small-files compaction on a VERSIONED hive tree —
+    the maintenance half of streaming append ingestion (each
+    micro-batch commit adds files to its partitions; this folds them
+    back to ceil(bytes/target) per partition): rewrite ONLY the
+    partitions whose file count exceeds their size math, carry
+    everything else byte-for-byte, one atomic pointer flip. Because it
+    commits through _commit_partitions, the rest of the table format
+    rides along for free: skipping-index shards are rebuilt for the
+    compacted partitions and carried for the rest, and any deletion-
+    vector rows for compacted partitions FOLD into the rewrite (the
+    read that feeds it is DV-applied). Returns the compacted partition
+    values (empty when nothing is fragmented).
+
+    Sizing: per-partition file count from the LISTING alone (no data
+    scan); the rewrite hash-salts rows into that many buckets per
+    partition. At 100 TB this is the scheduled OPTIMIZE job — cost ∝
+    fragmented partitions' bytes, never the table."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    fs = _fs(spark, root)
+    cur = _ensure_versioned(root, spark, fs)
+    prefix = f"{partition_col}="
+    plan: dict[str, int] = {}  # raw partition value -> target file count
+    for nm, isdir in fs.scan_entries(cur):
+        if not isdir or not nm.startswith(prefix):
+            continue
+        sizes = _list_parquet_sizes(spark, os.path.join(cur, nm))
+        want = max(1, math.ceil(sum(sizes) / target_bytes))
+        if len(sizes) > want:
+            plan[nm[len(prefix):]] = want
+    if not plan:
+        return []
+    affected = sorted(plan)
+    n_buckets = max(plan.values())
+    tree = _read_tree_dir(spark, cur, fs)  # DV-applied: compaction folds
+    # salt over the hashable columns (xxhash64 rejects map types);
+    # per-partition salt bounded by the largest partition's target:
+    # each (partition, salt) pair becomes at most one output file
+    salt_cols = [
+        f.name
+        for f in tree.schema.fields
+        if not isinstance(f.dataType, T.MapType)
+    ] or [partition_col]
+    merged = tree.filter(
+        F.col(partition_col).cast("string").isin(affected)
+    ).repartition(
+        F.col(partition_col),
+        F.pmod(F.xxhash64(*salt_cols), F.lit(n_buckets)),
+    )
+    _commit_partitions(
+        spark, root, cur, merged, partition_col, affected,
+        _pre_publish_hook, fs=fs,
+    )
+    return affected
+
+
 def list_versions(root: str, fs=None) -> list[int]:
     """Retained snapshot versions of a version-pointer tree, ascending.
     `_publish_version` keeps the newest `spark.poc.lake.retain`

@@ -194,3 +194,64 @@ def test_second_index_carries_first(spark, tmp_path):
     assert n_sel > 0
     dfb, _, _ = read_tree_with_bloom(spark, root, 7, "bk")
     assert [r["v"] for r in dfb.collect()] == [70]
+
+
+def test_compact_partitions_selective_carry(spark, tmp_path):
+    """compact_partitions rewrites ONLY fragmented partitions: p1 gets
+    8 fragments, p0/p2 stay single-file — after compaction p1 is one
+    file, p0/p2 are inode-identical carries, index shards follow the
+    same split, and content is unchanged."""
+    from pyspark.sql import functions as F
+
+    from poc_spark.sources.lake import (
+        compact_partitions,
+        create_stats_index_tree,
+        merge_upsert_partitioned,
+        read_snapshot,
+        read_tree_with_skipping,
+        write_partitioned,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [(i, f"p{i % 3}", i * 10) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "k long, part string, v long")
+    write_partitioned(df.coalesce(1), root, ["part"])
+    # fragment ONLY p1 via a merge that rewrites it in 8 pieces
+    up = df.filter("part = 'p1'").repartition(8)
+    merge_upsert_partitioned(spark, root, up, "k", "part")
+    create_stats_index_tree(spark, root, ["v"], name="sv")
+
+    before = _shard_inos(resolve_snapshot(root, spark), "sv")
+    data_before = {
+        pd: sorted(
+            os.stat(os.path.join(resolve_snapshot(root, spark), pd, f)).st_ino
+            for f in os.listdir(os.path.join(resolve_snapshot(root, spark), pd))
+            if f.endswith(".parquet")
+        )
+        for pd in ("part=p0", "part=p1", "part=p2")
+    }
+    affected = compact_partitions(spark, root, "part", target_bytes=1 << 30)
+    assert affected == ["p1"]
+    cur = resolve_snapshot(root, spark)
+    data_after = {
+        pd: sorted(
+            os.stat(os.path.join(cur, pd, f)).st_ino
+            for f in os.listdir(os.path.join(cur, pd))
+            if f.endswith(".parquet")
+        )
+        for pd in ("part=p0", "part=p1", "part=p2")
+    }
+    assert data_after["part=p0"] == data_before["part=p0"]  # carried
+    assert data_after["part=p2"] == data_before["part=p2"]
+    assert len(data_after["part=p1"]) == 1  # compacted
+    after = _shard_inos(cur, "sv")
+    assert after["part=p0"] == before["part=p0"]  # index shard carried
+    assert after["part=p1"] != before["part=p1"]  # rebuilt
+    assert sorted(r["k"] for r in read_snapshot(spark, root).collect()) == list(
+        range(1, 61)
+    )
+    # the rebuilt index still validates and covers the new layout
+    dfp, n_sel, n_tot = read_tree_with_skipping(spark, root, "v", 0, 1 << 40, "sv")
+    assert n_sel == n_tot == 3
+    # idempotent: nothing fragmented remains
+    assert compact_partitions(spark, root, "part", target_bytes=1 << 30) == []
