@@ -6047,6 +6047,110 @@ def lake_cdc_apply(spark, sf_dir):
     )
 
 
+#: the HLL raw-estimate constant α·m² for m=1024, computed ONCE and
+#: embedded as the same binary64 literal in both engines (repr is
+#: shortest-round-trip; DuckDB bare decimals parse as DECIMAL, so the
+#: oracle casts it ::DOUBLE explicitly)
+_HLL_C = repr(0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0)
+
+
+@register(
+    "lake_rollup_hll",
+    f"""
+    WITH h AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+             ('0x' || substr(md5(user_id::VARCHAR || ':hll'), 1, 15))::BIGINT
+               AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT day, hv % 1024 AS reg,
+             max(CASE WHEN hv // 1024 = 0 THEN 51
+                 ELSE 51 - length(bin(hv // 1024)) END) AS rho
+      FROM h GROUP BY day, hv % 1024
+    ),
+    s AS (
+      SELECT day,
+             (sum((1::BIGINT << (51 - rho))::BIGINT)::BIGINT
+              + (1024 - count(*))::BIGINT * (1::BIGINT << 51))::BIGINT
+               AS s51
+      FROM r GROUP BY day
+    ),
+    x AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM h GROUP BY day)
+    SELECT s.day AS day,
+           round({_HLL_C}::DOUBLE / (s51::DOUBLE / 2251799813685248.0), 6)
+             AS est_users,
+           x.n_exact AS n_exact
+    FROM s JOIN x ON s.day = x.day
+    """,
+)
+def lake_rollup_hll(spark, sf_dir):
+    """MERGEABLE DISTINCT-COUNT SKETCH inside the incremental rollup
+    (operators/sketches.py hll_partial/hll_estimate — relational
+    HyperLogLog): "distinct users per day" is the aggregate exact
+    COUNT(DISTINCT) cannot maintain incrementally (distinct does not
+    sum), so the rollup stores the HLL register state as ROWS —
+    (day, reg, max rho), ≤1024 per day — which merges by MAX, i.e.
+    exactly the max_cols shape rollup_incremental already maintains.
+    The events stream lands in two disjoint-user halves: the first
+    builds the rollup, the second merges in as a delta touching only
+    its days' partitions; the estimate then reads from the maintained
+    state. Unlike DataSketches binaries, every register and the raw
+    harmonic-mean estimate (exact integer Σ 2^(51-rho), one double
+    division) replays bit-for-bit in the DuckDB oracle computed from
+    ALL events in one shot — so the merge-associativity claim
+    (incremental max-merge == one-pass state) is value-hashed, not
+    trusted. n_exact rides beside the estimate for honesty (~3.25%
+    rse at m=1024). At 100 TB: the sketch is ≤1024 small rows per
+    partition, maintained for the cost of the delta — the only sane
+    shape for standing distinct-count dashboards."""
+    from poc_spark.operators.sketches import hll_estimate, hll_partial
+    from poc_spark.sources.lake import (
+        read_snapshot,
+        rollup_incremental,
+        rollup_partial,
+        write_partitioned,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    root = _export_path("hllrollup", sf_dir)
+    first = ev.filter(F.col("user_id") % 2 == 0)
+    second = ev.filter(F.col("user_id") % 2 != 0)
+    # fresh base every run (the sink stale-artifact rule)
+    write_partitioned(
+        rollup_partial(
+            hll_partial(first, ["day"], "user_id"),
+            "day",
+            ["reg"],
+            [],
+            max_cols=["rho"],
+        ),
+        root,
+        ["day"],
+    )
+    rollup_incremental(
+        spark,
+        root,
+        hll_partial(second, ["day"], "user_id"),
+        "day",
+        ["reg"],
+        [],
+        max_cols=["rho"],
+    )
+    state = read_snapshot(spark, root).select(
+        "day", "reg", F.col("max_rho").alias("rho")
+    )
+    est = hll_estimate(state, ["day"]).withColumnRenamed("est", "est_users")
+    exact = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "day").select(
+        F.col("day").cast("string").alias("day"), "est_users", "n_exact"
+    )
+
+
 @register(
     "lake_rollup_incremental",
     """
@@ -8631,6 +8735,7 @@ _TAIL = [
     # sweeps (CORRECTNESS_local_r11*.json) each round.
     "q13_customer_distribution",
     "q10_returned_items",
+    "op_src_doc_scan",
     "op_agg_nodes",
     "op_lag_edge",
     "op_limit_n",

@@ -86,3 +86,42 @@ def test_frequent_items_finds_heavy_hitter(spark):
     )
     items = frequent_items(df, "v", min_share=0.3).collect()[0]["items"]
     assert "hot" in items
+
+
+def test_relational_hll_accuracy_and_merge(spark):
+    """Relational HLL (hll_partial/hll_estimate): raw estimate within
+    the m=1024 error envelope, and the partial state merges by MAX —
+    any split of the input yields bit-identical registers and
+    estimates (the property that lets rollup_incremental maintain it)."""
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_partial,
+    )
+
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    part = hll_partial(df, ["g"], "v")
+    assert part.groupBy("g").count().agg(F.max("count")).collect()[0][0] <= HLL_M
+    est = {r["g"]: r["est"] for r in hll_estimate(part, ["g"]).collect()}
+    for g, exact in (("0", n / 2), ("1", n / 2)):
+        assert abs(est[g] - exact) / exact < 0.15, (g, est[g], exact)
+
+    # split-merge associativity: partials of halves, max-merged, equal
+    # the one-shot partials bit-for-bit
+    h1 = hll_partial(df.filter("v % 3 != 0"), ["g"], "v")
+    h2 = hll_partial(df.filter("v % 3 = 0"), ["g"], "v")
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    a = sorted(map(tuple, part.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
+    est2 = {r["g"]: r["est"] for r in hll_estimate(merged, ["g"]).collect()}
+    assert est2 == est
