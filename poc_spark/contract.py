@@ -6673,6 +6673,96 @@ def dedup_semdedup(spark, sf_dir):
     return totals.join(kept_agg, "centroid")
 
 
+def _pq_oracle(sf_base: str) -> str:
+    # replays the ENTIRE PQ chain from the stored codebook artifact:
+    # per-subspace encode (argmin of the same left-assoc L2² fold,
+    # lowest code on ties), the query's asymmetric-distance lookup
+    # table, and the sub-ordered distance fold — so Spark's encode,
+    # tie-breaks, and ADC arithmetic all have to agree bit-for-bit
+    # with an independent SQL derivation.
+    root = os.path.join(_REPO_ROOT, ".tmp", "pq", sf_base)
+    return f"""
+    WITH cb AS (
+      SELECT sub, code, center
+      FROM read_parquet('{root}/codebook/*.parquet')
+    ),
+    q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    sd AS (
+      SELECT e.vec_id, cb.sub, cb.code,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+                 d -> (v[cb.sub * 16 + d] - center[d])
+                    * (v[cb.sub * 16 + d] - center[d]))),
+               (acc, x) -> acc + x) AS dist
+      FROM e, cb
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM sd
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist ASC, code ASC) = 1
+    ),
+    lut AS (
+      SELECT cb.sub, cb.code,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+                 d -> (qv[cb.sub * 16 + d] - center[d])
+                    * (qv[cb.sub * 16 + d] - center[d]))),
+               (acc, x) -> acc + x) AS ld
+      FROM cb, q
+    ),
+    tot AS (
+      SELECT enc.vec_id,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list(lut.ld ORDER BY enc.sub)),
+               (acc, x) -> acc + x) AS dist
+      FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+      GROUP BY enc.vec_id
+    )
+    SELECT vec_id AS id, round(dist, 6) AS dist
+    FROM tot ORDER BY dist ASC, id ASC LIMIT 10
+    """
+
+
+@register("sim_pq_topk", _pq_oracle("sf0.01"))
+def sim_pq_topk(spark, sf_dir):
+    """PRODUCT QUANTIZATION top-k (operators/similarity.py pq_train /
+    pq_encode / pq_adc_topk — Jégou et al. 2011, the ANN compression
+    rung the embedding tier was missing): per-subspace KMeans
+    codebooks are fit and persisted (fresh each run — stale-artifact
+    rule), every embedding is encoded to 4 codes (64 floats → 4
+    bytes, 64×), and the query answers by ASYMMETRIC distance — an
+    m×k exact lookup table plus m adds per candidate, never touching
+    a float vector. The oracle replays encode + LUT + the sub-ordered
+    distance fold from the stored codebook, so assignment tie-breaks
+    and every double are value-hashed. At 100 TB this is how a
+    trillion-vector corpus fits query-time memory: codes in RAM,
+    codebook broadcast, scan narrow; compose with the IVF lists for
+    the standard IVF-PQ. (KMeans itself is nondeterministic across
+    machines — the ARTIFACT is the truth the oracle reads, the same
+    discipline as sim_ivf_kmeans.)"""
+    from poc_spark.operators.similarity import (
+        load_pq_codebook,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _export_path("pq", sf_dir)
+    pq_train(emb, path, m_sub=4, k=16)
+    cb = load_pq_codebook(spark, path)
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    codes = pq_encode(emb, cb)
+    return pq_adc_topk(codes, cb, q, 10)
+
+
 @register("sim_ivf_kmeans", _ivf_oracle("sf0.01"))
 def sim_ivf_kmeans(spark, sf_dir):
     """IVF ANN against a PERSISTED index (fit-once / query-many): on
@@ -8736,6 +8826,7 @@ _TAIL = [
     "q13_customer_distribution",
     "q10_returned_items",
     "op_src_doc_scan",
+    "mm_payload_stats",
     "op_agg_nodes",
     "op_lag_edge",
     "op_limit_n",
@@ -8905,6 +8996,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out = oracle_sql()
     sf_base = os.path.basename(os.path.normpath(sf_dir))
     out["sim_ivf_kmeans"] = _ivf_oracle(sf_base)
+    out["sim_pq_topk"] = _pq_oracle(sf_base)
     out["dedup_semdedup"] = _semdedup_oracle(sf_base)
     out["sim_ivf_join"] = _ivf_join_oracle(sf_base)
     out["sim_ivf_append"] = _ivf_append_oracle(sf_base)

@@ -808,3 +808,159 @@ def ivf_append(
         "centroid"
     ).parquet(f"{path}/vectors")
     spark.catalog.refreshByPath(f"{path}/vectors")
+
+
+# ---------------------------------------------------------------------------
+# PRODUCT QUANTIZATION (Jégou et al. 2011) — the ANN compression rung:
+# split the D-dim space into m orthogonal subspaces, k-means each
+# subspace to k codes, store every vector as m uint8-sized codes
+# (64-dim float -> 4 bytes here, 64x smaller), and answer queries with
+# ASYMMETRIC DISTANCE: one m×k lookup table of exact query-to-center
+# sub-distances, then each candidate costs m table lookups + adds —
+# no float vector is ever touched at query time. The codebook is a
+# tiny fit-once artifact (same discipline as the IVF index); encode is
+# pure JVM array expressions over a broadcast codebook; every distance
+# is an ORDERED fold so the whole train→encode→score chain replays
+# bit-for-bit in the DuckDB oracle from the stored codebook.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    path: str,
+    m_sub: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> None:
+    """Fit per-subspace KMeans codebooks and persist
+    `<path>/codebook` as (sub, code, center array<double>) — m_sub·k
+    tiny rows. Distributed fits (one per subspace — m_sub is small by
+    construction); only the centers reach the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).head()[0])
+    if dim % m_sub:
+        raise ValueError(f"pq_train: dim {dim} not divisible by {m_sub}")
+    d_sub = dim // m_sub
+    rows = []
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for j in range(m_sub):
+        data = df.select(
+            array_to_vector(F.slice(vec, j * d_sub + 1, d_sub)).alias(
+                "features"
+            )
+        )
+        if sample_fraction is not None:
+            data = data.sample(False, sample_fraction, seed=seed + j)
+        model = KMeans(k=k, seed=seed + j, maxIter=20).fit(data)
+        for c, center in enumerate(model.clusterCenters()):
+            rows.append((j, c, [float(x) for x in center]))
+    schema = StructType(
+        [
+            StructField("sub", IntegerType(), False),
+            StructField("code", IntegerType(), False),
+            StructField("center", ArrayType(DoubleType()), False),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codebook")
+
+
+def load_pq_codebook(spark, path: str) -> list[list[list[float]]]:
+    """codebook[sub][code] -> center, from a pq_train artifact. Per-sub
+    lists may be RAGGED: Spark KMeans drops empty clusters, so a
+    subspace with fewer distinct values than k yields fewer codes —
+    codes are dense 0..k_sub-1 by construction (enumerate order)."""
+    rows = spark.read.parquet(f"{path}/codebook").collect()
+    m = max(r["sub"] for r in rows) + 1
+    out: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(rows, key=lambda r: (r["sub"], r["code"])):
+        assert r["code"] == len(out[r["sub"]]), "codebook codes not dense"
+        out[r["sub"]].append([float(x) for x in r["center"]])
+    return out
+
+
+def _sub_l2(sub_vec: Column, center: list[float]) -> Column:
+    """Exact-order L2² fold between a sub-vector column and a literal
+    center (left-assoc — matches DuckDB list_reduce with 0.0 prepended
+    and the Python LUT loop bit-for-bit)."""
+    lit = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(sub_vec, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — assign each subspace its nearest code
+    (argmin L2², lowest code on ties via first-position). Pure JVM
+    array expressions against the broadcast-literal codebook: the
+    corpus never shuffles, m·k small folds per row."""
+    d_sub = len(codebook[0][0])
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = []
+    for j, centers in enumerate(codebook):
+        sub = F.slice(vec, j * d_sub + 1, d_sub)
+        dists = F.array(*[_sub_l2(sub, c) for c in centers])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(
+        F.col(id_col).alias("id"), F.array(*codes).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebook: list[list[list[float]]],
+    query_vec: list[float],
+    k_top: int = 10,
+) -> DataFrame:
+    """(id, dist) top-k by ASYMMETRIC distance: LUT[j][c] = exact
+    L2²(q_j, center_jc) computed once on the driver (m·k doubles, the
+    same left fold as _sub_l2), then each candidate is m lookups + m-1
+    adds in fixed subspace order — round 6, total order (dist, id).
+    Plans as a TakeOrderedAndProject over a narrow scan of the codes
+    table: the float vectors are never read."""
+    d_sub = len(codebook[0][0])
+    q = [float(x) for x in query_vec]
+    lut = []
+    for j, centers in enumerate(codebook):
+        qs = q[j * d_sub : (j + 1) * d_sub]
+        row = []
+        for c in centers:
+            acc = 0.0
+            for a, b in zip(qs, c):
+                acc = acc + (a - b) * (a - b)
+            row.append(acc)
+        lut.append(row)
+    dist = None
+    for j, row in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in row]),
+            F.col("codes").getItem(j) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        codes_df.select("id", F.round(dist, 6).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("id").asc())
+        .limit(k_top)
+    )

@@ -540,3 +540,48 @@ def test_ann_join_filtered_within_groups(spark, sf_dir):
         if labels[r["id"]] == some_label and r["rank"] <= 3
     }
     assert filtered == sub_only
+
+
+def test_pq_roundtrip_on_separable_data(spark, tmp_path):
+    """Product quantization: on data whose subspaces take exactly k
+    distinct values, KMeans recovers the values as centers, so encode
+    is lossless — every vector's asymmetric distance to itself is 0
+    and self is top-1; codes are bounded and deterministic."""
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.similarity import (
+        load_pq_codebook,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rows = []
+    for i in range(16):
+        vec = []
+        for j in range(4):
+            vec += [float((i * (j + 1)) % 16)] * 16
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "pq")
+    pq_train(df, path, m_sub=4, k=16)
+    cb = load_pq_codebook(spark, path)
+    # ragged: KMeans drops empty clusters, so a subspace with fewer
+    # distinct values than k yields fewer codes (here 16/8/16-ish/4)
+    assert len(cb) == 4 and all(1 <= len(s) <= 16 for s in cb)
+
+    codes = pq_encode(df, cb).cache()
+    got = {r["id"]: list(r["codes"]) for r in codes.collect()}
+    assert all(
+        len(c) == 4 and all(0 <= x < len(cb[j]) for j, x in enumerate(c))
+        for c in got.values()
+    )
+    # deterministic re-encode
+    again = {r["id"]: list(r["codes"]) for r in pq_encode(df, cb).collect()}
+    assert got == again
+
+    for probe in (0, 7, 13):
+        top = pq_adc_topk(codes, cb, rows[probe][1], 3).collect()
+        assert top[0]["id"] == probe, (probe, top)
+        assert top[0]["dist"] == 0.0
+        assert top[1]["dist"] > 0.0  # separable: nobody else at 0
