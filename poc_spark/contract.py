@@ -6763,6 +6763,124 @@ def sim_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, q, 10)
 
 
+def _ivfpq_oracle(sf_base: str) -> str:
+    # combines _ivf_oracle's list pruning with _pq_oracle's
+    # encode/LUT/fold — candidates come ONLY from the probed lists of
+    # the stored IVF artifact, every PQ double from the stored
+    # codebook; both prunings and all arithmetic value-hashed.
+    root = os.path.join(_REPO_ROOT, ".tmp", "ivfpq", sf_base)
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    cents AS (
+      SELECT centroid_id, center
+      FROM read_parquet('{root}/ivf/centroids/*.parquet')
+    ),
+    probe AS (
+      SELECT centroid_id FROM cents, q
+      ORDER BY list_cosine_similarity(center, qv) DESC, centroid_id
+      LIMIT 4
+    ),
+    cand AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM read_parquet('{root}/ivf/vectors/*/*.parquet',
+                        hive_partitioning = true)
+      WHERE centroid IN (SELECT centroid_id FROM probe)
+    ),
+    cb AS (
+      SELECT sub, code, center
+      FROM read_parquet('{root}/codebook/*.parquet')
+    ),
+    sd AS (
+      SELECT cand.vec_id, cb.sub, cb.code,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+                 d -> (v[cb.sub * 16 + d] - cb.center[d])
+                    * (v[cb.sub * 16 + d] - cb.center[d]))),
+               (acc, x) -> acc + x) AS dist
+      FROM cand, cb
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM sd
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist ASC, code ASC) = 1
+    ),
+    lut AS (
+      SELECT cb.sub, cb.code,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+                 d -> (qv[cb.sub * 16 + d] - cb.center[d])
+                    * (qv[cb.sub * 16 + d] - cb.center[d]))),
+               (acc, x) -> acc + x) AS ld
+      FROM cb, q
+    ),
+    tot AS (
+      SELECT enc.vec_id,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list(lut.ld ORDER BY enc.sub)),
+               (acc, x) -> acc + x) AS dist
+      FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+      GROUP BY enc.vec_id
+    )
+    SELECT vec_id AS id, round(dist, 6) AS dist
+    FROM tot ORDER BY dist ASC, id ASC LIMIT 10
+    """
+
+
+@register("sim_ivfpq_query", _ivfpq_oracle("sf0.01"))
+def sim_ivfpq_query(spark, sf_dir):
+    """IVF-PQ — the composition that serves trillion-vector corpora
+    (FAISS's default shape): the IVF index prunes the CANDIDATE SET
+    to the query's 4 nearest centroid lists (literal parquet partition
+    pruning on the fit-once artifact), and PQ prunes the BYTES — the
+    survivors are scored by asymmetric distance over their 4-byte
+    codes, so the query reads ~n_probe/k of the corpus and never a
+    float vector. Both prunings replay in the oracle from the stored
+    artifacts: probe list via centroid cosine, candidates from the
+    probed hive partitions only, encode/LUT/fold bit-for-bit. This
+    variant encodes RAW vectors (residual encoding — PQ over v − c,
+    the FAISS quality upgrade — shares this exact plumbing with one
+    extra broadcast subtraction and is the production follow-on). At
+    100 TB: centroids + codebook broadcast (KBs), codes in RAM, lists
+    on disk — query cost is independent of corpus size."""
+    from poc_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+        load_pq_codebook,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _export_path("ivfpq", sf_dir)
+    # fresh artifacts each run (stale-artifact rule)
+    build_ivf_index(emb, f"{path}/ivf", n_centroids=16)
+    pq_train(emb, path, m_sub=4, k=16)
+    vectors, cents = load_ivf_index(spark, f"{path}/ivf")
+    cb = load_pq_codebook(spark, path)
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    import math as _math
+
+    qn = _math.sqrt(sum(x * x for x in q))
+    scored = sorted(
+        (
+            (
+                cid,
+                sum(a * b for a, b in zip(q, c))
+                / (qn * _math.sqrt(sum(x * x for x in c)) or 1.0),
+            )
+            for cid, c in cents
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    probe = [cid for cid, _ in scored[:4]]
+    cand = vectors.filter(F.col("centroid").isin(probe))
+    codes = pq_encode(cand, cb)
+    return pq_adc_topk(codes, cb, q, 10)
+
+
 @register("sim_ivf_kmeans", _ivf_oracle("sf0.01"))
 def sim_ivf_kmeans(spark, sf_dir):
     """IVF ANN against a PERSISTED index (fit-once / query-many): on
@@ -8827,6 +8945,7 @@ _TAIL = [
     "q10_returned_items",
     "op_src_doc_scan",
     "mm_payload_stats",
+    "op_fn_sqrt",
     "op_agg_nodes",
     "op_lag_edge",
     "op_limit_n",
@@ -8997,6 +9116,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     sf_base = os.path.basename(os.path.normpath(sf_dir))
     out["sim_ivf_kmeans"] = _ivf_oracle(sf_base)
     out["sim_pq_topk"] = _pq_oracle(sf_base)
+    out["sim_ivfpq_query"] = _ivfpq_oracle(sf_base)
     out["dedup_semdedup"] = _semdedup_oracle(sf_base)
     out["sim_ivf_join"] = _ivf_join_oracle(sf_base)
     out["sim_ivf_append"] = _ivf_append_oracle(sf_base)
