@@ -1555,15 +1555,10 @@ def repartition_tree(
             if isdir and nm.startswith(prefix)
         )
         for name, meta in metas.items():
-            for pd in new_parts:
-                _write_index_shard(
-                    spark,
-                    meta,
-                    os.path.join(build, pd),
-                    pd + "/",
-                    os.path.join(build, _INDEX_DIR, name, pd),
-                    fs,
-                )
+            _write_index_shards(
+                spark, meta, build, new_parts,
+                os.path.join(build, _INDEX_DIR, name), fs,
+            )
             fs.put_atomic(
                 _index_meta_path(build, name),
                 json.dumps(
@@ -2205,6 +2200,70 @@ def _write_index_shard(
     fs.adopt_tree(tmp, dst_shard)
 
 
+def _write_index_shards(
+    spark: SparkSession,
+    meta: dict,
+    build: str,
+    pdirs: list[str],
+    dst_index_dir: str,
+    fs,
+) -> None:
+    """Build the index shards of MANY partitions in ONE Spark job (the
+    per-partition loop was a genuine scale bug: a merge touching N
+    partitions ran N sequential driver-scheduled jobs — at 1000
+    rewritten partitions that is 1000 round trips for work one stage
+    covers). The job tags every row with its partition directory and
+    writes hive-partitioned by that tag; the driver then moves each
+    tag directory onto its shard name (bounded by partition count,
+    the same budget as the carry loop itself)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if not pdirs:
+        return
+    if meta["kind"] == "stats":
+        pairs = []
+        for pd in pdirs:
+            for f, isdir in fs.scan_entries(os.path.join(build, pd)):
+                if not isdir and f.endswith(".parquet"):
+                    pairs.append((os.path.join(build, pd, f), f"{pd}/{f}"))
+        if not pairs:
+            return
+        data_schema = spark.read.option("basePath", build).parquet(
+            *[os.path.join(build, pd) for pd in pdirs]
+        ).schema
+        sdf = _footer_stats_df(spark, pairs, list(meta["cols"]), data_schema)
+    elif meta["kind"] == "bloom":
+        df = spark.read.option("basePath", build).parquet(
+            *[os.path.join(build, pd) for pd in pdirs]
+        )
+        rel = F.regexp_extract(F.input_file_name(), r"([^/]+/[^/]+)$", 1)
+        sdf = _bloom_index_df(
+            df.select(rel.alias("file"), F.col(meta["col"]).alias("_v")),
+            int(meta["bits"]),
+            int(meta["k"]),
+        )
+    else:
+        raise ValueError(f"unknown index kind {meta['kind']!r}")
+    import uuid
+
+    tmp = f"{dst_index_dir}.bulktmp-{uuid.uuid4().hex[:8]}"
+    sdf.withColumn(
+        "_pd", F.substring_index(F.col("file"), "/", 1)
+    ).repartition(F.col("_pd")).write.mode("overwrite").partitionBy(
+        "_pd"
+    ).parquet(tmp)
+    fs.make_prefix(dst_index_dir)
+    try:
+        for pd in pdirs:
+            src = os.path.join(tmp, f"_pd={_hive_escape_value(pd)}")
+            if fs.is_dir(src):  # emptied partitions produce no shard
+                fs.adopt_tree(src, os.path.join(dst_index_dir, pd))
+    finally:
+        fs.delete_tree(tmp)
+
+
 def _maintain_indexes(
     spark: SparkSession,
     cur: str,
@@ -2232,22 +2291,21 @@ def _maintain_indexes(
         if isdir and nm.startswith(prefix)
     )
     for name, meta in metas.items():
+        rebuild: list[str] = []
         for pd in build_parts:
             src_shard = os.path.join(cur, _INDEX_DIR, name, pd)
-            dst_shard = os.path.join(build, _INDEX_DIR, name, pd)
             if pd[len(prefix):] not in affected_dirs and fs.is_dir(
                 src_shard
             ):
-                fs.carry_tree(src_shard, dst_shard)
-            else:
-                _write_index_shard(
-                    spark,
-                    meta,
-                    os.path.join(build, pd),
-                    pd + "/",
-                    dst_shard,
-                    fs,
+                fs.carry_tree(
+                    src_shard, os.path.join(build, _INDEX_DIR, name, pd)
                 )
+            else:
+                rebuild.append(pd)
+        _write_index_shards(
+            spark, meta, build, rebuild,
+            os.path.join(build, _INDEX_DIR, name), fs,
+        )
         new_meta = {**meta, "version": None, "partitions": build_parts}
         fs.put_atomic(
             _index_meta_path(build, name),
@@ -2327,15 +2385,10 @@ def _create_index_tree(
             )
         if part_dirs:
             shards = sorted(part_dirs)
-            for pd in shards:
-                _write_index_shard(
-                    spark,
-                    meta,
-                    os.path.join(build, pd),
-                    pd + "/",
-                    os.path.join(build, _INDEX_DIR, name, pd),
-                    fs,
-                )
+            _write_index_shards(
+                spark, meta, build, shards,
+                os.path.join(build, _INDEX_DIR, name), fs,
+            )
         else:
             shards = [_FLAT_SHARD]
             _write_index_shard(
