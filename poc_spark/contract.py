@@ -6839,9 +6839,8 @@ def sim_ivfpq_query(spark, sf_dir):
     float vector. Both prunings replay in the oracle from the stored
     artifacts: probe list via centroid cosine, candidates from the
     probed hive partitions only, encode/LUT/fold bit-for-bit. This
-    variant encodes RAW vectors (residual encoding — PQ over v − c,
-    the FAISS quality upgrade — shares this exact plumbing with one
-    extra broadcast subtraction and is the production follow-on). At
+    variant encodes RAW vectors; sim_ivfpq_residual is the full FAISS
+    form (PQ over v − c) sharing this exact plumbing. At
     100 TB: centroids + codebook broadcast (KBs), codes in RAM, lists
     on disk — query cost is independent of corpus size."""
     from poc_spark.operators.similarity import (
@@ -6879,6 +6878,149 @@ def sim_ivfpq_query(spark, sf_dir):
     cand = vectors.filter(F.col("centroid").isin(probe))
     codes = pq_encode(cand, cb)
     return pq_adc_topk(codes, cb, q, 10)
+
+
+def _ivfpq_residual_oracle(sf_base: str) -> str:
+    # assignment comes FROM THE ARTIFACT (the vectors table's hive
+    # partition — no re-derivation race); residuals, encode, the
+    # per-probed-list query LUT, and the sub-ordered fold all replay
+    # relationally against the stored centroids + codebook.
+    root = os.path.join(_REPO_ROOT, ".tmp", "ivfpqr", sf_base)
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    cents AS (
+      SELECT centroid_id, center
+      FROM read_parquet('{root}/ivf/centroids/*.parquet')
+    ),
+    probe AS (
+      SELECT centroid_id FROM cents, q
+      ORDER BY list_cosine_similarity(center, qv) DESC, centroid_id
+      LIMIT 4
+    ),
+    cand AS (
+      SELECT vec_id, centroid,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM read_parquet('{root}/ivf/vectors/*/*.parquet',
+                        hive_partitioning = true)
+      WHERE centroid IN (SELECT centroid_id FROM probe)
+    ),
+    resid AS (
+      SELECT cand.vec_id, cand.centroid,
+             list_transform(range(1, 65),
+                            d -> v[d] - cents.center[d]) AS r
+      FROM cand JOIN cents ON cand.centroid = cents.centroid_id
+    ),
+    cb AS (
+      SELECT sub, code, center
+      FROM read_parquet('{root}/codebook/*.parquet')
+    ),
+    sd AS (
+      SELECT resid.vec_id, resid.centroid, cb.sub, cb.code,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+                 d -> (r[cb.sub * 16 + d] - cb.center[d])
+                    * (r[cb.sub * 16 + d] - cb.center[d]))),
+               (acc, x) -> acc + x) AS dist
+      FROM resid, cb
+    ),
+    enc AS (
+      SELECT vec_id, centroid, sub, code FROM sd
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist ASC, code ASC) = 1
+    ),
+    qlut AS (
+      SELECT cc.centroid_id, cb.sub, cb.code,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+                 d -> ((qv[cb.sub * 16 + d] - cc.center[cb.sub * 16 + d])
+                         - cb.center[d])
+                    * ((qv[cb.sub * 16 + d] - cc.center[cb.sub * 16 + d])
+                         - cb.center[d]))),
+               (acc, x) -> acc + x) AS ld
+      FROM cents cc, cb, q
+      WHERE cc.centroid_id IN (SELECT centroid_id FROM probe)
+    ),
+    tot AS (
+      SELECT enc.vec_id,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list(qlut.ld ORDER BY enc.sub)),
+               (acc, x) -> acc + x) AS dist
+      FROM enc JOIN qlut
+        ON enc.centroid = qlut.centroid_id
+       AND enc.sub = qlut.sub AND enc.code = qlut.code
+      GROUP BY enc.vec_id
+    )
+    SELECT vec_id AS id, round(dist, 6) AS dist
+    FROM tot ORDER BY dist ASC, id ASC LIMIT 10
+    """
+
+
+@register("sim_ivfpq_residual", _ivfpq_residual_oracle("sf0.01"))
+def sim_ivfpq_residual(spark, sf_dir):
+    """RESIDUAL IVF-PQ (the full FAISS IVFPQ: quantize v − center, not
+    v — residuals cluster tightly around zero, so the same 4-byte
+    budget encodes them far more finely; operators/similarity.py
+    pq_residual_df / ivfpq_residual_topk): assignments come from the
+    stored IVF artifact's hive partitions, residual codebooks are
+    trained on the residual vectors, and the query scores each probed
+    list against ITS OWN lookup table built from the query's residual
+    to that list's centroid. The oracle replays residuals, encode, the
+    per-list query LUTs, and the sub-ordered fold from the stored
+    centroids + codebook — assignment is read from the artifact on
+    both sides, so there is no derivation race to hide in. Upgrades
+    sim_ivfpq_query's raw-vector variant to the production encoding;
+    both share every scale property (broadcast KBs, code-only scans,
+    n_probe-bounded query cost)."""
+    from poc_spark.operators.similarity import (
+        _as_double_array,
+        ivfpq_residual_topk,
+        build_ivf_index,
+        load_ivf_index,
+        load_pq_codebook,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _export_path("ivfpqr", sf_dir)
+    # fresh artifacts each run (stale-artifact rule)
+    build_ivf_index(emb, f"{path}/ivf", n_centroids=16)
+    vectors, cents = load_ivf_index(spark, f"{path}/ivf")
+    centers_lit = F.array(
+        *[_as_double_array(c) for _, c in sorted(cents)]
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    res_all = vectors.select(
+        "vec_id",
+        "centroid",
+        F.zip_with(
+            v,
+            F.element_at(centers_lit, F.col("centroid").cast("int") + 1),
+            lambda a, b: a - b,
+        ).alias("res"),
+    )
+    pq_train(res_all, path, m_sub=4, k=16, vec_col="res")
+    cb = load_pq_codebook(spark, path)
+    codes = pq_encode(res_all, cb, "res", "vec_id", keep_cols=("centroid",))
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    import math as _math
+
+    qn = _math.sqrt(sum(x * x for x in q))
+    scored = sorted(
+        (
+            (
+                cid,
+                sum(a * b for a, b in zip(q, c))
+                / (qn * _math.sqrt(sum(x * x for x in c)) or 1.0),
+            )
+            for cid, c in cents
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    probe = [cid for cid, _ in scored[:4]]
+    return ivfpq_residual_topk(codes, cb, cents, q, probe, 10)
 
 
 @register("sim_ivf_kmeans", _ivf_oracle("sf0.01"))
@@ -8946,6 +9088,7 @@ _TAIL = [
     "op_src_doc_scan",
     "mm_payload_stats",
     "op_fn_sqrt",
+    "op_join_point",
     "op_agg_nodes",
     "op_lag_edge",
     "op_limit_n",
@@ -9117,6 +9260,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["sim_ivf_kmeans"] = _ivf_oracle(sf_base)
     out["sim_pq_topk"] = _pq_oracle(sf_base)
     out["sim_ivfpq_query"] = _ivfpq_oracle(sf_base)
+    out["sim_ivfpq_residual"] = _ivfpq_residual_oracle(sf_base)
     out["dedup_semdedup"] = _semdedup_oracle(sf_base)
     out["sim_ivf_join"] = _ivf_join_oracle(sf_base)
     out["sim_ivf_append"] = _ivf_append_oracle(sf_base)

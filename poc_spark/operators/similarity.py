@@ -909,6 +909,7 @@ def pq_encode(
     codebook: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, codes array<int>) — assign each subspace its nearest code
     (argmin L2², lowest code on ties via first-position). Pure JVM
@@ -924,7 +925,9 @@ def pq_encode(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
     return df.select(
-        F.col(id_col).alias("id"), F.array(*codes).alias("codes")
+        F.col(id_col).alias("id"),
+        F.array(*codes).alias("codes"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -964,3 +967,77 @@ def pq_adc_topk(
         .orderBy(F.col("dist").asc(), F.col("id").asc())
         .limit(k_top)
     )
+
+
+def pq_residual_df(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, centroid, res) — each vector's IVF assignment plus its
+    RESIDUAL v − center (the FAISS IVF-PQ encoding target: residuals
+    cluster tightly around 0, so the same code budget quantizes them
+    far more finely than raw vectors). Pure array expressions against
+    the broadcast centroid literals."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cid = _nearest_centroid(F.col(vec_col), centroids)
+    centers = F.array(
+        *[_as_double_array(c) for _, c in sorted(centroids)]
+    )
+    res = F.zip_with(
+        v, F.element_at(centers, cid + 1), lambda a, b: a - b
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        cid.alias("centroid"),
+        res.alias("res"),
+    )
+
+
+def ivfpq_residual_topk(
+    codes_df: DataFrame,
+    codebook: list[list[list[float]]],
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    probe: list[int],
+    k_top: int = 10,
+) -> DataFrame:
+    """Residual IVF-PQ query: per probed list c the lookup table is
+    built from the query's OWN residual against c (q − center_c), so
+    each candidate costs m lookups in ITS list's table — the exact
+    FAISS IVFPQ scoring shape. `codes_df` carries (id, centroid,
+    codes) from pq_encode over pq_residual_df. Branches union (one
+    per probed list, n_probe is small by construction) and one
+    TakeOrderedAndProject finishes."""
+    centers = {cid: c for cid, c in centroids}
+    d_sub = len(codebook[0][0])
+    branches = []
+    for cid in probe:
+        qr = [float(a) - float(b) for a, b in zip(query_vec, centers[cid])]
+        lut = []
+        for j, cents in enumerate(codebook):
+            qs = qr[j * d_sub : (j + 1) * d_sub]
+            row = []
+            for c in cents:
+                acc = 0.0
+                for a, b in zip(qs, c):
+                    acc = acc + (a - b) * (a - b)
+                row.append(acc)
+            lut.append(row)
+        dist = None
+        for j, row in enumerate(lut):
+            term = F.element_at(
+                F.array(*[F.lit(x) for x in row]),
+                F.col("codes").getItem(j) + 1,
+            )
+            dist = term if dist is None else dist + term
+        branches.append(
+            codes_df.filter(F.col("centroid") == cid).select(
+                "id", F.round(dist, 6).alias("dist")
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy(F.col("dist").asc(), F.col("id").asc()).limit(k_top)
