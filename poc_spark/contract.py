@@ -9045,6 +9045,7 @@ def text_classifier_score(spark, sf_dir):
 from poc_spark import contract_tpch  # noqa: E402,F401  isort: skip
 from poc_spark import contract_quality  # noqa: E402,F401  isort: skip
 from poc_spark import contract_scale  # noqa: E402,F401  isort: skip
+from poc_spark import contract_analytics  # noqa: E402,F401  isort: skip
 
 # ---------------------------------------------------------------------------
 # registry priority order
@@ -9083,6 +9084,25 @@ _TAIL = [
     # Everything below has a driver witness >= r7 (or r10 for the
     # newest demotions) and is re-witnessed by the local full-registry
     # sweeps (CORRECTNESS_local_r11*.json) each round.
+    # --- r11 late additions: seven analytics-tier entries (inverted
+    # index, BM25, Adamic-Adar, clustering coefficient, corr matrix,
+    # RFM, PMI) enter the head with no witness; the seven slots come
+    # from r10-witnessed entries whose changed-this-round machinery is
+    # still exercised by an in-head sibling: lake_cdc_apply (composed
+    # by lake_cdc_merge), lake_rollup_incremental (composed by
+    # lake_rollup_hll), lake_merge_upsert / lake_time_travel /
+    # lake_snapshot_diff (commit core covered by lake_deletion_vectors,
+    # lake_compact_partitions, lake_repartition_spec,
+    # pipeline_lake_lifecycle), stream_rollup_maintenance (composed by
+    # stream_restart_rollup), pipeline_crawl_to_corpus (WARC change
+    # covered by src_warc_roundtrip).
+    "lake_cdc_apply",
+    "lake_rollup_incremental",
+    "lake_merge_upsert",
+    "lake_time_travel",
+    "lake_snapshot_diff",
+    "stream_rollup_maintenance",
+    "pipeline_crawl_to_corpus",
     "q13_customer_distribution",
     "q10_returned_items",
     "op_src_doc_scan",

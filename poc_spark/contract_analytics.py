@@ -1,0 +1,413 @@
+"""Contract entries for the retrieval / link-prediction / statistical
+analytics tier (round-11 extensions): inverted-index search and BM25
+ranking over `documents`, Adamic-Adar link prediction and local
+clustering coefficients over the interaction graph, an exact-decimal
+Pearson correlation matrix, RFM customer segmentation, and PMI
+collocation mining.
+
+Equality discipline (see contract.py module doc): every float output is
+either a single fixed expression over exact integers/decimals (corr,
+PMI, clustering coefficient) or an ordered fold of such expressions
+(BM25, Adamic-Adar — sorted-struct aggregate HOF on the Spark side,
+`list(expr ORDER BY key)` + list_reduce on the DuckDB side), rounded to
+6dp before any ORDER BY that consumes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from poc_spark.contract import _EDGES_CTE, EVENT_ORDER, _t, register
+from poc_spark.operators.graph import adamic_adar, clustering_coefficient
+from poc_spark.operators.network import lag_edges
+from poc_spark.operators.search import bm25_topk, conjunctive_search
+
+# DuckDB token pipeline shared by the retrieval oracles — identical to
+# the text_tfidf oracle's tokenizer (lowercase, whitespace split, empties
+# dropped) so the index the oracle builds matches textstats._tokens.
+_TOK = (
+    "SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), "
+    "'\\s+'), x -> len(x) > 0)) AS term FROM documents"
+)
+
+_QUERY4 = ("merge", "spark", "stream", "vector")
+_QUERY3 = ("merge", "spark", "vector")
+
+
+@register(
+    "text_inverted_index",
+    f"""
+    WITH tok AS ({_TOK}),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+      WHERE term IN ('merge', 'spark', 'stream', 'vector')
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, count(*)::BIGINT AS matched_terms,
+           sum(tf)::BIGINT AS total_tf
+    FROM tf GROUP BY doc_id HAVING count(*) = 4
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Boolean AND retrieval over relational posting lists: documents
+    containing ALL four query terms, with match count and summed term
+    frequency. The index is (term, doc_id, tf) rows — build is one
+    explode + hash aggregate, lookup is a pushed-down IN filter (no
+    join against the full index). Extension of the reference's
+    substring message filter (backend/main.py:297) to indexed
+    multi-term retrieval."""
+    return conjunctive_search(_t(spark, sf_dir, "documents"), _QUERY4)
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH tok AS ({_TOK}),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+      WHERE term IN ('merge', 'spark', 'vector')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    corpus AS (
+      SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+             (SELECT count(*) FROM tok)::BIGINT AS n_tokens
+    ),
+    per AS (
+      SELECT t.doc_id, t.term,
+             ln(1.0 + (c.n_docs::DOUBLE - f.df::DOUBLE + 0.5)
+                      / (f.df::DOUBLE + 0.5))
+             * (t.tf::DOUBLE * (1.2 + 1.0)
+                / (t.tf::DOUBLE
+                   + 1.2 * (0.25 + 0.75 * d.dl::DOUBLE
+                            / (c.n_tokens::DOUBLE / c.n_docs::DOUBLE)))) AS s
+      FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id), corpus c
+    ),
+    folded AS (
+      SELECT doc_id,
+             round(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                               (a, b) -> a + b), 6) AS score
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM folded ORDER BY score DESC, doc_id LIMIT 15
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-15 for a three-term query (k1=1.2, b=0.75, Lucene idf).
+    Corpus stats ride as a broadcast 1-row aggregate; per-document term
+    contributions fold in sorted term order so the summed doubles hash
+    bit-identically (ordered-fold discipline of text_entropy /
+    graph_pagerank); scores round to 6dp before the top-k order."""
+    return bm25_topk(_t(spark, sf_dir, "documents"), _QUERY3, k=15)
+
+
+@register(
+    "graph_adamic_adar",
+    _EDGES_CTE
+    + """
+    , deg AS (SELECT src AS z, count(*)::BIGINT AS dz FROM directed GROUP BY 1),
+    nbr AS (SELECT src AS z, dst AS n FROM directed),
+    pairs AS (
+      SELECT a.n AS u, b.n AS v, a.z AS z
+      FROM nbr a JOIN nbr b ON a.z = b.z AND a.n < b.n
+    ),
+    cand AS (
+      SELECT p.u, p.v, p.z FROM pairs p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.source = p.u AND e.target = p.v
+      )
+    ),
+    contrib AS (
+      SELECT c.u, c.v, c.z, 1.0 / ln(d.dz::DOUBLE) AS cc
+      FROM cand c JOIN deg d USING (z)
+    ),
+    scored AS (
+      SELECT u, v,
+             round(list_reduce(list_prepend(0.0, list(cc ORDER BY z)),
+                               (a, b) -> a + b), 6) AS score
+      FROM contrib GROUP BY u, v
+    )
+    SELECT u, v, score FROM scored ORDER BY score DESC, u, v LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction, top-20 non-adjacent pairs: the
+    'who should be connected' extension of the reference's interaction
+    graph. Candidates come from the shared-neighbor wedge join (never
+    all-pairs); per-pair scores fold 1/ln(deg z) in z order."""
+    edges = lag_edges(_t(spark, sf_dir, "events"), "user_id", EVENT_ORDER)
+    return adamic_adar(edges, top_k=20)
+
+
+@register(
+    "graph_cluster_coeff",
+    _EDGES_CTE
+    + """
+    , deg AS (SELECT src AS id, count(*)::BIGINT AS degree FROM directed GROUP BY 1),
+    wedge AS (
+      SELECT ab.source AS a, ab.target AS b, bc.target AS c
+      FROM edges ab JOIN edges bc ON ab.target = bc.source
+    ),
+    tri AS (
+      SELECT w.a, w.b, w.c FROM wedge w
+      JOIN edges ac ON ac.source = w.a AND ac.target = w.c
+    ),
+    members AS (
+      SELECT a AS id FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    ),
+    tcnt AS (SELECT id, count(*)::BIGINT AS triangles FROM members GROUP BY id)
+    SELECT d.id, d.degree,
+           COALESCE(t.triangles, 0)::BIGINT AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN 2.0 * COALESCE(t.triangles, 0)::DOUBLE
+                     / (d.degree::DOUBLE * (d.degree - 1)::DOUBLE)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN tcnt t USING (id)
+    """,
+)
+def graph_cluster_coeff(spark, sf_dir):
+    """Local clustering coefficient per node — 2T/(d(d-1)), 0.0 below
+    degree 2. One int/int double division from exact triangle/degree
+    counts; reuses the ordered-wedge triangle join."""
+    edges = lag_edges(_t(spark, sf_dir, "events"), "user_id", EVENT_ORDER)
+    return clustering_coefficient(edges)
+
+
+# correlation variables: every numeric lineitem measure
+_CORR_VARS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_VARS) for b in _CORR_VARS[i + 1 :]
+]
+
+
+def _corr_sql() -> str:
+    sums = ["count(*)::BIGINT AS n"]
+    for v in _CORR_VARS:
+        c = f"CAST({v} AS DECIMAL(18,2))"
+        sums.append(f"CAST(sum({c}) AS DOUBLE) AS s_{v}")
+        sums.append(f"CAST(sum({c} * {c}) AS DOUBLE) AS ss_{v}")
+    for a, b in _CORR_PAIRS:
+        ca = f"CAST({a} AS DECIMAL(18,2))"
+        cb = f"CAST({b} AS DECIMAL(18,2))"
+        sums.append(f"CAST(sum({ca} * {cb}) AS DOUBLE) AS sp_{a}_{b}")
+    rows = []
+    for a, b in _CORR_PAIRS:
+        rows.append(
+            f"""
+    SELECT '{a}' AS var_x, '{b}' AS var_y, n AS n_rows,
+           round((n::DOUBLE * sp_{a}_{b} - s_{a} * s_{b})
+                 / (sqrt(n::DOUBLE * ss_{a} - s_{a} * s_{a})
+                    * sqrt(n::DOUBLE * ss_{b} - s_{b} * s_{b})), 6) AS corr_r
+    FROM agg"""
+        )
+    return (
+        "WITH agg AS (SELECT "
+        + ", ".join(sums)
+        + " FROM lineitem)"
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register("q_corr_matrix", _corr_sql())
+def q_corr_matrix(spark, sf_dir):
+    """Pearson correlation matrix over the four lineitem measures, in
+    ONE scan: all moment sums (Σx, Σx², Σxy) accumulate in exact
+    DECIMAL arithmetic — no float-summation-order drift at any
+    partition count — and r is a fixed double expression over the
+    exact moments, rounded to 6dp. The 6 pairs unpivot from the single
+    moment row (driver-free explode)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def dec(c: str) -> F.Column:
+        return F.col(c).cast("decimal(18,2)")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for v in _CORR_VARS:
+        aggs.append(F.sum(dec(v)).cast("double").alias(f"s_{v}"))
+        aggs.append(F.sum(dec(v) * dec(v)).cast("double").alias(f"ss_{v}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(dec(a) * dec(b)).cast("double").alias(f"sp_{a}_{b}"))
+    agg = li.agg(*aggs)
+
+    n_d = F.col("n").cast("double")
+    pair_structs = []
+    for a, b in _CORR_PAIRS:
+        r = F.round(
+            (n_d * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+            / (
+                F.sqrt(n_d * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * F.sqrt(n_d * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            ),
+            6,
+        )
+        pair_structs.append(
+            F.struct(
+                F.lit(a).alias("var_x"),
+                F.lit(b).alias("var_y"),
+                r.alias("corr_r"),
+            )
+        )
+    return agg.select(
+        F.col("n").alias("n_rows"), F.explode(F.array(*pair_structs)).alias("p")
+    ).select("p.var_x", "p.var_y", "n_rows", "p.corr_r")
+
+
+@register(
+    "q_rfm_segmentation",
+    """
+    WITH per AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order_ts,
+             count(*)::BIGINT AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT custkey, last_order_ts, frequency, monetary,
+             CAST(ntile(4) OVER (ORDER BY last_order_ts DESC, custkey)
+                  AS BIGINT) AS r_score,
+             CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey)
+                  AS BIGINT) AS f_score,
+             CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey)
+                  AS BIGINT) AS m_score
+      FROM per
+    )
+    SELECT custkey, last_order_ts, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def q_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: per-customer recency / frequency /
+    monetary quartiles (ntile 4 over total orders, custkey tie-break —
+    deterministic across engines) concatenated into the classic '444'
+    segment label. Monetary sums in exact DECIMAL, cast to double once.
+    Below ~1M customers the three global windows are one exchange; the
+    chunked-ntile dispatch (plans/ntile.py) is the >1M path."""
+    from pyspark.sql import Window
+
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.desc("last_order_ts"), "custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "custkey")
+    m_w = Window.orderBy(F.desc("monetary"), "custkey")
+    scored = per.select(
+        "custkey",
+        "last_order_ts",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("long").alias("r_score"),
+        F.ntile(4).over(f_w).cast("long").alias("f_score"),
+        F.ntile(4).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+@register(
+    "text_pmi_collocations",
+    f"""
+    WITH tok AS ({_TOK}),
+    uni AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS t FROM tok),
+    lists AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> len(x) > 0) AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT t[i] AS x, t[i+1] AS y
+      FROM lists, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i
+      ) s
+      WHERE len(t) >= 2
+    ),
+    bc AS (SELECT x, y, count(*)::BIGINT AS c_xy FROM bi GROUP BY 1, 2),
+    btot AS (SELECT count(*)::BIGINT AS b FROM bi),
+    pmi AS (
+      SELECT bc.x, bc.y, bc.c_xy,
+             round(ln((bc.c_xy::DOUBLE / btot.b::DOUBLE)
+                      * (tot.t::DOUBLE / ux.c::DOUBLE)
+                      * (tot.t::DOUBLE / uy.c::DOUBLE)), 6) AS pmi
+      FROM bc
+      JOIN uni ux ON ux.term = bc.x
+      JOIN uni uy ON uy.term = bc.y, tot, btot
+      WHERE bc.c_xy >= 5
+    )
+    SELECT x, y, c_xy, pmi FROM pmi ORDER BY pmi DESC, x, y LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining: top-20 bigrams by pointwise mutual
+    information ln(p(xy)/(p(x)p(y))), count floor 5 (the phrase-mining
+    primitive for tokenizer/vocab curation). All counts exact ints; the
+    PMI is one fixed double expression, rounded before the top-k order.
+    Scale shape: two hash aggregates (unigrams, bigrams) + two joins of
+    the bigram table against the Zipf-bounded unigram table."""
+    docs = _t(spark, sf_dir, "documents")
+    from poc_spark.operators.textstats import _tokens
+
+    lists = docs.select(_tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bi = lists.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("t_total"))
+    bc = (
+        bi.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    btot = bi.agg(F.count(F.lit(1)).alias("b_total"))
+    ux = uni.select(F.col("term").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("term").alias("y"), F.col("c").alias("cy"))
+    scored = (
+        bc.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") / F.col("b_total").cast("double"))
+                    * (F.col("t_total").cast("double") / F.col("cx").cast("double"))
+                    * (F.col("t_total").cast("double") / F.col("cy").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "x", "y").limit(20)

@@ -197,6 +197,85 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return per_node
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, degree, triangles, clustering_coeff) — local clustering
+    coefficient 2·T(v) / (deg(v)·(deg(v)−1)), 0.0 for degree-1 nodes.
+
+    Composes the two existing aggregates (degrees, triangle_count) with
+    a left join; the coefficient is one int/int double division from
+    exact integers, so it hashes bit-identically across engines. Same
+    shuffle profile as triangle_count — the wedge join dominates; the
+    degree join is a broadcast (one row per node)."""
+    deg = degrees(edges).select("id", "degree")
+    tri = triangle_count(edges)
+    joined = deg.join(tri, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+    )
+    denom = F.col("degree").cast("double") * (F.col("degree") - 1).cast("double")
+    return joined.select(
+        "id",
+        "degree",
+        "triangles",
+        F.when(F.col("degree") >= 2, 2.0 * F.col("triangles").cast("double") / denom)
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+
+
+def adamic_adar(edges: DataFrame, top_k: int | None = None) -> DataFrame:
+    """(u, v, score) — Adamic–Adar link prediction over NON-adjacent
+    node pairs: score(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg(z)).
+
+    Candidate generation is by shared neighbor (the wedge self-join on
+    z), never all-pairs — the standard bucketed shape; only z with
+    degree ≥ 2 produce wedges, so ln(deg) is always positive. Existing
+    edges are removed with a left anti-join on the canonical (u<v)
+    form. The per-pair sum folds the z-contributions in z order
+    (sorted-struct aggregate HOF) so the doubles are bit-identical to
+    the oracle's ORDER BY z list_reduce; scores round to 6dp before
+    the top-k ordering (tie-break u, v).
+
+    At scale the wedge join is quadratic in hub degree: production
+    runs cap deg(z) (hubs contribute ~1/ln(d) → 0 anyway) — the cap is
+    a pre-filter on the broadcast degree table, not a plan change."""
+    directed = _directed(edges).select("src", "dst")
+    deg = directed.groupBy(F.col("src").alias("z")).agg(
+        F.count(F.lit(1)).alias("dz")
+    )
+    nbrs = directed.select(F.col("src").alias("z"), F.col("dst").alias("n"))
+    a = nbrs.alias("a")
+    bnb = nbrs.select(F.col("z").alias("z2"), F.col("n").alias("n2")).alias("b")
+    pairs = (
+        a.join(bnb, F.col("a.z") == F.col("b.z2"))
+        .filter(F.col("a.n") < F.col("b.n2"))
+        .select(
+            F.col("a.n").alias("u"), F.col("b.n2").alias("v"), F.col("a.z").alias("z")
+        )
+    )
+    existing = edges.select(
+        F.col("source").alias("u"), F.col("target").alias("v")
+    )
+    candidates = pairs.join(existing, ["u", "v"], "leftanti")
+    contrib = candidates.join(F.broadcast(deg), "z").select(
+        "u", "v", "z", (F.lit(1.0) / F.log(F.col("dz").cast("double"))).alias("c")
+    )
+    scored = contrib.groupBy("u", "v").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("z", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ),
+            6,
+        ).alias("score")
+    )
+    if top_k:
+        scored = scored.orderBy(F.desc("score"), "u", "v").limit(top_k)
+    return scored
+
+
 def k_core(edges: DataFrame, k: int, max_iterations: int = 30) -> DataFrame:
     """Nodes of the k-core: the maximal subgraph where every node has
     degree >= k WITHIN the subgraph. Iterative peel — drop nodes with

@@ -1,0 +1,67 @@
+"""Invariant tests for the contract-inline analytics entries
+(contract_analytics.py): correlation matrix, RFM segmentation, PMI
+collocations. Exact value equality vs DuckDB is the correctness
+checker's job; these pin the mathematical invariants on real data."""
+
+from __future__ import annotations
+
+import pytest
+
+from poc_spark.contract import REGISTRY
+
+
+def _run(name, spark, sf_dir):
+    return REGISTRY[name].spark(spark, sf_dir).collect()
+
+
+def test_corr_matrix_bounds_and_shape(spark, sf_dir):
+    rows = _run("q_corr_matrix", spark, sf_dir)
+    assert len(rows) == 6  # C(4,2) variable pairs
+    for r in rows:
+        assert -1.0 <= r["corr_r"] <= 1.0
+    # upper triangle only, in declaration order, no duplicates
+    pairs = {(r["var_x"], r["var_y"]) for r in rows}
+    assert len(pairs) == 6
+    assert all(x != y for x, y in pairs)
+    # the synthetic columns are drawn independently: |r| stays small
+    assert all(abs(r["corr_r"]) < 0.2 for r in rows)
+
+
+def test_rfm_scores_are_quartiles(spark, sf_dir):
+    rows = _run("q_rfm_segmentation", spark, sf_dir)
+    n = len(rows)
+    assert n > 0
+    for col in ("r_score", "f_score", "m_score"):
+        vals = [r[col] for r in rows]
+        assert set(vals) <= {1, 2, 3, 4}
+        # ntile balance: bucket sizes differ by at most 1
+        sizes = [vals.count(b) for b in (1, 2, 3, 4)]
+        assert max(sizes) - min(sizes) <= 1
+    segs = {r["segment"] for r in rows}
+    assert all(len(s) == 3 for s in segs)
+    # customers are distinct
+    assert len({r["custkey"] for r in rows}) == n
+
+
+def test_pmi_collocations_floor_and_order(spark, sf_dir):
+    rows = _run("text_pmi_collocations", spark, sf_dir)
+    assert 0 < len(rows) <= 20
+    assert all(r["c_xy"] >= 5 for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True) or len(set(pmis)) < len(pmis)
+    # descending by (pmi, x, y): verify the primary key ordering strictly
+    keys = [(-r["pmi"], r["x"], r["y"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_inverted_index_matches_required_terms(spark, sf_dir):
+    rows = _run("text_inverted_index", spark, sf_dir)
+    for r in rows:
+        assert r["matched_terms"] == 4
+        assert r["total_tf"] >= 4
+
+
+def test_bm25_scores_positive_and_bounded_k(spark, sf_dir):
+    rows = _run("text_bm25_topk", spark, sf_dir)
+    assert 0 < len(rows) <= 15
+    assert all(r["score"] > 0 for r in rows)

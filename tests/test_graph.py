@@ -52,3 +52,36 @@ def test_pagerank_uniform_on_symmetric_graph(spark):
 def test_triangle_count(spark, edges):
     got = {r["id"]: r["triangles"] for r in triangle_count(edges).collect()}
     assert got == {"a": 1, "b": 1, "c": 1}  # d is in no triangle
+
+
+def test_clustering_coefficient(spark, edges):
+    from poc_spark.operators.graph import clustering_coefficient
+
+    got = {
+        r["id"]: (r["degree"], r["triangles"], r["clustering_coeff"])
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert got["a"] == (3, 1, pytest.approx(2 * 1 / (3 * 2)))
+    assert got["b"] == (2, 1, pytest.approx(1.0))
+    assert got["c"] == (2, 1, pytest.approx(1.0))
+    assert got["d"] == (1, 0, 0.0)  # degree-1: defined as exactly 0.0
+
+
+def test_adamic_adar(spark, edges):
+    import math
+
+    from poc_spark.operators.graph import adamic_adar
+
+    got = {(r["u"], r["v"]): r["score"] for r in adamic_adar(edges).collect()}
+    # only b-d and c-d are non-adjacent with a shared neighbor (a, deg 3);
+    # adjacent pairs (a-b, a-c, b-c, a-d) must NOT appear
+    expected = round(1.0 / math.log(3.0), 6)
+    assert got == {("b", "d"): expected, ("c", "d"): expected}
+
+
+def test_adamic_adar_top_k_is_deterministic(spark, edges):
+    from poc_spark.operators.graph import adamic_adar
+
+    top = adamic_adar(edges, top_k=1).collect()
+    assert len(top) == 1
+    assert (top[0]["u"], top[0]["v"]) == ("b", "d")  # tie broken by (u, v)
