@@ -9096,6 +9096,10 @@ _TAIL = [
     # pipeline_lake_lifecycle), stream_rollup_maintenance (composed by
     # stream_restart_rollup), pipeline_crawl_to_corpus (WARC change
     # covered by src_warc_roundtrip).
+    # lake_merge_full's slot: lake_retention_policy (r10-witnessed;
+    # vacuum/retention machinery also exercised in-head by
+    # pipeline_lake_lifecycle's vacuum + retained-version diff)
+    "lake_retention_policy",
     "lake_cdc_apply",
     "lake_rollup_incremental",
     "lake_merge_upsert",

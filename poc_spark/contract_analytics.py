@@ -17,7 +17,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from poc_spark.contract import _EDGES_CTE, EVENT_ORDER, _t, register
+from poc_spark.contract import (
+    _EDGES_CTE,
+    EVENT_ORDER,
+    _content_agg,
+    _export_path,
+    _t,
+    register,
+)
 from poc_spark.operators.graph import adamic_adar, clustering_coefficient
 from poc_spark.operators.network import lag_edges
 from poc_spark.operators.search import bm25_topk, conjunctive_search
@@ -411,3 +418,103 @@ def text_pmi_collocations(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("pmi"), "x", "y").limit(20)
+
+
+@register(
+    "lake_merge_full",
+    """
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    src_upd AS (
+      SELECT doc_id, text || ' upd' AS text, lang, source,
+             n_chars + 8 AS n_chars
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+    ),
+    src_del AS (
+      SELECT doc_id FROM documents WHERE doc_id % 11 = 0
+    ),
+    src_ins AS (
+      SELECT doc_id + mx.m + 1 AS doc_id,
+             'full doc ' || doc_id::VARCHAR AS text,
+             'xx' AS lang, 'synthetic' AS source,
+             length('full doc ' || doc_id::VARCHAR)::BIGINT AS n_chars
+      FROM documents, mx WHERE doc_id < 10
+    ),
+    src_all AS (
+      SELECT doc_id FROM src_upd UNION ALL SELECT doc_id FROM src_del
+      UNION ALL SELECT doc_id FROM src_ins
+    ),
+    merged AS (
+      SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM src_all)
+        AND d.lang <> 'fr'
+      UNION ALL SELECT * FROM src_upd
+      UNION ALL SELECT * FROM src_ins
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM merged GROUP BY lang, source
+    """,
+)
+def lake_merge_full(spark, sf_dir):
+    """Full tri-clause MERGE (sources/lake.py merge_full_partitioned)
+    exercising all four clauses in ONE commit on a fresh hive tree:
+    matched UPDATE (doc_id % 7, text suffixed), matched conditional
+    DELETE (doc_id % 11, tombstone predicate n_chars < 0 — keys
+    divisible by both take the update branch because the source
+    excludes them from the update set), NOT MATCHED INSERT (10 new
+    docs into a new lang=xx partition), and NOT MATCHED BY SOURCE
+    DELETE scoped to the lang=fr partition (unmatched fr rows vanish;
+    unmatched rows elsewhere survive). The merged tree is read back
+    through the version pointer and content-aggregated; the oracle
+    replays the same four-clause outcome relationally from the base
+    table, so clause precedence — delete beats update beats carry,
+    scope bounds the by-source clause — is value-checked, not just
+    row-counted."""
+    from poc_spark.sources.lake import (
+        merge_full_partitioned,
+        read_snapshot,
+        write_partitioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _export_path("mergefull", sf_dir)
+    # fresh base every run (stale-artifact rule all sink entries follow)
+    write_partitioned(docs, root, ["lang"])
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    upd = docs.filter("doc_id % 7 = 0 AND doc_id % 11 <> 0").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" upd")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(8)).alias("n_chars"),
+    )
+    dele = docs.filter("doc_id % 11 = 0").select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.lit(-1).cast("long").alias("n_chars"),  # tombstone marker
+    )
+    new_text = F.concat(F.lit("full doc "), F.col("doc_id").cast("string"))
+    ins = docs.filter("doc_id < 10").select(
+        (F.col("doc_id") + F.lit(max_id + 1)).alias("doc_id"),
+        new_text.alias("text"),
+        F.lit("xx").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.length(new_text).cast("long").alias("n_chars"),
+    )
+    merge_full_partitioned(
+        spark,
+        root,
+        upd.unionByName(dele).unionByName(ins),
+        "doc_id",
+        "lang",
+        matched_delete=F.col("n_chars") < 0,
+        unmatched_source_delete=True,
+        scope_partitions=["fr"],
+    )
+    return _content_agg(read_snapshot(spark, root), "lang", "source")

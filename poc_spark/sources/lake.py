@@ -970,6 +970,105 @@ def merge_upsert_partitioned(
     return affected
 
 
+def merge_full_partitioned(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_col: str,
+    partition_col: str,
+    matched_delete=None,
+    unmatched_source_delete: bool = False,
+    scope_partitions: list[str] | None = None,
+    _pre_publish_hook=None,
+) -> list[str]:
+    """Full tri-clause MERGE on the hive tree — the complete Delta /
+    Iceberg statement shape, on plain parquet:
+
+      WHEN MATCHED AND matched_delete(source row)  THEN DELETE
+      WHEN MATCHED                                 THEN UPDATE SET *
+      WHEN NOT MATCHED [AND NOT matched_delete]    THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE [in scope]        THEN DELETE
+
+    `matched_delete` is a Column predicate over the SOURCE row (the
+    usual tombstone/flag idiom, e.g. ``F.col("status") == "inactive"``);
+    a delete-directive row whose key is absent from the table is a
+    no-op (it is never inserted).
+
+    The BY SOURCE clause is the full-sync direction — "rows the source
+    no longer carries disappear" — and is table-wide by nature, so it
+    requires an explicit `scope_partitions` list: only unmatched table
+    rows in those partitions are deleted. Requiring the scope keeps
+    write amplification proportional to the declared sync domain
+    instead of silently rewriting the whole table (Delta's
+    merge-with-source-deletes carries the same guidance). Pass every
+    partition explicitly to full-sync the table.
+
+    Copy-on-write commit mechanics, affected-partition math, schema
+    evolution and atomicity are exactly merge_upsert_partitioned's;
+    affected = source partitions ∪ partitions holding matched keys ∪
+    scope partitions (when the BY SOURCE clause is active). Returns
+    the affected partition values (sorted, as strings)."""
+    from pyspark.sql import functions as F
+
+    if unmatched_source_delete and not scope_partitions:
+        raise ValueError(
+            "merge_full_partitioned: unmatched_source_delete=True needs "
+            "an explicit scope_partitions list — the BY SOURCE delete "
+            "clause rewrites every scoped partition, so the sync domain "
+            "must be declared, never implied (pass all partitions to "
+            "full-sync)"
+        )
+    fs = _fs(spark, root)
+    cur = _ensure_versioned(root, spark, fs)
+    tree = _read_tree_dir(spark, cur, fs)
+    added = _validate_evolution(
+        tree.schema, source.schema, "merge_full_partitioned"
+    )
+
+    src_vals = [
+        r[0] for r in source.select(partition_col).distinct().collect()
+    ]
+    if any(v is None or str(v) == "" for v in src_vals):
+        raise ValueError(
+            "merge_full_partitioned: NULL or empty-string partition "
+            "values are not supported (hive layout folds both into "
+            "__HIVE_DEFAULT_PARTITION__); fill or filter the partition "
+            "column"
+        )
+    src_parts = {str(v) for v in src_vals}
+    matched_parts = {
+        str(r[0])
+        for r in tree.join(
+            F.broadcast(source.select(key_col)), key_col, "leftsemi"
+        )
+        .select(partition_col)
+        .distinct()
+        .collect()
+    }
+    scope = {str(v) for v in (scope_partitions or [])}
+    affected = sorted(
+        src_parts | matched_parts | (scope if unmatched_source_delete else set())
+    )
+    if not affected:
+        return []
+
+    part_str = F.col(partition_col).cast("string")
+    keep_old = tree.filter(part_str.isin(affected)).join(
+        F.broadcast(source.select(key_col)), key_col, "left_anti"
+    )
+    if unmatched_source_delete:
+        keep_old = keep_old.filter(~part_str.isin(sorted(scope)))
+    incoming = (
+        source.filter(~matched_delete) if matched_delete is not None else source
+    )
+    merged = keep_old.unionByName(incoming, allowMissingColumns=bool(added))
+    _commit_partitions(
+        spark, root, cur, merged, partition_col, affected, _pre_publish_hook,
+        fs=fs,
+    )
+    return affected
+
+
 def _write_tree_meta(version_dir_path: str, meta: dict, fs) -> None:
     """Write the commit metadata file INTO a (not yet published, or
     bootstrap) version directory. The leading underscore keeps Spark's
