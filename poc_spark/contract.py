@@ -9098,8 +9098,13 @@ _TAIL = [
     # covered by src_warc_roundtrip).
     # lake_merge_full's slot: lake_retention_policy (r10-witnessed;
     # vacuum/retention machinery also exercised in-head by
-    # pipeline_lake_lifecycle's vacuum + retained-version diff)
+    # pipeline_lake_lifecycle's vacuum + retained-version diff).
+    # stream_outer_join's slot: lake_schema_evolution (r10-witnessed;
+    # the commit core it rides is exercised in-head by
+    # lake_merge_full/lake_deletion_vectors/lake_compact_partitions/
+    # lake_repartition_spec, and _validate_evolution by lake_merge_full)
     "lake_retention_policy",
+    "lake_schema_evolution",
     "lake_cdc_apply",
     "lake_rollup_incremental",
     "lake_merge_upsert",

@@ -15,6 +15,8 @@ PMI, clustering coefficient) or an ordered fold of such expressions
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from poc_spark.contract import (
@@ -518,3 +520,159 @@ def lake_merge_full(spark, sf_dir):
         scope_partitions=["fr"],
     )
     return _content_agg(read_snapshot(spark, root), "lang", "source")
+
+
+@register(
+    "stream_outer_join",
+    """
+    WITH i AS (
+      SELECT user_id AS ad_id, ts AS imp_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id AS ad_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT i.ad_id, i.imp_ts, c.click_ts
+      FROM i LEFT JOIN c
+        ON c.ad_id = i.ad_id
+       AND c.click_ts >= i.imp_ts
+       AND c.click_ts <= i.imp_ts + INTERVAL 24 HOURS
+    )
+    SELECT ad_id,
+           count(*)::BIGINT AS n_rows,
+           count(click_ts)::BIGINT AS n_matched,
+           coalesce(sum(epoch_us(click_ts) - epoch_us(imp_ts)), 0)::BIGINT
+             AS sum_delta_us
+    FROM p GROUP BY ad_id
+    """,
+)
+def stream_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream join in-gate (streaming/joins.py
+    attribute_clicks_outer): impressions that never convert must emit
+    a NULL-click row — and that emission only happens when the
+    watermark passes the impression's join window, i.e. it RIDES state
+    eviction. Three staged landing files drain as three micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered): (1) the real view/click
+    events — inner matches emit here; (2) sentinel rows 100 days ahead
+    advancing both watermarks past every real impression's window;
+    (3) a second sentinel batch, because the advanced watermark reaches
+    the eviction/emission machinery one batch late (the measured
+    propagation lag stream_watermark_eviction documents). The entry
+    fails loudly unless >= 3 data batches ran AND at least one real
+    NULL-click outer row actually emitted — so it can never silently
+    degrade into an inner join. Sentinels carry negative ad_ids and are
+    filtered before the rollup; the far-future sentinel impression
+    itself stays un-evicted (its window end is beyond the final
+    watermark), so it never reaches the sink. Oracle: the relational
+    LEFT JOIN over the real events — n_rows counts matched pairs plus
+    one null row per unconverted impression, exactly the streaming
+    outer contract."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+    import uuid
+
+    from poc_spark.streaming.joins import attribute_clicks_outer
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "event_type",
+            F.col("user_id").alias("ad_id"),
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ).alias("ts"),
+        )
+    )
+    max_row = ev.agg(F.max("ts").alias("mx")).collect()[0]  # 1-row scalar
+    max_us = int(max_row["mx"].timestamp() * 1_000_000)
+    staged = _export_path("stream_outer_src", sf_dir)
+    _shutil.rmtree(staged, ignore_errors=True)
+    os.makedirs(staged, exist_ok=True)
+
+    def _stage(df, name: str, mtime: float) -> None:
+        tmp = os.path.join(staged, name + ".stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(staged, name)
+        os.replace(part, dest)
+        _shutil.rmtree(tmp)
+        os.utime(dest, (mtime, mtime))
+
+    def _sentinels(pairs, us: int):
+        return spark.createDataFrame(
+            list(pairs), "event_type string, ad_id long"
+        ).select(
+            "event_type", "ad_id", F.expr(f"timestamp_micros({us})").alias("ts")
+        )
+
+    t0 = _time.time() - 300
+    _stage(ev, "f1_real.parquet", t0)
+    adv = max_us + 100 * 24 * 3_600_000_000
+    _stage(
+        _sentinels([("view", -1), ("click", -2)], adv),
+        "f2_advance.parquet",
+        t0 + 30,
+    )
+    _stage(
+        _sentinels([("view", -3), ("click", -4)], adv + 3_600_000_000),
+        "f3_advance2.parquet",
+        t0 + 60,
+    )
+
+    src_schema = "event_type string, ad_id long, ts timestamp"
+
+    def source():
+        return (
+            spark.readStream.schema(src_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+
+    imps = source().filter("event_type = 'view'").select("ad_id", "ts")
+    clks = source().filter("event_type = 'click'").select("ad_id", "ts")
+    joined = attribute_clicks_outer(
+        imps,
+        clks,
+        key="ad_id",
+        attribution_window="24 hours",
+        imp_watermark="1 hour",
+        click_watermark="1 hour",
+    )
+    qname = "stream_outer_" + uuid.uuid4().hex[:12]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    n_batches = sum(1 for p in progress if p["numInputRows"] > 0)
+    if n_batches < 3:
+        raise RuntimeError(
+            f"outer-join scenario degraded: {n_batches} micro-batches < 3 "
+            "(watermark advance never arrived as its own batch)"
+        )
+    pairs = spark.table(qname).filter(F.col("ad_id") >= 0)
+    n_null = pairs.filter(F.col("click_ts").isNull()).count()
+    if n_null == 0:
+        raise RuntimeError(
+            "no NULL-click outer rows emitted — eviction-driven outer "
+            "emission is unverified this run (inner-join degradation)"
+        )
+    return pairs.groupBy("ad_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("click_ts").alias("n_matched"),
+        F.coalesce(
+            F.sum(F.unix_micros("click_ts") - F.unix_micros("imp_ts")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_delta_us"),
+    )

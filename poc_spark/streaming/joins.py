@@ -58,6 +58,44 @@ def attribute_clicks(
     return clk.join(imp, cond).select(key, "imp_ts", "click_ts")
 
 
+def attribute_clicks_outer(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    key: str = "ad_id",
+    attribution_window: str = "30 minutes",
+    imp_watermark: str = "1 hour",
+    click_watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every impression emits — matched
+    ones paired with each qualifying click, unmatched ones with a NULL
+    click_ts once the watermark proves no qualifying click can still
+    arrive. Inputs need (key, ts); output (key, imp_ts, click_ts?).
+
+    This is the funnel-completeness shape an attribution pipeline needs
+    ("which impressions never converted?") that the inner form cannot
+    answer online. Outer-null emission is tied to state EVICTION: an
+    impression's null row appears only after the watermark passes
+    imp_ts + window, so results are late by exactly the watermark —
+    the documented Structured Streaming outer-join trade-off. State
+    bounds are the inner join's: O(rate × (watermark + window)) per
+    key (see module doc)."""
+    imp = impressions.withWatermark("ts", imp_watermark).select(
+        F.col(key).alias(key), F.col("ts").alias("imp_ts")
+    )
+    clk = clicks.withWatermark("ts", click_watermark).select(
+        F.col(key).alias("_k"), F.col("ts").alias("click_ts")
+    )
+    cond = (
+        (imp[key] == clk["_k"])
+        & (clk["click_ts"] >= imp["imp_ts"])
+        & (
+            clk["click_ts"]
+            <= imp["imp_ts"] + F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return imp.join(clk, cond, "leftOuter").select(key, "imp_ts", "click_ts")
+
+
 def attribute_clicks_batch(
     impressions: DataFrame,
     clicks: DataFrame,

@@ -167,3 +167,43 @@ def test_watermark_eviction_drops_late_click(spark, tmp_path_repo):
            if r["ad_id"] > 0}
     assert got == {(1, "2024-01-01 10:00:00", "2024-01-01 10:10:00")}, got
     assert removed > 0, "state was never evicted"
+
+
+def test_attribute_clicks_outer_batch_semantics(spark):
+    """Batch-mode differential for the LEFT OUTER form: withWatermark
+    is a no-op on bounded inputs, so the operator must reduce to the
+    relational left interval join — matched imps pair with each
+    qualifying click, unmatched imps emit exactly one NULL-click row.
+    The streaming eviction-driven null emission is pinned in-gate by
+    the stream_outer_join contract entry."""
+    from datetime import datetime
+
+    from poc_spark.streaming.joins import attribute_clicks_outer
+
+    imp = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0)),
+            (2, datetime(2024, 1, 1, 11, 0)),   # no click at all
+            (3, datetime(2024, 1, 1, 12, 0)),   # click outside window
+        ],
+        "ad_id long, ts timestamp",
+    )
+    clk = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 10)),
+            (1, datetime(2024, 1, 1, 10, 20)),  # both inside 30 min
+            (3, datetime(2024, 1, 1, 13, 0)),   # 60 min late: no match
+        ],
+        "ad_id long, ts timestamp",
+    )
+    rows = attribute_clicks_outer(
+        imp, clk, attribution_window="30 minutes"
+    ).collect()
+    got = {(r["ad_id"], str(r["imp_ts"]), r["click_ts"] and str(r["click_ts"]))
+           for r in rows}
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00"),
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:20:00"),
+        (2, "2024-01-01 11:00:00", None),
+        (3, "2024-01-01 12:00:00", None),
+    }
