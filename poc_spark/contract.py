@@ -9105,6 +9105,13 @@ _TAIL = [
     # lake_repartition_spec, and _validate_evolution by lake_merge_full)
     "lake_retention_policy",
     "lake_schema_evolution",
+    # q_rolling_zscore / q_scd2_build slots: stream_restart_rollup
+    # (r10-witnessed; its txn-metadata exactly-once machinery is
+    # exercised in-head by the no-witness-yet stream_append_table) and
+    # lake_cdc_merge (r10-witnessed; the CDC merge path is exercised
+    # in-head by pipeline_lake_lifecycle's CDC commit)
+    "stream_restart_rollup",
+    "lake_cdc_merge",
     "lake_cdc_apply",
     "lake_rollup_incremental",
     "lake_merge_upsert",

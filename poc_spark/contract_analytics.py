@@ -676,3 +676,163 @@ def stream_outer_join(spark, sf_dir):
         .cast("long")
         .alias("sum_delta_us"),
     )
+
+
+@register(
+    "q_rolling_zscore",
+    """
+    WITH v AS (
+      SELECT event_id, user_id, ts,
+             round(value, 6) AS vd,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS vdec
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, vd,
+             count(*) OVER f AS n_hist,
+             CAST(sum(vdec) OVER f AS DOUBLE) AS s,
+             CAST(sum(vdec * vdec) OVER f AS DOUBLE) AS ss
+      FROM v
+      WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, n_hist::BIGINT AS n_hist,
+           CASE WHEN n_hist >= 5
+                     AND ss / n_hist::DOUBLE
+                         - (s / n_hist::DOUBLE) * (s / n_hist::DOUBLE) > 0.0
+                THEN round((vd - s / n_hist::DOUBLE)
+                           / sqrt(ss / n_hist::DOUBLE
+                                  - (s / n_hist::DOUBLE)
+                                    * (s / n_hist::DOUBLE)), 6)
+                ELSE NULL END AS zscore,
+           coalesce(CASE WHEN n_hist >= 5
+                              AND ss / n_hist::DOUBLE
+                                  - (s / n_hist::DOUBLE) * (s / n_hist::DOUBLE)
+                                  > 0.0
+                         THEN abs((vd - s / n_hist::DOUBLE)
+                                  / sqrt(ss / n_hist::DOUBLE
+                                         - (s / n_hist::DOUBLE)
+                                           * (s / n_hist::DOUBLE))) > 3.0
+                         ELSE NULL END, FALSE) AS is_anomaly
+    FROM w
+    """,
+)
+def q_rolling_zscore(spark, sf_dir):
+    """Per-user rolling z-score anomaly flags — the online
+    time-series outlier primitive (each event scored against its own
+    trailing 10-event window, >= 5 history rows required). The window
+    moments accumulate in exact DECIMAL(18,6) after one cross-engine
+    round, so the trailing sums are bit-identical no matter how each
+    engine walks the frame (DuckDB's segment-tree window aggregation
+    vs Spark's running fold would drift in plain doubles); mean/var/z
+    are then one fixed double expression. Partitioned window — scales
+    by user key, no global exchange."""
+    from pyspark.sql import Window
+
+    v = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("vd"),
+        F.round("value", 6).cast("decimal(18,6)").alias("vdec"),
+    )
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    w = v.select(
+        "event_id",
+        "user_id",
+        "vd",
+        F.count(F.lit(1)).over(f).alias("n_hist"),
+        F.sum("vdec").over(f).cast("double").alias("s"),
+        F.sum(F.col("vdec") * F.col("vdec")).over(f).cast("double").alias("ss"),
+    )
+    n_d = F.col("n_hist").cast("double")
+    mean = F.col("s") / n_d
+    var = F.col("ss") / n_d - mean * mean
+    z = (F.col("vd") - mean) / F.sqrt(var)
+    ok = (F.col("n_hist") >= 5) & (var > 0.0)
+    return w.select(
+        "event_id",
+        F.col("user_id"),
+        F.col("n_hist").cast("long").alias("n_hist"),
+        F.when(ok, F.round(z, 6)).otherwise(F.lit(None)).alias("zscore"),
+        F.coalesce(
+            F.when(ok, F.abs(z) > 3.0).otherwise(F.lit(None)), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+@register(
+    "q_scd2_build",
+    """
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    iv AS (
+      SELECT user_id, event_type, ts AS eff_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS eff_to
+      FROM events
+    ),
+    nv AS (
+      SELECT user_id, count(*)::BIGINT AS n_versions FROM iv GROUP BY 1
+    ),
+    pit AS (
+      SELECT i.user_id, i.event_type AS state_at_t0, i.eff_from
+      FROM iv i, bounds b
+      WHERE epoch_us(i.eff_from) <= b.lo + (b.hi - b.lo) // 2
+        AND (i.eff_to IS NULL
+             OR epoch_us(i.eff_to) > b.lo + (b.hi - b.lo) // 2)
+    )
+    SELECT p.user_id, p.state_at_t0, p.eff_from, n.n_versions
+    FROM pit p JOIN nv n USING (user_id)
+    """,
+)
+def q_scd2_build(spark, sf_dir):
+    """SCD Type 2 dimension build + point-in-time lookup — the
+    warehouse change-history primitive: each user's event stream
+    becomes validity intervals [eff_from, eff_to) via one LEAD window
+    (open-ended current row = NULL eff_to), then a PIT query answers
+    "what was every user's state at T0?" for T0 = the corpus midpoint
+    (a broadcast 1-row scalar, integer-µs arithmetic — no float time
+    math). Exactly one interval per user covers any instant, so the
+    result is one deterministic row per user plus the version count.
+    Partitioned window + broadcast scalar: scales by user key."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("eff_from"),
+        F.lead("ts")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("eff_to"),
+    )
+    nv = iv.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_versions"))
+    # events.ts is TIMESTAMP_NTZ here: unix_micros() rejects it, so the
+    # epoch-us scalar uses the timestampdiff-from-NTZ-epoch idiom the
+    # streaming entries established
+    ntz_us = lambda c: F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        + c + ")"
+    )
+    bounds = ev.agg(
+        F.min(ntz_us("ts")).alias("lo"),
+        F.max(ntz_us("ts")).alias("hi"),
+    )
+    t0 = F.col("lo") + F.floor((F.col("hi") - F.col("lo")) / 2).cast("long")
+    pit = (
+        iv.crossJoin(F.broadcast(bounds))
+        .filter(
+            (ntz_us("eff_from") <= t0)
+            & (F.col("eff_to").isNull() | (ntz_us("eff_to") > t0))
+        )
+        .select("user_id", F.col("event_type").alias("state_at_t0"), "eff_from")
+    )
+    return pit.join(nv, "user_id").select(
+        "user_id", "state_at_t0", "eff_from", "n_versions"
+    )

@@ -65,3 +65,23 @@ def test_bm25_scores_positive_and_bounded_k(spark, sf_dir):
     rows = _run("text_bm25_topk", spark, sf_dir)
     assert 0 < len(rows) <= 15
     assert all(r["score"] > 0 for r in rows)
+
+
+def test_rolling_zscore_invariants(spark, sf_dir):
+    rows = _run("q_rolling_zscore", spark, sf_dir)
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_hist"] <= 10
+        if r["n_hist"] < 5:
+            assert r["zscore"] is None and r["is_anomaly"] is False
+        if r["is_anomaly"]:
+            assert abs(r["zscore"]) > 3.0
+    # every event scored exactly once
+    assert len({r["event_id"] for r in rows}) == len(rows)
+
+
+def test_scd2_one_state_per_user_at_t0(spark, sf_dir):
+    rows = _run("q_scd2_build", spark, sf_dir)
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users))  # exactly one covering interval
+    assert all(r["n_versions"] >= 1 for r in rows)
