@@ -9112,6 +9112,15 @@ _TAIL = [
     # in-head by pipeline_lake_lifecycle's CDC commit)
     "stream_restart_rollup",
     "lake_cdc_merge",
+    # text_domain_divergence / pipeline_entity_resolution: new r11
+    # entries declared TAIL from birth — the safe demotion pool is
+    # exhausted (every remaining head entry is either this round's new
+    # machinery or the r6-witness rotation cohort), and both are
+    # compositions of machinery with in-head witnesses (ordered-fold
+    # text aggregates; PassJoin blocking + components). The local
+    # full-registry sweeps are their witness.
+    "text_domain_divergence",
+    "pipeline_entity_resolution",
     "lake_cdc_apply",
     "lake_rollup_incremental",
     "lake_merge_upsert",

@@ -836,3 +836,164 @@ def q_scd2_build(spark, sf_dir):
     return pit.join(nv, "user_id").select(
         "user_id", "state_at_t0", "eff_from", "n_versions"
     )
+
+
+@register(
+    "text_domain_divergence",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+             '\\s+'), x -> len(x) > 0)) AS term, source
+      FROM documents
+    ),
+    g AS (SELECT term, count(*)::BIGINT AS qc FROM tok GROUP BY 1),
+    tq AS (SELECT count(*)::BIGINT AS tq FROM tok),
+    s AS (SELECT source, term, count(*)::BIGINT AS pc
+          FROM tok GROUP BY 1, 2),
+    tp AS (SELECT source, count(*)::BIGINT AS tp FROM tok GROUP BY 1),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    grid AS (
+      SELECT sr.source, g.term, g.qc, COALESCE(s.pc, 0) AS pc
+      FROM srcs sr CROSS JOIN g
+      LEFT JOIN s ON s.source = sr.source AND s.term = g.term
+    ),
+    contrib AS (
+      SELECT gr.source, gr.term,
+             0.5 * (CASE WHEN gr.pc > 0
+                         THEN (gr.pc::DOUBLE / tp.tp::DOUBLE)
+                              * ln((gr.pc::DOUBLE / tp.tp::DOUBLE)
+                                   / ((gr.pc::DOUBLE / tp.tp::DOUBLE)
+                                      + (gr.qc::DOUBLE / tq.tq::DOUBLE))
+                                   * 2.0)
+                         ELSE 0.0 END
+                    + (gr.qc::DOUBLE / tq.tq::DOUBLE)
+                      * ln((gr.qc::DOUBLE / tq.tq::DOUBLE)
+                           / ((gr.pc::DOUBLE / tp.tp::DOUBLE)
+                              + (gr.qc::DOUBLE / tq.tq::DOUBLE))
+                           * 2.0)) AS c
+      FROM grid gr JOIN tp ON tp.source = gr.source, tq
+    )
+    SELECT c.source, tp.tp AS n_tokens,
+           round(list_reduce(list_prepend(0.0, list(c.c ORDER BY c.term)),
+                             (a, b) -> a + b), 6) AS jsd
+    FROM contrib c JOIN tp ON tp.source = c.source
+    GROUP BY c.source, tp.tp
+    """,
+)
+def text_domain_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence of every source's unigram distribution
+    against the whole corpus — the distribution-drift signal a training
+    pipeline watches across domains and snapshots ("did srcN's language
+    shift?"). JSD = ½KL(P‖M) + ½KL(Q‖M) with M = (P+Q)/2; zero-count
+    terms contribute only through the corpus side (their KL(P‖M) term
+    is 0 by the usual 0·ln0 = 0 convention). All probabilities are
+    single int/int double divisions; per-source contributions fold in
+    term order so both engines hash bit-for-bit. The per-source×vocab
+    grid is |sources| × |Zipf-bounded vocab| — the honest cost of exact
+    drift measurement; at 100 TB the vocab is capped upstream (the
+    dedup maxVocab discipline) and sources ride a broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    from poc_spark.operators.textstats import _tokens
+
+    tok = docs.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    g = tok.groupBy("term").agg(F.count(F.lit(1)).alias("qc"))
+    tq = tok.agg(F.count(F.lit(1)).alias("tq"))
+    s = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("pc"))
+    tp = tok.groupBy("source").agg(F.count(F.lit(1)).alias("tp"))
+    srcs = docs.select("source").distinct()
+    grid = (
+        srcs.crossJoin(g)
+        .join(s, ["source", "term"], "left")
+        .withColumn("pc", F.coalesce("pc", F.lit(0)))
+        .join(F.broadcast(tp), "source")
+        .crossJoin(F.broadcast(tq))
+    )
+    p = F.col("pc").cast("double") / F.col("tp").cast("double")
+    q = F.col("qc").cast("double") / F.col("tq").cast("double")
+    contrib = F.lit(0.5) * (
+        F.when(F.col("pc") > 0, p * F.log(p / (p + q) * F.lit(2.0)))
+        .otherwise(F.lit(0.0))
+        + q * F.log(q / (p + q) * F.lit(2.0))
+    )
+    per = grid.select("source", "term", "tp", contrib.alias("c"))
+    return per.groupBy("source", F.col("tp").alias("n_tokens")).agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ),
+            6,
+        ).alias("jsd")
+    )
+
+
+@register(
+    "pipeline_entity_resolution",
+    """
+    WITH RECURSIVE c AS (
+      SELECT c_custkey AS id, c_name AS name
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    p AS (
+      SELECT a.id AS s, b.id AS t
+      FROM c a JOIN c b
+        ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+    ),
+    und AS (SELECT s AS a, t AS b FROM p UNION SELECT t, s FROM p),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    lbl AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+    resolved AS (
+      SELECT c.id, c.name, COALESCE(l.comp, c.id) AS comp
+      FROM c LEFT JOIN lbl l USING (id)
+    )
+    SELECT comp AS cluster_id,
+           count(*)::BIGINT AS n_members,
+           sum(id)::BIGINT AS sum_keys,
+           count(DISTINCT name)::BIGINT AS n_names
+    FROM resolved GROUP BY comp
+    """,
+)
+def pipeline_entity_resolution(spark, sf_dir):
+    """Entity resolution end-to-end, the record-linkage composition:
+    (1) candidate pairs by PassJoin segment blocking + levenshtein <= 1
+    verify (operators/fuzzy.py — never all-pairs; k=1 because the
+    synthetic Customer#NNN names chain transitively into one giant
+    cluster at distance 2 — measured, 84 clusters vs 1), (2) transitive
+    closure into entity clusters via pointer-jumping connected
+    components (operators/graph.py), (3) canonical id = min member key,
+    singletons kept as their own entity. Output is the per-cluster
+    summary (size, key-sum signature, distinct surface forms). The
+    oracle replays blocking-free: quadratic levenshtein + recursive-CTE
+    closure — so the blocked plan's cluster assignments are checked
+    against ground truth, the same discipline as fuzzy_name_join and
+    graph_components."""
+    from poc_spark.operators.fuzzy import edit_distance_join
+    from poc_spark.operators.graph import connected_components
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter("c_custkey % 7 = 0")
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    )
+    pairs = edit_distance_join(c, k=1, text_col="name", id_col="id")
+    edges = pairs.select(
+        F.col("id_a").alias("source"),
+        F.col("id_b").alias("target"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    labels = connected_components(edges)
+    resolved = c.join(labels, "id", "left").select(
+        "id", "name", F.coalesce("component", F.col("id")).alias("comp")
+    )
+    return resolved.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("id").alias("sum_keys"),
+        F.countDistinct("name").alias("n_names"),
+    )

@@ -85,3 +85,27 @@ def test_scd2_one_state_per_user_at_t0(spark, sf_dir):
     users = [r["user_id"] for r in rows]
     assert len(users) == len(set(users))  # exactly one covering interval
     assert all(r["n_versions"] >= 1 for r in rows)
+
+
+def test_domain_divergence_bounds(spark, sf_dir):
+    import math
+
+    rows = _run("text_domain_divergence", spark, sf_dir)
+    assert len(rows) > 0
+    for r in rows:
+        # JSD (nats) is bounded by ln 2 and non-negative (round-6 slack)
+        assert -1e-6 <= r["jsd"] <= math.log(2.0) + 1e-6
+        assert r["n_tokens"] > 0
+
+
+def test_entity_resolution_clusters(spark, sf_dir):
+    rows = _run("pipeline_entity_resolution", spark, sf_dir)
+    assert len(rows) > 0
+    total = sum(r["n_members"] for r in rows)
+    ids = {r["cluster_id"] for r in rows}
+    assert len(ids) == len(rows)  # canonical ids unique
+    for r in rows:
+        # canonical id is a member, so it can't exceed the key sum
+        assert r["cluster_id"] <= r["sum_keys"]
+        assert 1 <= r["n_names"] <= r["n_members"]
+    assert total >= len(rows)
