@@ -851,47 +851,43 @@ def q_scd2_build(spark, sf_dir):
     s AS (SELECT source, term, count(*)::BIGINT AS pc
           FROM tok GROUP BY 1, 2),
     tp AS (SELECT source, count(*)::BIGINT AS tp FROM tok GROUP BY 1),
-    srcs AS (SELECT DISTINCT source FROM documents),
-    grid AS (
-      SELECT sr.source, g.term, g.qc, COALESCE(s.pc, 0) AS pc
-      FROM srcs sr CROSS JOIN g
-      LEFT JOIN s ON s.source = sr.source AND s.term = g.term
-    ),
     contrib AS (
-      SELECT gr.source, gr.term,
-             0.5 * (CASE WHEN gr.pc > 0
-                         THEN (gr.pc::DOUBLE / tp.tp::DOUBLE)
-                              * ln((gr.pc::DOUBLE / tp.tp::DOUBLE)
-                                   / ((gr.pc::DOUBLE / tp.tp::DOUBLE)
-                                      + (gr.qc::DOUBLE / tq.tq::DOUBLE))
-                                   * 2.0)
-                         ELSE 0.0 END
-                    + (gr.qc::DOUBLE / tq.tq::DOUBLE)
-                      * ln((gr.qc::DOUBLE / tq.tq::DOUBLE)
-                           / ((gr.pc::DOUBLE / tp.tp::DOUBLE)
-                              + (gr.qc::DOUBLE / tq.tq::DOUBLE))
+      SELECT s.source, s.term, g.qc,
+             0.5 * ((s.pc::DOUBLE / tp.tp::DOUBLE)
+                    * ln((s.pc::DOUBLE / tp.tp::DOUBLE)
+                         / ((s.pc::DOUBLE / tp.tp::DOUBLE)
+                            + (g.qc::DOUBLE / tq.tq::DOUBLE))
+                         * 2.0)
+                    + (g.qc::DOUBLE / tq.tq::DOUBLE)
+                      * ln((g.qc::DOUBLE / tq.tq::DOUBLE)
+                           / ((s.pc::DOUBLE / tp.tp::DOUBLE)
+                              + (g.qc::DOUBLE / tq.tq::DOUBLE))
                            * 2.0)) AS c
-      FROM grid gr JOIN tp ON tp.source = gr.source, tq
+      FROM s JOIN g USING (term) JOIN tp ON tp.source = s.source, tq
     )
     SELECT c.source, tp.tp AS n_tokens,
            round(list_reduce(list_prepend(0.0, list(c.c ORDER BY c.term)),
-                             (a, b) -> a + b), 6) AS jsd
-    FROM contrib c JOIN tp ON tp.source = c.source
-    GROUP BY c.source, tp.tp
+                             (a, b) -> a + b)
+                 + 0.5 * ln(2.0)
+                   * ((tq.tq - sum(c.qc))::DOUBLE / tq.tq::DOUBLE), 6) AS jsd
+    FROM contrib c JOIN tp ON tp.source = c.source, tq
+    GROUP BY c.source, tp.tp, tq.tq
     """,
 )
 def text_domain_divergence(spark, sf_dir):
     """Jensen-Shannon divergence of every source's unigram distribution
     against the whole corpus — the distribution-drift signal a training
     pipeline watches across domains and snapshots ("did srcN's language
-    shift?"). JSD = ½KL(P‖M) + ½KL(Q‖M) with M = (P+Q)/2; zero-count
-    terms contribute only through the corpus side (their KL(P‖M) term
-    is 0 by the usual 0·ln0 = 0 convention). All probabilities are
-    single int/int double divisions; per-source contributions fold in
-    term order so both engines hash bit-for-bit. The per-source×vocab
-    grid is |sources| × |Zipf-bounded vocab| — the honest cost of exact
-    drift measurement; at 100 TB the vocab is capped upstream (the
-    dedup maxVocab discipline) and sources ride a broadcast."""
+    shift?"). JSD = ½KL(P‖M) + ½KL(Q‖M) with M = (P+Q)/2.
+
+    NO source×vocab grid: terms ABSENT from a source contribute exactly
+    ½·q·ln2 each (p=0 ⇒ m=q/2), so their total is the closed form
+    ½·ln2·(1 − coverage) with coverage = Σ_present qc / T — an
+    integer-exact correction added after the ordered fold over PRESENT
+    terms only. That keeps the work proportional to the per-source
+    posting lists (one term-keyed shuffle join), not |sources|×|vocab|,
+    and every double is either a fixed expression over exact ints or
+    part of the term-ordered fold — bit-identical to the oracle."""
     docs = _t(spark, sf_dir, "documents")
     from poc_spark.operators.textstats import _tokens
 
@@ -902,31 +898,42 @@ def text_domain_divergence(spark, sf_dir):
     tq = tok.agg(F.count(F.lit(1)).alias("tq"))
     s = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("pc"))
     tp = tok.groupBy("source").agg(F.count(F.lit(1)).alias("tp"))
-    srcs = docs.select("source").distinct()
-    grid = (
-        srcs.crossJoin(g)
-        .join(s, ["source", "term"], "left")
-        .withColumn("pc", F.coalesce("pc", F.lit(0)))
+    joined = (
+        s.join(g, "term")
         .join(F.broadcast(tp), "source")
         .crossJoin(F.broadcast(tq))
     )
     p = F.col("pc").cast("double") / F.col("tp").cast("double")
     q = F.col("qc").cast("double") / F.col("tq").cast("double")
     contrib = F.lit(0.5) * (
-        F.when(F.col("pc") > 0, p * F.log(p / (p + q) * F.lit(2.0)))
-        .otherwise(F.lit(0.0))
+        p * F.log(p / (p + q) * F.lit(2.0))
         + q * F.log(q / (p + q) * F.lit(2.0))
     )
-    per = grid.select("source", "term", "tp", contrib.alias("c"))
-    return per.groupBy("source", F.col("tp").alias("n_tokens")).agg(
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "c"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["c"],
-            ),
-            6,
-        ).alias("jsd")
+    per = joined.select(
+        "source", "term", "tp", "tq", "qc", contrib.alias("c")
+    )
+    folded = per.groupBy(
+        "source", F.col("tp").alias("n_tokens"), "tq"
+    ).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("base"),
+        F.sum("qc").alias("covered"),
+    )
+    absent = (
+        F.lit(0.5)
+        * F.log(F.lit(2.0))
+        * (
+            (F.col("tq") - F.col("covered")).cast("double")
+            / F.col("tq").cast("double")
+        )
+    )
+    return folded.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("base") + absent, 6).alias("jsd"),
     )
 
 

@@ -47,6 +47,10 @@ BNLJ_OK = {
     "text_bigram_lm",  # same corpus total T: broadcast 1-row aggregate
     "sample_temperature",  # c_max: broadcast 1-row aggregate
     "text_perplexity_bucket",  # inherits text_unigram_lm's 1-row total
+    "text_bm25_topk",  # corpus stats (N docs, T tokens): 1-row broadcast
+    "text_pmi_collocations",  # token total T + bigram total B: 1-row each
+    "q_scd2_build",  # corpus-midpoint T0 bounds: 1-row broadcast
+    "text_domain_divergence",  # corpus token total T: 1-row broadcast
 }
 
 
