@@ -6,11 +6,15 @@ Pearson correlation matrix, RFM customer segmentation, and PMI
 collocation mining.
 
 Equality discipline (see contract.py module doc): every float output is
-either a single fixed expression over exact integers/decimals (corr,
-PMI, clustering coefficient) or an ordered fold of such expressions
-(BM25, Adamic-Adar — sorted-struct aggregate HOF on the Spark side,
-`list(expr ORDER BY key)` + list_reduce on the DuckDB side), rounded to
-6dp before any ORDER BY that consumes it.
+one of (a) a single fixed expression over exact integers/decimals
+(corr, PMI, clustering coefficient), (b) an ordered fold of such
+expressions over a SMALL group (BM25 — sorted-struct aggregate HOF on
+the Spark side, `list(expr ORDER BY key)` + list_reduce on the DuckDB
+side), or (c) an order-free exact sum of QUANTIZED contributions
+(Adamic-Adar's picounit longs, the JSD's round-12 decimals) when the
+group is unbounded — partial aggregation stays available and both
+engines' hash aggregates agree exactly. Rounded to 6dp before any
+ORDER BY that consumes the value.
 """
 
 from __future__ import annotations
@@ -128,13 +132,14 @@ def text_bm25_topk(spark, sf_dir):
       )
     ),
     contrib AS (
-      SELECT c.u, c.v, c.z, 1.0 / ln(d.dz::DOUBLE) AS cc
+      SELECT c.u, c.v,
+             CAST(round(1000000000000.0 / ln(d.dz::DOUBLE), 0) AS BIGINT)
+               AS cc
       FROM cand c JOIN deg d USING (z)
     ),
     scored AS (
       SELECT u, v,
-             round(list_reduce(list_prepend(0.0, list(cc ORDER BY z)),
-                               (a, b) -> a + b), 6) AS score
+             round(CAST(sum(cc) AS DOUBLE) / 1000000000000.0, 6) AS score
       FROM contrib GROUP BY u, v
     )
     SELECT u, v, score FROM scored ORDER BY score DESC, u, v LIMIT 20
@@ -144,7 +149,9 @@ def graph_adamic_adar(spark, sf_dir):
     """Adamic-Adar link prediction, top-20 non-adjacent pairs: the
     'who should be connected' extension of the reference's interaction
     graph. Candidates come from the shared-neighbor wedge join (never
-    all-pairs); per-pair scores fold 1/ln(deg z) in z order."""
+    all-pairs); per-pair scores are order-free LONG sums of picounit-
+    quantized 1/ln(deg z) contributions, so both engines' hash
+    aggregates agree bit-for-bit with no per-pair array fold."""
     edges = lag_edges(_t(spark, sf_dir, "events"), "user_id", EVENT_ORDER)
     return adamic_adar(edges, top_k=20)
 
@@ -853,21 +860,21 @@ def q_scd2_build(spark, sf_dir):
     tp AS (SELECT source, count(*)::BIGINT AS tp FROM tok GROUP BY 1),
     contrib AS (
       SELECT s.source, s.term, g.qc,
-             0.5 * ((s.pc::DOUBLE / tp.tp::DOUBLE)
-                    * ln((s.pc::DOUBLE / tp.tp::DOUBLE)
-                         / ((s.pc::DOUBLE / tp.tp::DOUBLE)
-                            + (g.qc::DOUBLE / tq.tq::DOUBLE))
-                         * 2.0)
-                    + (g.qc::DOUBLE / tq.tq::DOUBLE)
-                      * ln((g.qc::DOUBLE / tq.tq::DOUBLE)
+             CAST(round(
+               0.5 * ((s.pc::DOUBLE / tp.tp::DOUBLE)
+                      * ln((s.pc::DOUBLE / tp.tp::DOUBLE)
                            / ((s.pc::DOUBLE / tp.tp::DOUBLE)
                               + (g.qc::DOUBLE / tq.tq::DOUBLE))
-                           * 2.0)) AS c
+                           * 2.0)
+                      + (g.qc::DOUBLE / tq.tq::DOUBLE)
+                        * ln((g.qc::DOUBLE / tq.tq::DOUBLE)
+                             / ((s.pc::DOUBLE / tp.tp::DOUBLE)
+                                + (g.qc::DOUBLE / tq.tq::DOUBLE))
+                             * 2.0)), 12) AS DECIMAL(20,12)) AS c
       FROM s JOIN g USING (term) JOIN tp ON tp.source = s.source, tq
     )
     SELECT c.source, tp.tp AS n_tokens,
-           round(list_reduce(list_prepend(0.0, list(c.c ORDER BY c.term)),
-                             (a, b) -> a + b)
+           round(CAST(sum(c.c) AS DOUBLE)
                  + 0.5 * ln(2.0)
                    * ((tq.tq - sum(c.qc))::DOUBLE / tq.tq::DOUBLE), 6) AS jsd
     FROM contrib c JOIN tp ON tp.source = c.source, tq
@@ -883,11 +890,13 @@ def text_domain_divergence(spark, sf_dir):
     NO source×vocab grid: terms ABSENT from a source contribute exactly
     ½·q·ln2 each (p=0 ⇒ m=q/2), so their total is the closed form
     ½·ln2·(1 − coverage) with coverage = Σ_present qc / T — an
-    integer-exact correction added after the ordered fold over PRESENT
-    terms only. That keeps the work proportional to the per-source
-    posting lists (one term-keyed shuffle join), not |sources|×|vocab|,
-    and every double is either a fixed expression over exact ints or
-    part of the term-ordered fold — bit-identical to the oracle."""
+    integer-exact correction added after the present-term aggregation.
+    That keeps the work proportional to the per-source posting lists
+    (one term-keyed shuffle join), not |sources|×|vocab|. Present-term
+    contributions are quantized to 12dp and summed in exact DECIMAL —
+    order-free, so the per-source aggregate is a plain partial-combine
+    hash agg (no vocab-sized array per source) and still hashes
+    bit-identically against the oracle."""
     docs = _t(spark, sf_dir, "documents")
     from poc_spark.operators.textstats import _tokens
 
@@ -905,21 +914,23 @@ def text_domain_divergence(spark, sf_dir):
     )
     p = F.col("pc").cast("double") / F.col("tp").cast("double")
     q = F.col("qc").cast("double") / F.col("tq").cast("double")
-    contrib = F.lit(0.5) * (
-        p * F.log(p / (p + q) * F.lit(2.0))
-        + q * F.log(q / (p + q) * F.lit(2.0))
-    )
+    contrib = (
+        F.round(
+            F.lit(0.5)
+            * (
+                p * F.log(p / (p + q) * F.lit(2.0))
+                + q * F.log(q / (p + q) * F.lit(2.0))
+            ),
+            12,
+        )
+    ).cast("decimal(20,12)")
     per = joined.select(
         "source", "term", "tp", "tq", "qc", contrib.alias("c")
     )
     folded = per.groupBy(
         "source", F.col("tp").alias("n_tokens"), "tq"
     ).agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "c"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["c"],
-        ).alias("base"),
+        F.sum("c").cast("double").alias("base"),
         F.sum("qc").alias("covered"),
     )
     absent = (
