@@ -117,7 +117,14 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     the fixpoint (diameter > max_iterations — long chain graphs), the
     labels are NOT final components: raise instead of returning silently
     wrong ids."""
-    directed = _directed(edges).select("src", "dst")
+    # checkpoint the edge view once: every iteration joins against it,
+    # and an expensive upstream (a PassJoin candidate generation, the
+    # chat lag window) would otherwise be recomputed per round — the
+    # same discipline as pagerank's links checkpoint (measured on the
+    # entity-resolution pipeline: 25s -> seconds at sf0.1)
+    directed = (
+        _directed(edges).select("src", "dst").localCheckpoint(eager=True)
+    )
     labels = (
         directed.select(F.col("src").alias("id"))
         .distinct()
