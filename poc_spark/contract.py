@@ -9121,6 +9121,7 @@ _TAIL = [
     # full-registry sweeps are their witness.
     "text_domain_divergence",
     "pipeline_entity_resolution",
+    "graph_modularity",
     "lake_cdc_apply",
     "lake_rollup_incremental",
     "lake_merge_upsert",

@@ -1015,3 +1015,70 @@ def pipeline_entity_resolution(spark, sf_dir):
         F.sum("id").alias("sum_keys"),
         F.countDistinct("name").alias("n_names"),
     )
+
+
+@register(
+    "graph_modularity",
+    _EDGES_CTE.replace("WITH chain", "WITH RECURSIVE chain", 1)
+    + """
+    , strong AS (SELECT source, target FROM edges WHERE weight >= 4),
+    und AS (
+      SELECT source AS a, target AS b FROM strong
+      UNION SELECT target, source FROM strong
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    lbl AS (SELECT a AS id, LEAST(a, MIN(b)) AS community
+            FROM reach GROUP BY a),
+    nodes AS (SELECT src AS id FROM directed GROUP BY src),
+    nl AS (
+      SELECT n.id, COALESCE(l.community, n.id) AS community
+      FROM nodes n LEFT JOIN lbl l USING (id)
+    ),
+    mm AS (SELECT count(*)::BIGINT AS m FROM edges),
+    deg AS (SELECT src AS id, count(*)::BIGINT AS degree
+            FROM directed GROUP BY 1),
+    dper AS (
+      SELECT community, count(*)::BIGINT AS n_nodes,
+             sum(degree)::BIGINT AS d_total
+      FROM nl JOIN deg USING (id) GROUP BY 1
+    ),
+    eper AS (
+      SELECT ls.community, count(*)::BIGINT AS e_within
+      FROM edges e
+      JOIN nl ls ON ls.id = e.source
+      JOIN nl lt ON lt.id = e.target
+      WHERE ls.community = lt.community
+      GROUP BY 1
+    )
+    SELECT d.community, d.n_nodes,
+           COALESCE(e.e_within, 0)::BIGINT AS e_within, d.d_total,
+           round((4 * mm.m * COALESCE(e.e_within, 0)
+                  - d.d_total * d.d_total)::DOUBLE
+                 / (4 * mm.m * mm.m)::DOUBLE, 9) AS q_contrib
+    FROM dper d LEFT JOIN eper e USING (community), mm
+    """,
+)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity of the strong-tie partition over the FULL
+    interaction graph: communities = connected components of the
+    weight >= 3 subgraph (nodes outside it are singletons), scored
+    per community as Q_c = e_c/m − (d_c/2m)² — 'how well do strong
+    ties explain all interactions'. The contribution is the single
+    exact-integer expression (4·m·e_c − d_c²)/(4m²) cast to double
+    once (no float folds anywhere). Spark: pointer-jumping components
+    + two broadcast label joins; oracle: recursive-CTE closure + the
+    same integer algebra."""
+    from poc_spark.operators.graph import (
+        connected_components,
+        modularity_by_community,
+    )
+
+    edges = lag_edges(_t(spark, sf_dir, "events"), "user_id", EVENT_ORDER)
+    comms = connected_components(edges.filter(F.col("weight") >= 4))
+    return modularity_by_community(
+        edges, comms.select("id", F.col("component").alias("community"))
+    )

@@ -304,6 +304,66 @@ def adamic_adar(edges: DataFrame, top_k: int | None = None) -> DataFrame:
     return scored
 
 
+def modularity_by_community(
+    edges: DataFrame, communities: DataFrame
+) -> DataFrame:
+    """(community, n_nodes, e_within, d_total, q_contrib) — Newman
+    modularity decomposed per community over the UNWEIGHTED graph:
+    Q = Σ_c [ e_c/m − (d_c/2m)² ], reported per c. The contribution is
+    computed as the single exact-integer expression
+    (4·m·e_c − d_c²) / (4·m²) cast to double once — no float folds, so
+    it hashes bit-identically cross-engine (d_c, e_c, m are exact).
+
+    `communities` is (id, community); nodes absent from it are
+    singleton communities (coalesce to their own id). One edge-to-label
+    join (twice, for both endpoints — label table broadcasts), two hash
+    aggregates, and a broadcast 1-row m."""
+    m_row = edges.select(F.count(F.lit(1)).alias("m"))
+    lbl = communities.select("id", "community")
+    nodes = (
+        _directed(edges)
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .join(lbl, "id", "left")
+        .select("id", F.coalesce("community", F.col("id")).alias("community"))
+    )
+    deg = degrees(edges).select("id", "degree")
+    d_per = (
+        nodes.join(deg, "id")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("degree").alias("d_total"),
+        )
+    )
+    ls = nodes.select(F.col("id").alias("source"), F.col("community").alias("cs"))
+    lt = nodes.select(F.col("id").alias("target"), F.col("community").alias("ct"))
+    e_per = (
+        edges.join(F.broadcast(ls), "source")
+        .join(F.broadcast(lt), "target")
+        .filter(F.col("cs") == F.col("ct"))
+        .groupBy(F.col("cs").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_within"))
+    )
+    joined = (
+        d_per.join(e_per, "community", "left")
+        .withColumn("e_within", F.coalesce("e_within", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(m_row))
+    )
+    num = (
+        F.lit(4) * F.col("m") * F.col("e_within")
+        - F.col("d_total") * F.col("d_total")
+    )
+    den = F.lit(4) * F.col("m") * F.col("m")
+    return joined.select(
+        "community",
+        "n_nodes",
+        "e_within",
+        F.col("d_total").cast("long").alias("d_total"),
+        F.round(num.cast("double") / den.cast("double"), 9).alias("q_contrib"),
+    )
+
+
 def k_core(edges: DataFrame, k: int, max_iterations: int = 30) -> DataFrame:
     """Nodes of the k-core: the maximal subgraph where every node has
     degree >= k WITHIN the subgraph. Iterative peel — drop nodes with

@@ -85,3 +85,22 @@ def test_adamic_adar_top_k_is_deterministic(spark, edges):
     top = adamic_adar(edges, top_k=1).collect()
     assert len(top) == 1
     assert (top[0]["u"], top[0]["v"]) == ("b", "d")  # tie broken by (u, v)
+
+
+def test_modularity_hand_computed(spark, edges):
+    from poc_spark.operators.graph import modularity_by_community
+
+    # communities: {a,b,c} strong triangle, {d} singleton; m=4 edges,
+    # intra-{a,b,c} edges = 3 (ab, ac, bc), degrees a3 b2 c2 d1
+    comms = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x")], "id string, community string"
+    )
+    got = {
+        r["community"]: (r["n_nodes"], r["e_within"], r["d_total"], r["q_contrib"])
+        for r in modularity_by_community(edges, comms).collect()
+    }
+    m = 4
+    assert got["x"] == (3, 3, 7, round((4 * m * 3 - 49) / (4 * m * m), 9))
+    assert got["d"] == (1, 0, 1, round((0 - 1) / (4 * m * m), 9))
+    # total modularity is bounded by 1
+    assert sum(v[3] for v in got.values()) <= 1.0
