@@ -9122,6 +9122,10 @@ _TAIL = [
     "text_domain_divergence",
     "pipeline_entity_resolution",
     "graph_modularity",
+    # lake_branching's slot: pipeline_lake_lifecycle (r10-witnessed;
+    # every in-head lake commit entry exercises the same publish +
+    # pinned-retention core, and the local sweeps re-witness it)
+    "pipeline_lake_lifecycle",
     "lake_cdc_apply",
     "lake_rollup_incremental",
     "lake_merge_upsert",

@@ -1082,3 +1082,107 @@ def graph_modularity(spark, sf_dir):
     return modularity_by_community(
         edges, comms.select("id", F.col("component").alias("community"))
     )
+
+
+@register(
+    "lake_branching",
+    """
+    WITH up1 AS (
+      SELECT doc_id, text || ' branched' AS text, lang, source,
+             n_chars + 9 AS n_chars
+      FROM documents WHERE doc_id % 6 = 0
+    ),
+    m1 AS (
+      SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+      FROM documents d WHERE d.doc_id % 6 <> 0
+      UNION ALL SELECT * FROM up1
+    ),
+    up2 AS (
+      SELECT doc_id, text || ' twice' AS text, lang, source,
+             n_chars + 6 AS n_chars
+      FROM m1 WHERE doc_id % 10 = 0
+    ),
+    m2 AS (
+      SELECT m.doc_id, m.text, m.lang, m.source, m.n_chars
+      FROM m1 m WHERE m.doc_id % 10 <> 0
+      UNION ALL SELECT * FROM up2
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM m2 GROUP BY lang, source
+    """,
+)
+def lake_branching(spark, sf_dir):
+    """Branch/tag refs end-to-end (sources/lake.py create_branch /
+    merge_upsert_branch / fast_forward_main — the Iceberg/Nessie
+    write-audit-merge workflow on the plain-parquet tree): a fresh
+    base is tagged, a branch takes TWO copy-on-write upserts while the
+    entry ASSERTS main still serves the untouched base (isolation —
+    the thing branches exist for), then main fast-forwards to the
+    branch head and the merged tree is content-aggregated. The tag
+    must still serve the pre-branch base afterwards (pinned against
+    the ff's retention pruning). The oracle replays both upserts
+    relationally; loud RuntimeErrors guard isolation and tag
+    stability, so a pointer leak in either direction can never pass
+    silently."""
+    from poc_spark.sources.lake import (
+        create_branch,
+        create_tag,
+        delete_ref,
+        fast_forward_main,
+        list_refs,
+        merge_upsert_branch,
+        read_ref,
+        read_snapshot,
+        write_partitioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _export_path("branchtree", sf_dir)
+    # fresh base every run, INCLUDING refs: a stale ref would collide
+    # on create and pin last run's versions (the stale-artifact rule)
+    for stale in list_refs(root):
+        delete_ref(root, stale)
+    write_partitioned(docs, root, ["lang"])
+    base_count = docs.count()
+    base_sum = docs.agg(F.sum("n_chars")).collect()[0][0]
+
+    create_tag(spark, root, "base")
+    create_branch(spark, root, "dev")
+    up1 = docs.filter("doc_id % 6 = 0").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" branched")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(9)).alias("n_chars"),
+    )
+    merge_upsert_branch(spark, root, "dev", up1, "doc_id", "lang")
+    branch1 = read_ref(spark, root, "dev")
+    up2 = branch1.filter("doc_id % 10 = 0").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" twice")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(6)).alias("n_chars"),
+    )
+    merge_upsert_branch(spark, root, "dev", up2, "doc_id", "lang")
+
+    # isolation gate: main must still serve the untouched base
+    main_sum = read_snapshot(spark, root).agg(F.sum("n_chars")).collect()[0][0]
+    if main_sum != base_sum:
+        raise RuntimeError(
+            f"branch isolation broken: main n_chars sum moved "
+            f"{base_sum} -> {main_sum} before the fast-forward"
+        )
+    fast_forward_main(spark, root, "dev")
+    # tag stability gate: the pinned pre-branch snapshot is intact
+    tag_count = read_ref(spark, root, "base").count()
+    if tag_count != base_count:
+        raise RuntimeError(
+            f"tag 'base' no longer serves the pre-branch snapshot: "
+            f"{tag_count} rows vs {base_count}"
+        )
+    return _content_agg(read_snapshot(spark, root), "lang", "source")

@@ -602,8 +602,28 @@ def _claim_version_dir(root: str, cur: str, build_dir: str, fs) -> str:
     happens under a UNIQUE `.commit-*` name, a crash during assembly
     never occupies a version number — retries are unblocked without
     any vacuum; only a crash in the claim→publish window leaves a
-    numbered orphan for vacuum_tree."""
+    numbered orphan for vacuum_tree.
+
+    With BRANCHES (a `.refs` prefix exists) version numbers are a
+    shared line across all refs, so the claim targets
+    max(base+1, global max+1) — otherwise a branch commit holding a
+    higher number would permanently block the main line's base+1.
+    Ref-less trees keep the exact legacy base+1 behavior."""
+    import os
+    import re
+
     new_dir = _next_version_dir(root, cur)
+    if fs.is_dir(_refs_dir(root)):
+        parent, base = os.path.split(root)
+        taken = [
+            int(m.group(1))
+            for e in fs.list_names(parent)
+            if (m := re.fullmatch(re.escape(base) + _VERSION_RE[:-1], e))
+        ]
+        if taken:
+            m2 = re.search(_VERSION_RE, new_dir)
+            nxt = max(int(m2.group(1)), max(taken) + 1)
+            new_dir = f"{root}.v{nxt:06d}"
     if not fs.promote_tree_exclusive(build_dir, new_dir):
         raise ConcurrentCommitError(
             f"version directory {new_dir} is already taken: another "
@@ -669,7 +689,12 @@ def _retention_hours(spark) -> float | None:
 
 
 def _doomed_versions(
-    parent: str, versions: list[str], keep: int, hours: float | None, fs
+    parent: str,
+    versions: list[str],
+    keep: int,
+    hours: float | None,
+    fs,
+    pinned: frozenset[str] | set[str] = frozenset(),
 ) -> list[str]:
     """The published version directory names (ascending input; the
     newest is the just-published current) that NEITHER retention
@@ -678,10 +703,13 @@ def _doomed_versions(
     age = the directory mtime: version dirs are immutable once
     published, so mtime is the publish instant on every backend (an
     object store's prefix "mtime" maps to its newest object's
-    last-modified)."""
+    last-modified). `pinned` versions (named by a branch/tag ref — see
+    create_branch) are never doomed regardless of either policy: a ref
+    is an explicit promise the snapshot stays readable."""
     import os
     import time
 
+    versions = [v for v in versions if v not in pinned]
     doomed = versions[: max(0, len(versions) - max(keep, 2))]
     if hours is None or not doomed:
         return doomed
@@ -742,7 +770,8 @@ def _publish_version(
         for e in fs.list_names(parent)
         if re.fullmatch(re.escape(base) + _VERSION_RE[:-1], e)
     )
-    for stale in _doomed_versions(parent, versions, keep, hours, fs):
+    pinned = _pinned_versions(root, fs)
+    for stale in _doomed_versions(parent, versions, keep, hours, fs, pinned):
         fs.delete_tree(os.path.join(parent, stale))
 
 
@@ -1121,6 +1150,7 @@ def _commit_partitions(
     _pre_publish_hook=None,
     meta: dict | None = None,
     fs=None,
+    ref_name: str | None = None,
 ) -> None:
     """Shared commit core of the copy-on-write tree writers
     (merge_upsert_partitioned, rollup_incremental, merge_apply_cdc):
@@ -1191,7 +1221,11 @@ def _commit_partitions(
             _pre_publish_hook()
         new_dir = _claim_version_dir(root, cur, build, fs)
         _stamp_index_versions(new_dir, fs)
-        _publish_version(root, new_dir, spark, expected_cur=cur, fs=fs)
+        if ref_name is not None:
+            # branch commit: advance the ref, never the main pointer
+            _publish_ref(root, ref_name, new_dir, expected_cur=cur, fs=fs)
+        else:
+            _publish_version(root, new_dir, spark, expected_cur=cur, fs=fs)
     except ConcurrentCommitError:
         if new_dir is not None:
             # the claim succeeded but the base re-check failed: the
@@ -1747,6 +1781,269 @@ def read_version(
     # version committed before a column was added keeps serving the
     # old shape, the one after serves the new (schema evolution)
     return _read_tree_dir(spark, version_dir(root, version))
+
+
+# ---------------------------------------------------------------------------
+# branches and tags (Iceberg/Nessie-style refs on the version-pointer tree)
+# ---------------------------------------------------------------------------
+
+_REFS_SUFFIX = ".refs"
+_REF_NAME_RE = r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}"
+
+
+def _refs_dir(root: str) -> str:
+    return root + _REFS_SUFFIX
+
+
+def _ref_path(root: str, name: str) -> str:
+    import os
+
+    return os.path.join(_refs_dir(root), name + ".json")
+
+
+def _validate_ref_name(name: str) -> None:
+    import re
+
+    if not re.fullmatch(_REF_NAME_RE, name):
+        raise ValueError(
+            f"ref name {name!r} is invalid: letters/digits/._- only, "
+            "must start alphanumeric, max 64 chars"
+        )
+
+
+def _read_ref_payload(root: str, name: str, fs) -> dict:
+    import json
+
+    p = _ref_path(root, name)
+    if not fs.exists(p):
+        raise ValueError(
+            f"unknown ref {name!r} on {root!r}; existing: "
+            f"{sorted(list_refs(root, fs))}"
+        )
+    return json.loads(fs.get_bytes(p))
+
+
+def list_refs(root: str, fs=None) -> dict[str, dict]:
+    """All branch/tag refs of a tree: {name: payload}. Payload fields:
+    kind ('branch'|'tag'), current (version dir basename), version
+    (int), base (fork-point basename — fast-forward eligibility)."""
+    import json
+    import os
+
+    fs = _fs(root=root, fs=fs)
+    d = _refs_dir(root)
+    if not fs.is_dir(d):
+        return {}
+    out = {}
+    for e in fs.list_names(d):
+        if e.endswith(".json"):
+            out[e[:-5]] = json.loads(fs.get_bytes(os.path.join(d, e)))
+    return out
+
+
+def _pinned_versions(root: str, fs) -> set[str]:
+    """Version-dir basenames any ref names (current or fork base) —
+    exempt from retention pruning and vacuum orphan removal. Empty set
+    for ref-less trees at the cost of one is_dir probe."""
+    pinned: set[str] = set()
+    for payload in list_refs(root, fs).values():
+        pinned.add(payload["current"])
+        pinned.add(payload["base"])
+    return pinned
+
+
+def create_branch(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    at_version: int | None = None,
+    kind: str = "branch",
+) -> dict:
+    """Create a BRANCH: a named pointer onto a retained version that
+    writers can advance independently of main (the Iceberg/Nessie ref
+    idea on the plain-parquet tree). Zero data movement — the ref is
+    one small JSON object; the branch shares every data byte with the
+    versions it forked from. The ref PINS its versions against
+    retention/vacuum for as long as it exists.
+
+    `at_version=None` forks from the current snapshot (the only fork
+    point fast_forward_main can later merge; an explicit older version
+    is a read-mostly fork that can never fast-forward). Exactly one
+    creator wins a name race (conditional PUT)."""
+    import os
+    import re
+
+    if kind not in ("branch", "tag"):
+        raise ValueError(f"kind must be 'branch' or 'tag', got {kind!r}")
+    _validate_ref_name(name)
+    fs = _fs(spark, root)
+    cur = _ensure_versioned(root, spark, fs)
+    target = (
+        version_dir(root, at_version, fs) if at_version is not None else cur
+    )
+    base = os.path.basename(target)
+    m = re.search(_VERSION_RE, base)
+    payload = {
+        "name": name,
+        "kind": kind,
+        "current": base,
+        "version": int(m.group(1)),
+        "base": base,
+    }
+    import json
+
+    fs.make_prefix(_refs_dir(root))
+    if not fs.put_if_absent(_ref_path(root, name), json.dumps(payload).encode()):
+        raise ValueError(f"ref {name!r} already exists on {root!r}")
+    return payload
+
+
+def create_tag(
+    spark: SparkSession, root: str, name: str, at_version: int | None = None
+) -> dict:
+    """Create an immutable TAG — a named, pinned snapshot ('the
+    training-run-7 input'). Same mechanics as create_branch but any
+    attempt to commit to it fails loudly."""
+    return create_branch(spark, root, name, at_version, kind="tag")
+
+
+def read_ref(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Read the snapshot a branch/tag currently names (each version
+    serves under its own logged schema, same as read_version)."""
+    fs = _fs(spark, root)
+    payload = _read_ref_payload(root, name, fs)
+    return read_version(spark, root, payload["version"])
+
+
+def delete_ref(root: str, name: str, fs=None) -> None:
+    """Drop a ref. Its versions lose their pin and become ordinary
+    retention candidates at the next publish/vacuum."""
+    fs = _fs(root=root, fs=fs)
+    _read_ref_payload(root, name, fs)  # loud on unknown
+    fs.delete_obj(_ref_path(root, name))
+
+
+def _publish_ref(root: str, name: str, new_dir: str, expected_cur: str, fs) -> None:
+    """Advance a branch ref to `new_dir` — the branch-side twin of
+    _publish_version: re-check the expected head (optimistic
+    concurrency), then one atomic small-object PUT. Tags refuse. Main's
+    pointer and retention are untouched (branch garbage is bounded by
+    the refs' own pins and collected when the ref advances/deletes)."""
+    import json
+    import os
+    import re
+
+    payload = _read_ref_payload(root, name, fs)
+    if payload["kind"] == "tag":
+        raise ValueError(f"ref {name!r} is a tag — tags are immutable")
+    if payload["current"] != os.path.basename(expected_cur):
+        raise ConcurrentCommitError(
+            f"branch {name!r} moved from "
+            f"{os.path.basename(expected_cur)!r} to {payload['current']!r} "
+            "— a concurrent branch writer published first; retry from "
+            "the new branch head"
+        )
+    base = os.path.basename(new_dir)
+    payload["current"] = base
+    payload["version"] = int(re.search(_VERSION_RE, base).group(1))
+    fs.put_atomic(_ref_path(root, name), json.dumps(payload).encode())
+
+
+def merge_upsert_branch(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    updates: DataFrame,
+    key_col: str,
+    partition_col: str,
+) -> list[str]:
+    """merge_upsert_partitioned against a BRANCH head instead of main:
+    identical copy-on-write mechanics (affected-partition rewrite,
+    carries, schema evolution, exclusive version claim on the shared
+    number line), but the publish advances the branch ref — main's
+    pointer, readers, and retention never see it. The
+    write-audit-merge workflow: land risky changes on a branch, audit
+    with read_ref, then fast_forward_main."""
+    from pyspark.sql import functions as F
+
+    fs = _fs(spark, root)
+    payload = _read_ref_payload(root, name, fs)
+    if payload["kind"] == "tag":
+        raise ValueError(f"ref {name!r} is a tag — tags are immutable")
+    import os
+
+    cur = os.path.join(os.path.dirname(root), payload["current"])
+    if not fs.is_dir(cur):
+        raise ValueError(
+            f"branch {name!r} names {payload['current']!r} which is not "
+            "a directory — the pin failed or the tree was tampered with"
+        )
+    tree = _read_tree_dir(spark, cur, fs)
+    added = _validate_evolution(tree.schema, updates.schema, "merge_upsert_branch")
+    up_vals = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if any(v is None or str(v) == "" for v in up_vals):
+        raise ValueError(
+            "merge_upsert_branch: NULL or empty-string partition values "
+            "are not supported (hive layout); fill or filter the "
+            "partition column"
+        )
+    up_parts = {str(v) for v in up_vals}
+    old_parts = {
+        str(r[0])
+        for r in tree.join(
+            F.broadcast(updates.select(key_col)), key_col, "leftsemi"
+        )
+        .select(partition_col)
+        .distinct()
+        .collect()
+    }
+    affected = sorted(up_parts | old_parts)
+    if not affected:
+        return []
+    merged = (
+        tree.filter(F.col(partition_col).cast("string").isin(affected))
+        .join(F.broadcast(updates.select(key_col)), key_col, "left_anti")
+        .unionByName(updates, allowMissingColumns=bool(added))
+    )
+    _commit_partitions(
+        spark, root, cur, merged, partition_col, affected, fs=fs,
+        ref_name=name,
+    )
+    return affected
+
+
+def fast_forward_main(spark: SparkSession, root: str, name: str) -> int:
+    """Merge a branch back by FAST-FORWARD: allowed only when main
+    still sits at the branch's fork point (base) — then main's pointer
+    simply advances to the branch head (one atomic publish; the
+    versions in between were built by the branch's own commits and are
+    already durable). If main advanced since the fork the histories
+    have diverged and this raises — a content-level three-way merge is
+    a rebase (re-apply the branch's updates on the new main), kept
+    explicit rather than guessed at. Returns the new main version."""
+    import os
+
+    fs = _fs(spark, root)
+    payload = _read_ref_payload(root, name, fs)
+    if payload["kind"] == "tag":
+        raise ValueError(
+            f"ref {name!r} is a tag — tags are immutable; merge a branch"
+        )
+    cur = _resolve_current(root, fs=fs)
+    cur_base = os.path.basename(cur) if cur else None
+    if cur_base != payload["base"]:
+        raise ValueError(
+            f"fast_forward_main: main is at {cur_base!r} but branch "
+            f"{name!r} forked from {payload['base']!r} — histories "
+            "diverged; rebase the branch (re-apply its updates on the "
+            "current snapshot) instead"
+        )
+    if payload["current"] == payload["base"]:
+        return payload["version"]  # nothing to merge
+    new_dir = os.path.join(os.path.dirname(root), payload["current"])
+    _publish_version(root, new_dir, spark, expected_cur=cur, fs=fs)
+    spark.catalog.refreshByPath(root)
+    return payload["version"]
 
 
 def snapshot_diff(
@@ -3138,8 +3435,12 @@ def vacuum_tree(
     published = (
         [v for v in versions if v <= current] if current else versions
     )
-    orphans = set(versions) - set(published)  # newer than current
-    doomed = _doomed_versions(parent, published, keep, hours, fs)
+    # branch/tag refs PIN their versions: a branch head is numbered
+    # above main's current (shared number line) and would otherwise be
+    # classified a claim-window orphan and removed
+    pinned = _pinned_versions(root, fs)
+    orphans = set(versions) - set(published) - pinned
+    doomed = _doomed_versions(parent, published, keep, hours, fs, pinned)
     now = time.time()
 
     def _old_enough(p: str) -> bool:
