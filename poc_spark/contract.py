@@ -9126,6 +9126,11 @@ _TAIL = [
     # every in-head lake commit entry exercises the same publish +
     # pinned-retention core, and the local sweeps re-witness it)
     "pipeline_lake_lifecycle",
+    # lake_catalog_txn: declared-tail from birth (pool exhausted); it
+    # composes the in-head lake_branching's ref machinery, and its
+    # multi-table atomicity is gated by its own in-entry probes plus
+    # the local sweeps
+    "lake_catalog_txn",
     "lake_cdc_apply",
     "lake_rollup_incremental",
     "lake_merge_upsert",

@@ -1186,3 +1186,133 @@ def lake_branching(spark, sf_dir):
             f"{tag_count} rows vs {base_count}"
         )
     return _content_agg(read_snapshot(spark, root), "lang", "source")
+
+
+@register(
+    "lake_catalog_txn",
+    """
+    WITH upd AS (
+      SELECT doc_id, text || ' cat' AS text, lang, source,
+             n_chars + 4 AS n_chars
+      FROM documents WHERE doc_id % 9 = 0
+    ),
+    facts AS (
+      SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+      FROM documents d WHERE d.doc_id % 9 <> 0
+      UNION ALL SELECT * FROM upd
+    ),
+    f AS (
+      SELECT 'facts' AS tbl, lang AS grp, count(*) AS n_rows,
+             sum(n_chars)::BIGINT AS sum_chars
+      FROM facts GROUP BY lang
+    ),
+    s AS (
+      SELECT 'summary' AS tbl, source AS grp, count(*) AS n_rows,
+             sum(n_chars)::BIGINT AS sum_chars
+      FROM facts GROUP BY source
+    )
+    SELECT * FROM f UNION ALL SELECT * FROM s
+    """,
+)
+def lake_catalog_txn(spark, sf_dir):
+    """ATOMIC MULTI-TABLE transaction (sources/catalog_txn.py — the
+    catalog-level commit, one rung above single-table refs): a facts
+    table (documents by lang) and its DERIVED summary table (per-source
+    counts/sums) must move together — a reader that sees new facts with
+    the old summary has a broken invariant no single-table pointer can
+    prevent. The entry updates BOTH tables in one transaction: facts
+    get a text/n_chars upsert, the summary is recomputed from the
+    post-update facts. A mid-transaction probe (pre-commit hook) reads
+    both tables THROUGH THE CATALOG and fails loudly unless both are
+    still old (all-or-nothing); after the commit, the entry verifies
+    the cross-table invariant (summary == aggregate of facts) before
+    returning both tables' states under one discriminator column. The
+    oracle replays the upsert and both aggregations relationally."""
+    from poc_spark.sources.catalog_txn import (
+        catalog_init,
+        catalog_read_table,
+        catalog_txn_upsert,
+    )
+    from poc_spark.sources.lake import write_partitioned
+
+    docs = _t(spark, sf_dir, "documents")
+    base = _export_path("cattxn", sf_dir)
+    facts_root = os.path.join(base, "facts")
+    summary_root = os.path.join(base, "summary")
+    catalog_path = os.path.join(base, "catalog.json")
+    # fresh world every run (stale-artifact rule): tables, refs, catalog
+    import shutil as _shutil
+
+    _shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    write_partitioned(docs, facts_root, ["lang"])
+    summary0 = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    write_partitioned(summary0, summary_root, ["source"])
+    catalog_init(
+        spark, catalog_path, {"facts": facts_root, "summary": summary_root}
+    )
+
+    upd = docs.filter("doc_id % 9 = 0").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" cat")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(4)).alias("n_chars"),
+    )
+    new_facts = docs.filter("doc_id % 9 <> 0").unionByName(upd)
+    new_summary = new_facts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    base_sum = docs.agg(F.sum("n_chars")).collect()[0][0]
+
+    def probe():
+        f_sum = (
+            catalog_read_table(spark, catalog_path, "facts")
+            .agg(F.sum("n_chars"))
+            .collect()[0][0]
+        )
+        s_sum = (
+            catalog_read_table(spark, catalog_path, "summary")
+            .agg(F.sum("sum_chars"))
+            .collect()[0][0]
+        )
+        if f_sum != base_sum or s_sum != base_sum:
+            raise RuntimeError(
+                "catalog transaction is not atomic: mid-txn reader saw "
+                f"facts={f_sum} summary={s_sum}, expected both {base_sum}"
+            )
+
+    catalog_txn_upsert(
+        spark,
+        catalog_path,
+        {
+            "facts": (upd, "doc_id", "lang"),
+            "summary": (new_summary, "source", "source"),
+        },
+        _pre_commit_hook=probe,
+    )
+    facts = catalog_read_table(spark, catalog_path, "facts")
+    summary = catalog_read_table(spark, catalog_path, "summary")
+    # cross-table invariant gate: summary must equal facts' aggregate
+    f_sum = facts.agg(F.sum("n_chars")).collect()[0][0]
+    s_sum = summary.agg(F.sum("sum_chars")).collect()[0][0]
+    if f_sum != s_sum:
+        raise RuntimeError(
+            f"cross-table invariant broken after commit: facts={f_sum} "
+            f"summary={s_sum}"
+        )
+    f_out = facts.groupBy(F.col("lang").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    ).select(F.lit("facts").alias("tbl"), "grp", "n_rows", "sum_chars")
+    s_out = summary.select(
+        F.lit("summary").alias("tbl"),
+        F.col("source").alias("grp"),
+        "n_rows",
+        "sum_chars",
+    )
+    return f_out.unionByName(s_out)

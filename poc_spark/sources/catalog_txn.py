@@ -1,0 +1,212 @@
+"""Atomic MULTI-TABLE transactions over version-pointer tables — the
+catalog-level commit (the Nessie/Iceberg-REST idea, one rung above
+single-table refs): a CATALOG is one small JSON object mapping table
+names to pinned version directories, and a transaction that rewrites N
+tables becomes ONE atomic catalog PUT. A reader that resolves tables
+through the catalog sees all-old or all-new, never a mix — the
+cross-table consistency no per-table pointer can give (e.g. a facts
+table and its derived summary must move together).
+
+Commit protocol (every step crash-safe):
+  1. per table, build the new version through a throwaway TRANSACTION
+     BRANCH (lake.py merge_upsert_branch — the same CoW commit core;
+     the branch ref pins the new version while the txn is in flight);
+  2. tag every new version with the next catalog epoch
+     (`cat<epoch>-<name>` — tags survive the txn and PIN the versions
+     the catalog names against retention/vacuum for as long as the
+     catalog points at them);
+  3. ONE atomic catalog PUT naming all the new versions, re-checking
+     the expected epoch right before the write (optimistic concurrency
+     — a racing transaction loses loudly with ConcurrentCommitError);
+  4. cleanup: drop the txn branches and the PREVIOUS epoch's tags
+     (releasing the old versions to ordinary retention).
+
+A crash before (3) leaves the old catalog fully valid (stray branches/
+tags are garbage with pins, removable by retrying or deleting refs); a
+crash after (3) leaves the new catalog fully valid with stale cleanup
+debt. There is no window where a catalog reader can observe a torn
+transaction.
+
+Reference scope: the reference has no multi-table consistency at all
+(each upload lands independently, backend/main.py:368-388); this is
+the engine-side extension a training pipeline needs when corpus shards
+and their manifest/statistics tables must publish together.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from poc_spark.sources.lake import (
+    ConcurrentCommitError,
+    _ensure_versioned,
+    _fs,
+    _read_tree_dir,
+    create_branch,
+    create_tag,
+    delete_ref,
+    list_refs,
+    merge_upsert_branch,
+)
+
+
+def _catalog_read_raw(catalog_path: str, fs) -> dict:
+    if not fs.exists(catalog_path):
+        raise ValueError(f"no catalog at {catalog_path!r}")
+    return json.loads(fs.get_bytes(catalog_path))
+
+
+def catalog_init(
+    spark: SparkSession, catalog_path: str, tables: dict[str, str]
+) -> dict:
+    """Create a catalog over existing tables: records each table's
+    CURRENT version (migrating plain trees to versioned form first)
+    and tags it with epoch 1 so the catalog's promise is pinned.
+    Exactly one creator wins (conditional PUT)."""
+    fs = _fs(spark, catalog_path)
+    entries = {}
+    for name, root in tables.items():
+        cur = _ensure_versioned(root, spark, fs)
+        entries[name] = {"root": root, "current": os.path.basename(cur)}
+    payload = {"epoch": 1, "tables": entries}
+    for name, ent in entries.items():
+        create_tag(spark, ent["root"], f"cat1-{name}-init")
+    if not fs.put_if_absent(catalog_path, json.dumps(payload).encode()):
+        raise ValueError(f"catalog already exists at {catalog_path!r}")
+    return payload
+
+
+def catalog_read_table(
+    spark: SparkSession, catalog_path: str, name: str
+) -> DataFrame:
+    """Read a table AT THE CATALOG'S PINNED VERSION — the transactional
+    view (the table's own pointer may already be ahead; catalog readers
+    don't care)."""
+    fs = _fs(spark, catalog_path)
+    cat = _catalog_read_raw(catalog_path, fs)
+    if name not in cat["tables"]:
+        raise ValueError(
+            f"catalog has no table {name!r}; tables: "
+            f"{sorted(cat['tables'])}"
+        )
+    ent = cat["tables"][name]
+    d = os.path.join(os.path.dirname(ent["root"]), ent["current"])
+    if not fs.is_dir(d):
+        raise ValueError(
+            f"catalog names {ent['current']!r} for table {name!r} but it "
+            "is not a directory — a pin was broken outside the protocol"
+        )
+    return _read_tree_dir(spark, d, fs)
+
+
+def catalog_txn_upsert(
+    spark: SparkSession,
+    catalog_path: str,
+    updates: dict[str, tuple[DataFrame, str, str]],
+    _pre_commit_hook=None,
+) -> dict:
+    """Atomically upsert into SEVERAL catalog tables: `updates` maps
+    table name -> (updates_df, key_col, partition_col). All tables'
+    new versions become visible to catalog readers in one PUT; a
+    concurrent transaction from the same epoch loses loudly. Returns
+    the new catalog payload. `_pre_commit_hook` is a test seam called
+    after every table's data is staged and before the catalog flip —
+    a reader driven there must still see every table OLD."""
+    fs = _fs(spark, catalog_path)
+    cat = _catalog_read_raw(catalog_path, fs)
+    epoch = cat["epoch"]
+    unknown = set(updates) - set(cat["tables"])
+    if unknown:
+        raise ValueError(f"catalog has no tables {sorted(unknown)}")
+    txn = uuid.uuid4().hex[:8]
+    new_entries = dict(cat["tables"])
+    txn_branches: list[tuple[str, str]] = []  # (root, ref name)
+    try:
+        for name, (df, key_col, part_col) in updates.items():
+            root = cat["tables"][name]["root"]
+            bname = f"txn-{txn}-{name}"
+            # fork the txn branch AT THE CATALOG'S PINNED VERSION (not
+            # the table's own head): the transaction's base is what the
+            # catalog promised, anything newer on the table's main line
+            # is outside this catalog's world
+            payload = create_branch(spark, root, bname)
+            txn_branches.append((root, bname))
+            if payload["current"] != cat["tables"][name]["current"]:
+                # table's pointer moved past the catalog pin: fork the
+                # branch from the pinned version explicitly
+                delete_ref(root, bname)
+                import re
+
+                from poc_spark.sources.lake import _VERSION_RE
+
+                pinned_v = int(
+                    re.search(
+                        _VERSION_RE, cat["tables"][name]["current"]
+                    ).group(1)
+                )
+                create_branch(spark, root, bname, at_version=pinned_v)
+            merge_upsert_branch(spark, root, bname, df, key_col, part_col)
+            head = list_refs(root, fs)[bname]["current"]
+            new_entries[name] = {"root": root, "current": head}
+        # tag the new versions under the NEXT epoch (pins outlive the
+        # txn branches we delete below). Tag names carry the txn id so
+        # RACING transactions of the same epoch never collide on a
+        # name — the loser's uniquely-named tags are dropped in its
+        # error path, the previous epoch's by prefix after a win.
+        import re
+
+        from poc_spark.sources.lake import _VERSION_RE
+
+        for name, ent in new_entries.items():
+            v = int(re.search(_VERSION_RE, ent["current"]).group(1))
+            create_tag(
+                spark, ent["root"], f"cat{epoch + 1}-{name}-{txn}", at_version=v
+            )
+        if _pre_commit_hook is not None:
+            _pre_commit_hook()
+        # THE commit point: one atomic catalog PUT, epoch re-checked
+        now = _catalog_read_raw(catalog_path, fs)
+        if now["epoch"] != epoch:
+            raise ConcurrentCommitError(
+                f"catalog moved from epoch {epoch} to {now['epoch']} — a "
+                "concurrent transaction committed first; retry from the "
+                "new catalog"
+            )
+        new_cat = {"epoch": epoch + 1, "tables": new_entries}
+        fs.put_atomic(catalog_path, json.dumps(new_cat).encode())
+    except ConcurrentCommitError:
+        # losing txn: release every pin it created (its own uniquely-
+        # named next-epoch tags may or may not exist yet; its branches
+        # always do)
+        for name in cat["tables"]:
+            root = cat["tables"][name]["root"]
+            try:
+                delete_ref(root, f"cat{epoch + 1}-{name}-{txn}")
+            except ValueError:
+                pass
+        for root, bname in txn_branches:
+            try:
+                delete_ref(root, bname)
+            except ValueError:
+                pass
+        raise
+    # cleanup (post-commit, non-atomic by design — pure garbage): drop
+    # txn branches and the previous epoch's tags
+    for root, bname in txn_branches:
+        try:
+            delete_ref(root, bname)
+        except ValueError:
+            pass
+    for name, ent in cat["tables"].items():
+        prefix = f"cat{epoch}-{name}-"
+        for ref in list(list_refs(ent["root"], fs)):
+            if ref.startswith(prefix):
+                try:
+                    delete_ref(ent["root"], ref)
+                except ValueError:
+                    pass
+    return new_cat
