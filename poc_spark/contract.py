@@ -9131,6 +9131,7 @@ _TAIL = [
     # multi-table atomicity is gated by its own in-entry probes plus
     # the local sweeps
     "lake_catalog_txn",
+    "lake_ivm_join",
     "lake_cdc_apply",
     "lake_rollup_incremental",
     "lake_merge_upsert",

@@ -1316,3 +1316,137 @@ def lake_catalog_txn(spark, sf_dir):
         "sum_chars",
     )
     return f_out.unionByName(s_out)
+
+
+@register(
+    "lake_ivm_join",
+    """
+    WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+    f0 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey,
+             o_totalprice + 10 AS o_totalprice,
+             CASE WHEN o_orderkey % 26 = 0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM f0 WHERE o_orderkey % 13 = 0
+    ),
+    ins AS (
+      SELECT o_orderkey + mx.m + 1 AS o_orderkey, o_custkey,
+             o_totalprice, '5-LOW' AS o_orderpriority
+      FROM f0, mx WHERE o_orderkey < 50
+    ),
+    fa AS (
+      SELECT * FROM f0 WHERE o_orderkey % 13 <> 0
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    ),
+    cb AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 11 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    ),
+    v AS (
+      SELECT fa.o_orderkey, fa.o_custkey, fa.o_totalprice,
+             fa.o_orderpriority, cb.c_name, cb.c_mktsegment
+      FROM fa JOIN cb ON cb.c_custkey = fa.o_custkey
+    )
+    SELECT o_orderpriority, c_mktsegment,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           count(DISTINCT o_custkey) AS n_custs
+    FROM v GROUP BY 1, 2
+    """,
+)
+def lake_ivm_join(spark, sf_dir):
+    """INCREMENTAL JOIN-VIEW MAINTENANCE (operators/ivm.py — the IVM
+    rung above rollup_incremental): a denormalized orders⋈customer
+    view is kept current under a FACT delta (price updates, partition-
+    MOVING priority changes, brand-new orders) and then a DIM delta
+    (market segments reassigned) without ever re-running the full
+    join — the fact delta joins only the broadcast dim table, the dim
+    delta rebuilds only the view's own affected rows (their fact
+    columns are read from the view, never the fact table), and both
+    land through the copy-on-write upsert so untouched view partitions
+    byte-carry. The oracle replays both deltas and the defining join
+    relationally, so a view row the maintenance missed, duplicated, or
+    left stale fails the value hash."""
+    import shutil as _shutil
+
+    from poc_spark.operators.ivm import (
+        dim_delta_view_rows,
+        fact_delta_view_rows,
+        join_view_rows,
+    )
+    from poc_spark.sources.lake import (
+        merge_upsert_partitioned,
+        read_snapshot,
+        write_partitioned,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    dims0 = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    dim_cols = ["c_name", "c_mktsegment"]
+    view_root = _export_path("ivmview", sf_dir)
+    _shutil.rmtree(view_root, ignore_errors=True)
+    _shutil.rmtree(view_root + ".refs", ignore_errors=True)
+
+    view0 = join_view_rows(orders, dims0, "o_orderkey", "o_custkey", dim_cols)
+    write_partitioned(view0, view_root, ["o_orderpriority"])
+
+    # fact delta: price bump + partition-moving priority + new orders
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    upd = orders.filter("o_orderkey % 13 = 0").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(10)).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 26 == 0, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    ins = orders.filter("o_orderkey < 50").select(
+        (F.col("o_orderkey") + F.lit(max_key + 1)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("5-LOW").alias("o_orderpriority"),
+    )
+    fact_delta = upd.unionByName(ins)
+    merge_upsert_partitioned(
+        spark,
+        view_root,
+        fact_delta_view_rows(fact_delta, dims0, "o_orderkey", "o_custkey", dim_cols),
+        "o_orderkey",
+        "o_orderpriority",
+    )
+
+    # dim delta: segment reassignment for custkey % 11 == 0
+    dim_delta = dims0.filter("o_custkey % 11 = 0").select(
+        "o_custkey", "c_name", F.lit("MOVED").alias("c_mktsegment")
+    )
+    view_cur = read_snapshot(spark, view_root)
+    merge_upsert_partitioned(
+        spark,
+        view_root,
+        dim_delta_view_rows(
+            view_cur, dim_delta, "o_orderkey", "o_custkey", dim_cols
+        ),
+        "o_orderkey",
+        "o_orderpriority",
+    )
+
+    final = read_snapshot(spark, view_root)
+    return final.groupBy("o_orderpriority", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
