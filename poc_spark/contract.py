@@ -9132,6 +9132,7 @@ _TAIL = [
     # the local sweeps
     "lake_catalog_txn",
     "lake_ivm_join",
+    "stream_ivm_join",
     "lake_cdc_apply",
     "lake_rollup_incremental",
     "lake_merge_upsert",

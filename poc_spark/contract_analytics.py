@@ -1450,3 +1450,143 @@ def lake_ivm_join(spark, sf_dir):
         .alias("sum_price"),
         F.countDistinct("o_custkey").alias("n_custs"),
     )
+
+
+@register(
+    "stream_ivm_join",
+    """
+    WITH fa AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders
+    ),
+    v AS (
+      SELECT fa.o_orderkey, fa.o_custkey, fa.o_totalprice,
+             fa.o_orderpriority, c.c_name, c.c_mktsegment
+      FROM fa JOIN customer c ON c.c_custkey = fa.o_custkey
+    )
+    SELECT o_orderpriority, c_mktsegment,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           count(DISTINCT o_custkey) AS n_custs
+    FROM v GROUP BY 1, 2
+    """,
+)
+def stream_ivm_join(spark, sf_dir):
+    """STREAMING incremental join-view maintenance (streaming/ingest.py
+    maintain_view_stream — the composition of the r11 IVM operator with
+    the exactly-once micro-batch discipline): three staged fact-delta
+    files (price bumps for o_orderkey % 7 == 0, sliced by key range,
+    executor-side staging) drain as three micro-batches; each joins
+    only the broadcast customer dim and lands in the orders⋈customer
+    view as one atomic copy-on-write upsert carrying its batch id.
+    After the drain, an injected CRASH-REPLAY re-applies batch id 0
+    with POISON rows — the txn metadata must absorb it (returns False,
+    view untouched; asserted loudly). The oracle replays the bumped
+    join relationally, so a lost batch, a double-applied batch, or a
+    poisoned replay all fail the value hash."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+    import uuid
+
+    from poc_spark.sources.lake import read_snapshot, write_partitioned
+    from poc_spark.operators.ivm import join_view_rows
+    from poc_spark.streaming.ingest import (
+        maintain_view_batch_exactly_once,
+        maintain_view_stream,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    dims = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    dim_cols = ["c_name", "c_mktsegment"]
+    base = _export_path("streamivm", sf_dir)
+    view_root = os.path.join(base, "view")
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt-" + uuid.uuid4().hex[:8])
+    _shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(landing, exist_ok=True)
+
+    write_partitioned(
+        join_view_rows(orders, dims, "o_orderkey", "o_custkey", dim_cols),
+        view_root,
+        ["o_orderpriority"],
+    )
+
+    delta = orders.filter("o_orderkey % 7 = 0").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(10)).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]  # 1-row scalar
+    t0 = _time.time() - 300
+    for i, (lo, hi) in enumerate(
+        [(0, max_key // 3), (max_key // 3, 2 * max_key // 3),
+         (2 * max_key // 3, max_key + 1)]
+    ):
+        part = delta.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        )
+        tmp = os.path.join(landing, f"f{i}.stage")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(landing, f"f{i}_delta.parquet")
+        os.replace(src, dest)
+        _shutil.rmtree(tmp)
+        os.utime(dest, (t0 + 30 * i, t0 + 30 * i))
+
+    schema = (
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderpriority string"
+    )
+    n_batches = maintain_view_stream(
+        spark,
+        landing,
+        schema,
+        view_root,
+        dims,
+        "o_orderkey",
+        "o_custkey",
+        dim_cols,
+        "o_orderpriority",
+        checkpoint=ckpt,
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream degraded: {n_batches} micro-batches < 3 (the delta "
+            "files did not drain as separate batches)"
+        )
+    # injected crash-replay: batch id 0 again, with poison rows — the
+    # txn metadata must absorb it without touching the view
+    poison = dims.limit(1).select(
+        F.lit(-1).cast("long").alias("o_orderkey"),
+        F.col("o_custkey"),
+        F.lit(-(10.0 ** 9)).alias("o_totalprice"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+        "c_name",
+        F.lit("POISON").alias("c_mktsegment"),
+    )
+    applied = maintain_view_batch_exactly_once(
+        spark, view_root, poison, 0, "o_orderkey", "o_orderpriority"
+    )
+    if applied:
+        raise RuntimeError(
+            "crash-replay of batch 0 was APPLIED — exactly-once metadata "
+            "failed to absorb the redelivery"
+        )
+    final = read_snapshot(spark, view_root)
+    return final.groupBy("o_orderpriority", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )

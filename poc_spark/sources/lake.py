@@ -906,6 +906,7 @@ def merge_upsert_partitioned(
     key_col: str,
     partition_col: str,
     _pre_publish_hook=None,
+    commit_meta: dict | None = None,
 ) -> list[str]:
     """COPY-ON-WRITE MERGE INTO a hive-partitioned tree (the Delta /
     Iceberg `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
@@ -994,7 +995,7 @@ def merge_upsert_partitioned(
     )
     _commit_partitions(
         spark, root, cur, merged, partition_col, affected, _pre_publish_hook,
-        fs=fs,
+        meta=commit_meta, fs=fs,
     )
     return affected
 
@@ -1009,6 +1010,7 @@ def merge_full_partitioned(
     unmatched_source_delete: bool = False,
     scope_partitions: list[str] | None = None,
     _pre_publish_hook=None,
+    commit_meta: dict | None = None,
 ) -> list[str]:
     """Full tri-clause MERGE on the hive tree — the complete Delta /
     Iceberg statement shape, on plain parquet:
@@ -1093,7 +1095,7 @@ def merge_full_partitioned(
     merged = keep_old.unionByName(incoming, allowMissingColumns=bool(added))
     _commit_partitions(
         spark, root, cur, merged, partition_col, affected, _pre_publish_hook,
-        fs=fs,
+        meta=commit_meta, fs=fs,
     )
     return affected
 

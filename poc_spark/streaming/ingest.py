@@ -345,3 +345,80 @@ def ingest_stream_to_table(
     q = writer.start()
     q.awaitTermination()
     return n_batches
+
+
+def maintain_view_batch_exactly_once(
+    spark,
+    view_root: str,
+    view_rows: DataFrame,
+    batch_id: int,
+    key_col: str,
+    partition_col: str,
+) -> bool:
+    """Idempotent join-view micro-batch UPSERT — the materialized-view
+    twin of apply_rollup_batch_exactly_once: the applied batch ids ride
+    the view tree's own commit metadata, so "batch recorded" and
+    "view rows upserted" are the SAME atomic pointer flip. A replayed
+    id (crash between commit and checkpoint advance) returns False
+    without touching the view."""
+    from poc_spark.sources.lake import merge_upsert_partitioned, read_tree_meta
+
+    applied = set(read_tree_meta(view_root).get("applied_batches", []))
+    if int(batch_id) in applied:
+        return False
+    merge_upsert_partitioned(
+        spark,
+        view_root,
+        view_rows,
+        key_col,
+        partition_col,
+        commit_meta={"applied_batches": sorted(applied | {int(batch_id)})},
+    )
+    return True
+
+
+def maintain_view_stream(
+    spark,
+    landing_dir: str,
+    schema,
+    view_root: str,
+    dims: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    dim_cols: list,
+    partition_col: str,
+    prepare=None,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+) -> int:
+    """CONTINUOUS incremental join-view maintenance: a FileStreamSource
+    drains fact-delta micro-batches and each batch joins ONLY the
+    broadcast dim table (operators/ivm.py fact_delta_view_rows) before
+    landing in the view as one exactly-once copy-on-write upsert —
+    "the stream keeps the denormalized serving view current". Returns
+    the number of micro-batches processed."""
+    from poc_spark.operators.ivm import fact_delta_view_rows
+
+    n_batches = 0
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        delta = prepare(batch_df) if prepare is not None else batch_df
+        rows = fact_delta_view_rows(delta, dims, fact_key, dim_key, dim_cols)
+        maintain_view_batch_exactly_once(
+            spark, view_root, rows, batch_id, fact_key, partition_col
+        )
+
+    writer = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return n_batches

@@ -68,3 +68,35 @@ def test_fact_delta_takes_precedence_over_dim_delta(spark, frames):
         dim_delta_view_rows(view, ddelta, "k", "dk", ["attr"], exclude)
     )
     assert set(got) == {1}  # row 2 excluded: its ΔA rebuild already won
+
+
+def test_maintain_view_batch_exactly_once(spark, tmp_path_repo):
+    from poc_spark.sources.lake import read_snapshot, read_tree_meta, write_partitioned
+    from poc_spark.streaming.ingest import maintain_view_batch_exactly_once
+
+    root = str(tmp_path_repo / "view")
+    write_partitioned(
+        spark.createDataFrame(
+            [(1, 10, "p1", 100, "alpha")],
+            "k long, dk long, part string, val long, attr string",
+        ),
+        root,
+        ["part"],
+    )
+    rows = spark.createDataFrame(
+        [(2, 10, "p1", 200, "alpha")],
+        "k long, dk long, part string, val long, attr string",
+    )
+    assert maintain_view_batch_exactly_once(spark, root, rows, 0, "k", "part")
+    assert read_tree_meta(root)["applied_batches"] == [0]
+    # replay with poison content: absorbed, view untouched
+    poison = spark.createDataFrame(
+        [(99, 10, "p1", -1, "POISON")],
+        "k long, dk long, part string, val long, attr string",
+    )
+    assert not maintain_view_batch_exactly_once(spark, root, poison, 0, "k", "part")
+    got = {r["k"] for r in read_snapshot(spark, root).collect()}
+    assert got == {1, 2}
+    # next id applies and the ledger accumulates
+    assert maintain_view_batch_exactly_once(spark, root, poison, 1, "k", "part")
+    assert read_tree_meta(root)["applied_batches"] == [0, 1]
