@@ -51,6 +51,7 @@ BNLJ_OK = {
     "text_pmi_collocations",  # token total T + bigram total B: 1-row each
     "q_scd2_build",  # corpus-midpoint T0 bounds: 1-row broadcast
     "text_domain_divergence",  # corpus token total T: 1-row broadcast
+    "graph_modularity",  # edge total m: 1-row broadcast
 }
 
 
