@@ -9133,6 +9133,8 @@ _TAIL = [
     "lake_catalog_txn",
     "lake_ivm_join",
     "stream_ivm_join",
+    "text_keywords",
+    "q_profile_generic",
     "lake_cdc_apply",
     "lake_rollup_incremental",
     "lake_merge_upsert",

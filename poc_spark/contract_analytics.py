@@ -1590,3 +1590,116 @@ def stream_ivm_join(spark, sf_dir):
         .alias("sum_price"),
         F.countDistinct("o_custkey").alias("n_custs"),
     )
+
+
+@register(
+    "text_keywords",
+    f"""
+    WITH tok AS ({_TOK}),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term), n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM w
+    )
+    SELECT doc_id, term, tfidf, rnk::BIGINT AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_keywords(spark, sf_dir):
+    """Per-document KEYWORD EXTRACTION: top-3 terms by TF-IDF with a
+    deterministic (score desc, term) tie-break — the document-labeling
+    primitive on top of text_tfidf's weights. The per-doc rank rides
+    InferWindowGroupLimit (partial top-k before the exchange), so the
+    full weight table never shuffles whole."""
+    from pyspark.sql import Window
+
+    from poc_spark.operators.textstats import tf_idf
+
+    w = tf_idf(_t(spark, sf_dir, "documents"))
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    )
+    return (
+        w.select("doc_id", "term", "tfidf", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .withColumn("rnk", F.col("rnk").cast("long"))
+    )
+
+
+# generic long-format profiler: every metric one (column, metric, value)
+# row, so ONE entry profiles heterogeneous columns without a wide schema
+_PROFILE_COLS = ("o_totalprice", "o_custkey", "o_orderstatus")
+
+
+@register(
+    "q_profile_generic",
+    """
+    SELECT 'o_totalprice' AS col, 'count' AS metric,
+           CAST(count(o_totalprice) AS DOUBLE) AS value FROM orders
+    UNION ALL SELECT 'o_totalprice', 'nulls',
+           CAST(count(*) - count(o_totalprice) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_totalprice', 'distinct',
+           CAST(count(DISTINCT o_totalprice) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_totalprice', 'min',
+           CAST(min(o_totalprice) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_totalprice', 'max',
+           CAST(max(o_totalprice) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_custkey', 'count',
+           CAST(count(o_custkey) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_custkey', 'nulls',
+           CAST(count(*) - count(o_custkey) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_custkey', 'distinct',
+           CAST(count(DISTINCT o_custkey) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_custkey', 'min',
+           CAST(min(o_custkey) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_custkey', 'max',
+           CAST(max(o_custkey) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_orderstatus', 'count',
+           CAST(count(o_orderstatus) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_orderstatus', 'nulls',
+           CAST(count(*) - count(o_orderstatus) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_orderstatus', 'distinct',
+           CAST(count(DISTINCT o_orderstatus) AS DOUBLE) FROM orders
+    """,
+)
+def q_profile_generic(spark, sf_dir):
+    """GENERIC column profiler in LONG format — (col, metric, value)
+    rows for heterogeneous columns (numeric get min/max, strings
+    don't), the table-health report shape that scales to any schema
+    without widening. ONE aggregate scan computes every metric
+    (Catalyst fuses the per-column aggregates); the long format is a
+    driver-free explode of the single aggregate row."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).cast("double").alias(f"{c}__count"),
+            (F.count(F.lit(1)) - F.count(c)).cast("double").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("double").alias(f"{c}__distinct"),
+        ]
+        if c != "o_orderstatus":
+            aggs += [
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
+            ]
+    agg = o.agg(*aggs)
+    cells = [
+        F.struct(
+            F.lit(name.split("__")[0]).alias("col"),
+            F.lit(name.split("__")[1]).alias("metric"),
+            F.col(name).alias("value"),
+        )
+        for name in agg.columns
+    ]
+    return agg.select(F.explode(F.array(*cells)).alias("p")).select(
+        "p.col", "p.metric", "p.value"
+    )

@@ -109,3 +109,22 @@ def test_entity_resolution_clusters(spark, sf_dir):
         assert r["cluster_id"] <= r["sum_keys"]
         assert 1 <= r["n_names"] <= r["n_members"]
     assert total >= len(rows)
+
+
+def test_keywords_three_per_doc(spark, sf_dir):
+    rows = _run("text_keywords", spark, sf_dir)
+    from collections import Counter
+
+    per = Counter(r["doc_id"] for r in rows)
+    assert set(per.values()) <= {1, 2, 3}  # docs with <3 terms keep fewer
+    for r in rows:
+        assert 1 <= r["rnk"] <= 3
+
+
+def test_profile_generic_shape(spark, sf_dir):
+    rows = _run("q_profile_generic", spark, sf_dir)
+    got = {(r["col"], r["metric"]): r["value"] for r in rows}
+    assert len(got) == 13
+    assert got[("o_totalprice", "nulls")] == 0.0
+    assert got[("o_custkey", "min")] >= 0
+    assert ("o_orderstatus", "min") not in got  # strings skip min/max
