@@ -52,6 +52,7 @@ BNLJ_OK = {
     "q_scd2_build",  # corpus-midpoint T0 bounds: 1-row broadcast
     "text_domain_divergence",  # corpus token total T: 1-row broadcast
     "graph_modularity",  # edge total m: 1-row broadcast
+    "text_keywords",  # inherits text_tfidf's corpus-size 1-row broadcast
 }
 
 
