@@ -47,9 +47,16 @@ def conjunctive_search(
     Plan: filter the postings to the (tiny, literal) query termset —
     Catalyst pushes the IN filter into the scan — then one group-filter
     on the match count. No join against the full index is ever needed;
-    the termset filter is the posting-list lookup."""
+    the termset filter is the posting-list lookup.
+
+    AND semantics are over the DISTINCT termset: postings contribute
+    one row per distinct term per doc, so a duplicated query term must
+    not inflate the required match count (it would make the predicate
+    unsatisfiable and silently return nothing) — the query is deduped
+    up front, order-preserving."""
     if not terms:
         raise ValueError("conjunctive_search needs at least one term")
+    terms = tuple(dict.fromkeys(terms))
     postings = build_postings(df, text_col, id_col)
     hits = postings.filter(F.col("term").isin(*terms))
     return (

@@ -15,11 +15,25 @@ Commit protocol (every step crash-safe):
      (`cat<epoch>-<name>` — tags survive the txn and PIN the versions
      the catalog names against retention/vacuum for as long as the
      catalog points at them);
-  3. ONE atomic catalog PUT naming all the new versions, re-checking
-     the expected epoch right before the write (optimistic concurrency
-     — a racing transaction loses loudly with ConcurrentCommitError);
-  4. cleanup: drop the txn branches and the PREVIOUS epoch's tags
+  3. ONE conditional PUT of an epoch-keyed claim object
+     (`<catalog>.e<N+1>`, put_if_absent) carrying the full new catalog
+     — THE commit point. The store's create-if-absent semantics make
+     this a true compare-and-swap: exactly one transaction per epoch
+     can win, so two racers that both staged from epoch N cannot both
+     "succeed" with the last writer silently clobbering the first (the
+     check-then-put this replaced had exactly that window). The loser
+     sees put_if_absent == False and raises ConcurrentCommitError;
+  4. refresh the reader-hint object (the plain catalog path) with the
+     committed payload — pure cache, never the source of truth;
+  5. cleanup: drop the txn branches and the PREVIOUS epoch's tags
      (releasing the old versions to ordinary retention).
+
+Readers resolve the catalog by reading the hint and probing FORWARD
+through the contiguous epoch-claim chain (e<hint+1>, e<hint+2>, …)
+until a miss — so a crash between (3) and (4) still serves the
+committed epoch. Claim objects are never deleted (one ~200-byte JSON
+per epoch — bounded metadata; deleting one would break a stale-hint
+reader's forward probe mid-chain).
 
 A crash before (3) leaves the old catalog fully valid (stray branches/
 tags are garbage with pins, removable by retrying or deleting refs); a
@@ -54,10 +68,27 @@ from poc_spark.sources.lake import (
 )
 
 
+def _epoch_claim_path(catalog_path: str, epoch: int) -> str:
+    return f"{catalog_path}.e{epoch}"
+
+
 def _catalog_read_raw(catalog_path: str, fs) -> dict:
-    if not fs.exists(catalog_path):
+    """Resolve the CURRENT catalog: hint object, then probe forward
+    through the epoch-claim chain. The claims are the source of truth
+    (each carries the full payload of its epoch); the hint is a cache
+    that may lag one commit behind after a crash."""
+    if fs.exists(catalog_path):
+        payload = json.loads(fs.get_bytes(catalog_path))
+    elif fs.exists(_epoch_claim_path(catalog_path, 1)):
+        # init crashed between the epoch-1 claim and the hint write
+        payload = json.loads(fs.get_bytes(_epoch_claim_path(catalog_path, 1)))
+    else:
         raise ValueError(f"no catalog at {catalog_path!r}")
-    return json.loads(fs.get_bytes(catalog_path))
+    nxt = _epoch_claim_path(catalog_path, payload["epoch"] + 1)
+    while fs.exists(nxt):
+        payload = json.loads(fs.get_bytes(nxt))
+        nxt = _epoch_claim_path(catalog_path, payload["epoch"] + 1)
+    return payload
 
 
 def catalog_init(
@@ -66,17 +97,23 @@ def catalog_init(
     """Create a catalog over existing tables: records each table's
     CURRENT version (migrating plain trees to versioned form first)
     and tags it with epoch 1 so the catalog's promise is pinned.
-    Exactly one creator wins (conditional PUT)."""
+    Exactly one creator wins the conditional PUT of the epoch-1 claim;
+    tags are created only AFTER winning, so a losing creator leaks no
+    pins (it previously tagged first and left the tags behind on the
+    already-exists error, permanently pinning versions)."""
     fs = _fs(spark, catalog_path)
     entries = {}
     for name, root in tables.items():
         cur = _ensure_versioned(root, spark, fs)
         entries[name] = {"root": root, "current": os.path.basename(cur)}
     payload = {"epoch": 1, "tables": entries}
+    if not fs.put_if_absent(
+        _epoch_claim_path(catalog_path, 1), json.dumps(payload).encode()
+    ):
+        raise ValueError(f"catalog already exists at {catalog_path!r}")
     for name, ent in entries.items():
         create_tag(spark, ent["root"], f"cat1-{name}-init")
-    if not fs.put_if_absent(catalog_path, json.dumps(payload).encode()):
-        raise ValueError(f"catalog already exists at {catalog_path!r}")
+    fs.put_atomic(catalog_path, json.dumps(payload).encode())
     return payload
 
 
@@ -168,15 +205,23 @@ def catalog_txn_upsert(
             )
         if _pre_commit_hook is not None:
             _pre_commit_hook()
-        # THE commit point: one atomic catalog PUT, epoch re-checked
-        now = _catalog_read_raw(catalog_path, fs)
-        if now["epoch"] != epoch:
-            raise ConcurrentCommitError(
-                f"catalog moved from epoch {epoch} to {now['epoch']} — a "
-                "concurrent transaction committed first; retry from the "
-                "new catalog"
-            )
+        # THE commit point: a conditional PUT of the epoch-keyed claim
+        # — a real compare-and-swap, not check-then-put. Two racers
+        # that both staged from epoch N both attempt e{N+1}; the store
+        # guarantees exactly one create succeeds, so the loser cannot
+        # silently overwrite the winner's committed catalog (the old
+        # epoch re-check had exactly that last-writer-wins window).
         new_cat = {"epoch": epoch + 1, "tables": new_entries}
+        if not fs.put_if_absent(
+            _epoch_claim_path(catalog_path, epoch + 1),
+            json.dumps(new_cat).encode(),
+        ):
+            raise ConcurrentCommitError(
+                f"epoch {epoch + 1} already claimed — a concurrent "
+                "transaction committed first; retry from the new catalog"
+            )
+        # reader-hint refresh (pure cache; readers probe the claim
+        # chain forward, so a crash right here loses nothing)
         fs.put_atomic(catalog_path, json.dumps(new_cat).encode())
     except ConcurrentCommitError:
         # losing txn: release every pin it created (its own uniquely-

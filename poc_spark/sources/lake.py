@@ -2022,7 +2022,15 @@ def fast_forward_main(spark: SparkSession, root: str, name: str) -> int:
     already durable). If main advanced since the fork the histories
     have diverged and this raises — a content-level three-way merge is
     a rebase (re-apply the branch's updates on the new main), kept
-    explicit rather than guessed at. Returns the new main version."""
+    explicit rather than guessed at. Returns the new main version.
+
+    A branch is NOT one-shot: after a successful fast-forward the
+    branch's fork base advances to the merged head, so the
+    commit→FF→commit→FF cycle keeps working. A repeat FF when main
+    already sits at the branch head is an idempotent no-op (it also
+    heals the base if a crash landed between publish and the base
+    advance)."""
+    import json
     import os
 
     fs = _fs(spark, root)
@@ -2033,6 +2041,15 @@ def fast_forward_main(spark: SparkSession, root: str, name: str) -> int:
         )
     cur = _resolve_current(root, fs=fs)
     cur_base = os.path.basename(cur) if cur else None
+    if cur_base == payload["current"]:
+        # already merged (repeat FF, or crash between publish and the
+        # base advance): heal the base, change nothing else
+        if payload["base"] != payload["current"]:
+            payload["base"] = payload["current"]
+            fs.put_atomic(
+                _ref_path(root, name), json.dumps(payload).encode()
+            )
+        return payload["version"]
     if cur_base != payload["base"]:
         raise ValueError(
             f"fast_forward_main: main is at {cur_base!r} but branch "
@@ -2044,6 +2061,11 @@ def fast_forward_main(spark: SparkSession, root: str, name: str) -> int:
         return payload["version"]  # nothing to merge
     new_dir = os.path.join(os.path.dirname(root), payload["current"])
     _publish_version(root, new_dir, spark, expected_cur=cur, fs=fs)
+    # advance the fork base to the merged head so the NEXT branch
+    # commit can fast-forward too (without this the branch would be
+    # silently one-shot: main == new head != old base forever)
+    payload["base"] = payload["current"]
+    fs.put_atomic(_ref_path(root, name), json.dumps(payload).encode())
     spark.catalog.refreshByPath(root)
     return payload["version"]
 

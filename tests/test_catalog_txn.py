@@ -111,6 +111,67 @@ def test_untouched_tables_carry_and_old_pins_release(spark, setup):
     assert _vals(spark, cat, "summary") == {100: 1, 200: 1}
 
 
+def test_commit_point_is_cas_not_check_then_put(spark, setup):
+    # the lost-update window the epoch re-check had: competitor
+    # commits BETWEEN our epoch re-read and our PUT. With the claim
+    # object as the commit point the window is gone by construction —
+    # simulate it by letting the competitor win the claim inside the
+    # pre-commit hook (after we staged from the same epoch) and assert
+    # the winner's state is never clobbered.
+    cat, a, b = setup
+    upd_winner = spark.createDataFrame([(1, "x", 77)], SCHEMA)
+    upd_loser = spark.createDataFrame([(1, "x", 88)], SCHEMA)
+
+    def competitor():
+        catalog_txn_upsert(spark, cat, {"facts": (upd_winner, "k", "part")})
+
+    with pytest.raises(ConcurrentCommitError, match="claimed"):
+        catalog_txn_upsert(
+            spark,
+            cat,
+            {"facts": (upd_loser, "k", "part")},
+            _pre_commit_hook=competitor,
+        )
+    assert _vals(spark, cat, "facts")[1] == 77
+
+
+def test_stale_hint_still_serves_committed_epoch(spark, setup):
+    # crash between the epoch claim and the hint refresh: readers must
+    # resolve the committed epoch through the claim chain
+    import json
+
+    from poc_spark.sources.lake import _fs
+
+    cat, a, b = setup
+    fs = _fs(spark, cat)
+    old_hint = fs.get_bytes(cat)
+    upd = spark.createDataFrame([(1, "x", 55)], SCHEMA)
+    catalog_txn_upsert(spark, cat, {"facts": (upd, "k", "part")})
+    # simulate the crash by restoring the stale hint
+    fs.put_atomic(cat, old_hint)
+    assert _vals(spark, cat, "facts")[1] == 55
+    # and a follow-up txn picks up from the REAL epoch, not the hint's
+    upd2 = spark.createDataFrame([(1, "x", 56)], SCHEMA)
+    new_cat = catalog_txn_upsert(spark, cat, {"facts": (upd2, "k", "part")})
+    assert new_cat["epoch"] == 3
+    assert json.loads(fs.get_bytes(cat))["epoch"] == 3
+    assert _vals(spark, cat, "facts")[1] == 56
+
+
+def test_losing_catalog_init_leaks_no_pins(spark, setup, tmp_path_repo):
+    # a second creator at the same catalog path must lose the
+    # conditional PUT BEFORE tagging — previously it tagged first and
+    # leaked cat1-*-init pins on its tables
+    cat, a, b = setup
+    c = str(tmp_path_repo / "other")
+    write_partitioned(
+        spark.createDataFrame([(7, "x", 1)], SCHEMA), c, ["part"]
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        catalog_init(spark, cat, {"other": c})
+    assert not any(n.startswith("cat1-") for n in list_refs(c))
+
+
 def test_unknown_table_rejected(spark, setup):
     cat, a, b = setup
     upd = spark.createDataFrame([(1, "x", 11)], SCHEMA)

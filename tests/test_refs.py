@@ -61,6 +61,23 @@ def test_branch_commits_are_isolated_until_fast_forward(spark, tree):
     assert _state(spark, read_snapshot(spark, tree))[6] == ("a", 60)
 
 
+def test_branch_is_reusable_across_fast_forward_cycles(spark, tree):
+    # commit→FF→commit→FF: the FF advances the branch's fork base to
+    # the merged head, so the branch is NOT one-shot
+    create_branch(spark, tree, "dev")
+    merge_upsert_branch(spark, tree, "dev", _upd(spark, [(1, "a", 11)]), "k", "part")
+    fast_forward_main(spark, tree, "dev")
+    refs = list_refs(tree)["dev"]
+    assert refs["base"] == refs["current"]
+    merge_upsert_branch(spark, tree, "dev", _upd(spark, [(2, "a", 22)]), "k", "part")
+    v2 = fast_forward_main(spark, tree, "dev")
+    assert _state(spark, read_snapshot(spark, tree))[2] == ("a", 22)
+    assert v2 == list_versions(tree)[-1]
+    # repeat FF when main already sits at the branch head: no-op
+    assert fast_forward_main(spark, tree, "dev") == v2
+    assert _state(spark, read_snapshot(spark, tree))[2] == ("a", 22)
+
+
 def test_divergence_refuses_fast_forward(spark, tree):
     create_branch(spark, tree, "dev")
     merge_upsert_branch(spark, tree, "dev", _upd(spark, [(1, "a", 11)]), "k", "part")

@@ -44,6 +44,20 @@ def test_conjunctive_search_requires_all_terms(spark, docs):
     assert got == {1: (2, 3), 3: (2, 2)}
 
 
+def test_conjunctive_search_dedupes_query_terms(spark, docs):
+    # a duplicated term must not inflate the required match count
+    # (postings contribute one row per DISTINCT term per doc; before
+    # the dedupe this returned an empty result instead of AND over
+    # the termset)
+    got = {
+        r["doc_id"]: (r["matched_terms"], r["total_tf"])
+        for r in conjunctive_search(
+            docs, ("merge", "spark", "merge")
+        ).collect()
+    }
+    assert got == {1: (2, 3), 3: (2, 2)}
+
+
 def test_conjunctive_search_rejects_empty_query(spark, docs):
     with pytest.raises(ValueError):
         conjunctive_search(docs, ())
