@@ -157,6 +157,55 @@ def graph_adamic_adar(spark, sf_dir):
 
 
 @register(
+    "graph_adamic_adar_capped",
+    _EDGES_CTE
+    + """
+    , deg AS (
+      SELECT src AS z, count(*)::BIGINT AS dz FROM directed
+      GROUP BY 1 HAVING count(*) <= 90
+    ),
+    nbr AS (
+      SELECT d.z AS z, n.dst AS n FROM directed n JOIN deg d ON n.src = d.z
+    ),
+    pairs AS (
+      SELECT a.n AS u, b.n AS v, a.z AS z
+      FROM nbr a JOIN nbr b ON a.z = b.z AND a.n < b.n
+    ),
+    cand AS (
+      SELECT p.u, p.v, p.z FROM pairs p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.source = p.u AND e.target = p.v
+      )
+    ),
+    contrib AS (
+      SELECT c.u, c.v,
+             CAST(round(1000000000000.0 / ln(d.dz::DOUBLE), 0) AS BIGINT)
+               AS cc
+      FROM cand c JOIN deg d USING (z)
+    ),
+    scored AS (
+      SELECT u, v,
+             round(CAST(sum(cc) AS DOUBLE) / 1000000000000.0, 6) AS score
+      FROM contrib GROUP BY u, v
+    )
+    SELECT u, v, score FROM scored ORDER BY score DESC, u, v LIMIT 20
+    """,
+)
+def graph_adamic_adar_capped(spark, sf_dir):
+    """Adamic-Adar with the production hub-degree cap engaged
+    (max_wedge_degree=90 — BINDING at sf0.01, where degrees span
+    68–109, so roughly half the z nodes are pruned): z nodes above the
+    cap produce no wedges at all. This is the form a 100× power-law
+    graph must run — one 10⁶-degree hub otherwise emits ~5·10¹¹ wedge
+    rows (operators/graph.py:adamic_adar docstring); the oracle applies
+    the identical HAVING cap to its degree CTE, so scores stay
+    hash-equal while the plan exercises both the build-side filter and
+    the probe-side broadcast semi-join prune."""
+    edges = lag_edges(_t(spark, sf_dir, "events"), "user_id", EVENT_ORDER)
+    return adamic_adar(edges, top_k=20, max_wedge_degree=90)
+
+
+@register(
     "graph_cluster_coeff",
     _EDGES_CTE
     + """

@@ -231,7 +231,11 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     )
 
 
-def adamic_adar(edges: DataFrame, top_k: int | None = None) -> DataFrame:
+def adamic_adar(
+    edges: DataFrame,
+    top_k: int | None = None,
+    max_wedge_degree: int | None = None,
+) -> DataFrame:
     """(u, v, score) — Adamic–Adar link prediction over NON-adjacent
     node pairs: score(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg(z)).
 
@@ -247,9 +251,19 @@ def adamic_adar(edges: DataFrame, top_k: int | None = None) -> DataFrame:
     DECIMAL sum were 6× and 5× slower on the dense sf0.1 graph).
     Scores round to 6dp before the top-k ordering (tie-break u, v).
 
-    At scale the wedge join is quadratic in hub degree: production
-    runs cap deg(z) (hubs contribute ~1/ln(d) → 0 anyway) — the cap is
-    a pre-filter on the broadcast degree table, not a plan change."""
+    At scale the wedge join is quadratic in hub degree: one 10⁶-degree
+    hub alone emits ~5·10¹¹ wedge rows. `max_wedge_degree` caps deg(z)
+    with a pre-filter on the broadcast degree table — z nodes above the
+    cap produce NO wedges (both wedge sides prune through the inner
+    join on the filtered deg relation, so the hub's rows never reach
+    the exchange). Hubs contribute the least signal per wedge anyway
+    (1/ln(d) → 0), which is why every production Adamic-Adar caps;
+    10_000 is a sane production default — the library default is None
+    (exact) so small-graph callers and the uncapped oracle entry keep
+    bit-identical scores, and the capped contract entry passes the cap
+    explicitly with a matching capped oracle. Capped wedge volume is
+    bounded by Σ_{z kept} C(deg z, 2) ≤ |kept z|·cap²/2, independent
+    of hub skew."""
     # the edge list feeds FIVE plan legs (two wedge sides, the anti
     # side, the degree table, and each broadcast); checkpoint it once
     # so an expensive upstream (the chat lag window) isn't recomputed
@@ -262,7 +276,22 @@ def adamic_adar(edges: DataFrame, top_k: int | None = None) -> DataFrame:
     deg = directed.groupBy(F.col("src").alias("z")).agg(
         F.count(F.lit(1)).alias("dz")
     )
+    # dz = 1 never forms a wedge (the a.n < b.n2 self-pair filter kills
+    # it), but its 1/ln(1) contribution expression would divide by zero
+    # wherever the optimizer evaluates the projection before the join —
+    # prune explicitly instead of relying on plan luck
+    deg = deg.filter(F.col("dz") >= 2)
+    if max_wedge_degree is not None:
+        # THE cap: hub z never enters the broadcast build side, so its
+        # wedge fan-out is zero — the quadratic blow-up is cut before
+        # any wedge row is emitted, not filtered after
+        deg = deg.filter(F.col("dz") <= max_wedge_degree)
     nbrs = directed.select(F.col("src").alias("z"), F.col("dst").alias("n"))
+    if max_wedge_degree is not None:
+        # prune the PROBE side pre-exchange too: hub rows would match
+        # nothing in the capped build side, but without this semi-join
+        # they'd still cross the wedge join's shuffle first
+        nbrs = nbrs.join(F.broadcast(deg.select("z")), "z", "leftsemi")
     a = nbrs.alias("a")
     # the build side carries each z's picounit contribution
     # round(1e12/ln d) — an exact integer in double range (max 1.44e12

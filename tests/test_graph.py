@@ -87,6 +87,51 @@ def test_adamic_adar_top_k_is_deterministic(spark, edges):
     assert (top[0]["u"], top[0]["v"]) == ("b", "d")  # tie broken by (u, v)
 
 
+def test_adamic_adar_hub_cap_bounds_wedges_and_keeps_non_hub_scores(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.graph import _directed, adamic_adar
+
+    # planted 10³-degree hub H–a0..a999 (the power-law scale-killer:
+    # uncapped it alone emits C(1000,2) ≈ 5·10⁵ wedges) plus one
+    # low-degree wedge x–m, y–m (deg m = 2)
+    rows = [("H", f"a{i}", 1) for i in range(1000)]
+    rows += [("x", "m", 1), ("y", "m", 1)]
+    edges = spark.createDataFrame(
+        rows, "source string, target string, weight long"
+    )
+    cap = 10
+    capped = {
+        (r["u"], r["v"]): r["score"]
+        for r in adamic_adar(edges, max_wedge_degree=cap).collect()
+    }
+    # every hub wedge is gone; the non-hub pair's score is EXACTLY the
+    # uncapped value (quantized 1/ln 2)
+    assert capped == {
+        ("x", "y"): round(round(1.0e12 / math.log(2.0)) / 1.0e12, 6)
+    }
+    # wedge budget: Σ_{z kept} C(deg z, 2) — the capped plan's total
+    # wedge volume — collapses from ~5·10⁵ to 1 and is bounded by
+    # |kept z| · cap² / 2 regardless of hub skew
+    deg = (
+        _directed(edges)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("dz"))
+        .filter(F.col("dz") <= cap)
+    )
+    wedges = deg.agg(
+        F.sum(F.col("dz") * (F.col("dz") - 1) / 2).alias("w")
+    ).collect()[0]["w"]
+    n_kept = deg.count()
+    assert wedges == 1
+    assert wedges <= n_kept * cap * cap / 2
+    # uncapped on the same graph: the hub pairs dominate (sanity that
+    # the cap was binding, not vacuous)
+    assert adamic_adar(edges).count() == 1000 * 999 // 2 + 1
+
+
 def test_modularity_hand_computed(spark, edges):
     from poc_spark.operators.graph import modularity_by_community
 
