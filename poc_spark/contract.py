@@ -9059,232 +9059,194 @@ from poc_spark import contract_analytics  # noqa: E402,F401  isort: skip
 # last. tests/test_contract_registry.py pins the invariant.
 
 _TAIL = [
-    # --- r11 rotation: regenerated oldest-witness-first from the
-    # CORRECTNESS_r01-r10 union. The 50-slot head holds:
-    # (a) the three r11-new entries (lake_deletion_vectors,
-    #     stream_append_table, text_langid_ngram) with no driver
-    #     witness yet;
+    # --- r12 rotation: regenerated oldest-witness-first from the
+    # CORRECTNESS_r01-r11 union (census: histogram r7=33 r8=33 r9=39
+    # r10=48 r11=50; 9 entries with no witness in any round). The
+    # 50-slot head holds:
+    # (a) the 9 never-witnessed entries — the 8 the r11 verdict named
+    #     (graph_modularity, lake_catalog_txn, lake_ivm_join,
+    #     pipeline_entity_resolution, q_profile_generic, stream_ivm_join,
+    #     text_domain_divergence, text_keywords) plus the r12-new
+    #     graph_adamic_adar_capped;
     # (b) mm_decode (pinned in-window by test_contract_registry);
-    # (c) the entries whose machinery CHANGED this round: the lake
-    #     family (commit-scoped skipping indexes + deletion vectors
-    #     touched _commit_partitions/_read_tree_dir/compact_inplace;
-    #     lake_stats_skipping and lake_bloom_skipping were REWRITTEN
-    #     onto the pointer-resolved tree indexes), the streaming
-    #     entries whose bootstrap was refactored (_bootstrap_
-    #     partitioned) or whose staging moved executor-side
-    #     (stream_watermark_eviction, stream_stateful_dedup), and the
-    #     WARC pair (quarantine-tail drain + offset diagnostics);
-    # (d) all 17 r6-witnessed entries (the oldest cohort — finishes
-    #     the rotation promised in r10: after r11 no witness is older
-    #     than r7);
-    # (e) 11 r7-witnessed fillers, oldest-first alphabetical
-    #     (q13_customer_distribution and q10_returned_items yielded
-    #     their slots to the late r11 additions lake_compact_partitions
-    #     and lake_repartition_spec).
-    # Everything below has a driver witness >= r7 (or r10 for the
-    # newest demotions) and is re-witnessed by the local full-registry
-    # sweeps (CORRECTNESS_local_r11*.json) each round.
-    # --- r11 late additions: seven analytics-tier entries (inverted
-    # index, BM25, Adamic-Adar, clustering coefficient, corr matrix,
-    # RFM, PMI) enter the head with no witness; the seven slots come
-    # from r10-witnessed entries whose changed-this-round machinery is
-    # still exercised by an in-head sibling: lake_cdc_apply (composed
-    # by lake_cdc_merge), lake_rollup_incremental (composed by
-    # lake_rollup_hll), lake_merge_upsert / lake_time_travel /
-    # lake_snapshot_diff (commit core covered by lake_deletion_vectors,
-    # lake_compact_partitions, lake_repartition_spec,
-    # pipeline_lake_lifecycle), stream_rollup_maintenance (composed by
-    # stream_restart_rollup), pipeline_crawl_to_corpus (WARC change
-    # covered by src_warc_roundtrip).
-    # lake_merge_full's slot: lake_retention_policy (r10-witnessed;
-    # vacuum/retention machinery also exercised in-head by
-    # pipeline_lake_lifecycle's vacuum + retained-version diff).
-    # stream_outer_join's slot: lake_schema_evolution (r10-witnessed;
-    # the commit core it rides is exercised in-head by
-    # lake_merge_full/lake_deletion_vectors/lake_compact_partitions/
-    # lake_repartition_spec, and _validate_evolution by lake_merge_full)
-    "lake_retention_policy",
-    "lake_schema_evolution",
-    # q_rolling_zscore / q_scd2_build slots: stream_restart_rollup
-    # (r10-witnessed; its txn-metadata exactly-once machinery is
-    # exercised in-head by the no-witness-yet stream_append_table) and
-    # lake_cdc_merge (r10-witnessed; the CDC merge path is exercised
-    # in-head by pipeline_lake_lifecycle's CDC commit)
-    "stream_restart_rollup",
-    "lake_cdc_merge",
-    # text_domain_divergence / pipeline_entity_resolution: new r11
-    # entries declared TAIL from birth — the safe demotion pool is
-    # exhausted (every remaining head entry is either this round's new
-    # machinery or the r6-witness rotation cohort), and both are
-    # compositions of machinery with in-head witnesses (ordered-fold
-    # text aggregates; PassJoin blocking + components). The local
-    # full-registry sweeps are their witness.
-    "text_domain_divergence",
-    "pipeline_entity_resolution",
-    "graph_modularity",
-    # lake_branching's slot: pipeline_lake_lifecycle (r10-witnessed;
-    # every in-head lake commit entry exercises the same publish +
-    # pinned-retention core, and the local sweeps re-witness it)
-    "pipeline_lake_lifecycle",
-    # lake_catalog_txn: declared-tail from birth (pool exhausted); it
-    # composes the in-head lake_branching's ref machinery, and its
-    # multi-table atomicity is gated by its own in-entry probes plus
-    # the local sweeps
-    "lake_catalog_txn",
-    "lake_ivm_join",
-    "stream_ivm_join",
-    "text_keywords",
-    "q_profile_generic",
-    "lake_cdc_apply",
-    "lake_rollup_incremental",
-    "lake_merge_upsert",
-    "lake_time_travel",
-    "lake_snapshot_diff",
-    "stream_rollup_maintenance",
-    "pipeline_crawl_to_corpus",
-    "q13_customer_distribution",
-    "q10_returned_items",
-    "op_src_doc_scan",
-    "mm_payload_stats",
-    "op_fn_sqrt",
-    "op_join_point",
-    "op_agg_nodes",
-    "op_lag_edge",
-    "op_limit_n",
-    "op_fil_daterange",
-    "op_graph_partitioned",
-    "op_join_semi",
-    "op_parse_regex",
-    "op_norm_sender",
-    "op_topk",
-    "q3_top_revenue",
-    "q_customers_per_region",
-    "q_anti_customers_no_orders",
-    "op_fil_substr",
-    "q6_selective_revenue",
-    "q5_revenue_by_region",
-    "q_asof_last_click",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_url",
-    "dedup_span_removal",
-    "dedup_minhash_lsh",
-    "sim_ann_lsh",
-    "sim_ann_join",
-    "pipeline_bpe_train_apply",
-    "text_winnowing",
-    "graph_degrees",
-    "stream_session_window",
-    "dedup_minhash_clusters",
-    "dedup_cluster_report",
-    "dedup_keep_best",
-    "pipeline_training_prep",
-    "fuzzy_name_join",
-    "emb_quantize",
-    "dedup_incremental",
-    "emb_project",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_balances",
-    "q4_late_ship_priority",
-    "q7_volume_shipping",
-    "q_range_bucket_join",
-    "q_union_except",
-    "q_window_zoo",
-    "sample_epoch_order",
-    "sim_knn_brute",
-    "sim_knn_join",
-    "sketch_distinct_bounds",
-    "sketch_hll_union",
-    "sketch_quantile_bounds",
-    "stream_click_attribution",
-    "text_bigrams",
-    "text_boilerplate",
-    "text_bpe_apply",
-    "text_bpe_learn",
-    "text_chunking",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "text_sentences",
-    "text_tfidf",
-    "text_token_count",
-    "text_unicode_normalize",
-    "dedup_embedding_cosine",
-    "dedup_ngram_spans",
-    "dedup_semantic_buckets",
-    "dedup_simhash",
-    "graph_kcore",
-    "graph_triangles",
-    "lake_compact",
-    "mm_frame_sample",
-    "mm_jpeg420_decode",
-    "mm_jpeg_decode",
-    "mm_jpeg_resize",
-    "mm_resize",
-    "q11_important_parts",
-    "q12_late_priority",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q20_heavy_suppliers",
-    "q21_sole_late_supplier",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q_cohort_retention",
-    "q_cube_events",
-    "q_group_ols",
-    "q_json_extract",
-    "q_resample_gapfill",
-    "q_session_window",
-    "sample_deterministic",
-    "sample_mix",
-    "sample_pack",
-    "sample_split",
-    "text_bpe_count",
-    "text_decontaminate",
-    "text_repetition",
-    "graph_components",
-    "graph_pagerank",
-    "lake_expectations",
-    "mm_audio_energy",
-    "op_fn_hash",
-    "op_graph_flagship",
-    "pipeline_bpe_greedy_train_apply",
-    "q17_small_qty_revenue",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q_event_funnel",
-    "q_grouping_sets",
-    "q_intersect",
-    "q_outlier_mad",
-    "q_rolling_time_avg",
-    "q_user_paths",
-    "q_zorder_cells",
-    "sample_domain_cap",
-    "sample_leakage_split",
-    "sample_stratified",
-    "sample_temperature",
-    "sample_weighted",
-    "sample_weighted_k",
-    "sim_ivf_join",
-    "sim_ivf_kmeans",
-    "sink_clustered_parquet",
-    "sink_hive_partitioned",
-    "src_csv_roundtrip",
-    "src_jsonl_roundtrip",
-    "src_orc_roundtrip",
-    "src_schema_evolution",
-    "text_bpe_learn_batched",
-    "text_bpe_learn_greedy",
-    "text_bpe_learn_local",
-    "text_classifier_score",
-    "text_entropy",
-    "text_hashed_features",
-    "text_perplexity_bucket",
-    "text_unigram_lm",
+    # (c) the entries whose machinery CHANGED this round:
+    #     graph_adamic_adar (degree-table prune refactor),
+    #     text_inverted_index (conjunctive_search termset dedupe),
+    #     lake_branching (fast-forward base advance);
+    # (d) all 33 entries whose freshest witness is r7 — the oldest
+    #     cohort, due for rotation;
+    # (e) ~4 spare slots for entries added later in r12 (new entries
+    #     are never in _TAIL, so they land in the head automatically).
+    # Everything below has an r8+ driver witness and pytest/local-sweep
+    # coverage; capability-wise each is demonstrated by a green head
+    # entry of the same family.
+    'dedup_cluster_report',
+    'dedup_containment',
+    'dedup_embedding_cosine',
+    'dedup_exact',
+    'dedup_incremental',
+    'dedup_keep_best',
+    'dedup_minhash_clusters',
+    'dedup_minhash_lsh',
+    'dedup_ngram_jaccard',
+    'dedup_ngram_spans',
+    'dedup_semantic_buckets',
+    'dedup_semdedup',
+    'dedup_simhash',
+    'dedup_span_removal',
+    'dedup_url',
+    'emb_project',
+    'emb_quantize',
+    'fuzzy_name_join',
+    'graph_cluster_coeff',
+    'graph_components',
+    'graph_degrees',
+    'graph_kcore',
+    'graph_pagerank',
+    'graph_triangles',
+    'lake_bloom_skipping',
+    'lake_cdc_apply',
+    'lake_cdc_merge',
+    'lake_compact',
+    'lake_compact_partitions',
+    'lake_deletion_vectors',
+    'lake_expectations',
+    'lake_merge_full',
+    'lake_merge_upsert',
+    'lake_repartition_spec',
+    'lake_retention_policy',
+    'lake_rollup_hll',
+    'lake_rollup_incremental',
+    'lake_schema_evolution',
+    'lake_snapshot_diff',
+    'lake_stats_skipping',
+    'lake_time_travel',
+    'mm_audio_autocorr',
+    'mm_audio_energy',
+    'mm_frame_sample',
+    'mm_jpeg420_decode',
+    'mm_jpeg_decode',
+    'mm_jpeg_resize',
+    'mm_png_decode',
+    'mm_png_resize',
+    'mm_resize',
+    'op_agg_nodes',
+    'op_agg_wordfreq',
+    'op_fil_daterange',
+    'op_fil_substr',
+    'op_fn_hash',
+    'op_graph_flagship',
+    'op_graph_partitioned',
+    'op_join_semi',
+    'op_lag_edge',
+    'op_limit_n',
+    'op_norm_sender',
+    'op_parse_regex',
+    'op_proj_users',
+    'op_topk',
+    'pipeline_bpe_greedy_train_apply',
+    'pipeline_bpe_train_apply',
+    'pipeline_crawl_to_corpus',
+    'pipeline_lake_lifecycle',
+    'pipeline_training_prep',
+    'q11_important_parts',
+    'q12_late_priority',
+    'q15_top_supplier',
+    'q16_supplier_cnt',
+    'q17_small_qty_revenue',
+    'q1_pricing_summary',
+    'q20_heavy_suppliers',
+    'q21_sole_late_supplier',
+    'q2_min_cost_supplier',
+    'q3_top_revenue',
+    'q5_revenue_by_region',
+    'q6_selective_revenue',
+    'q8_market_share',
+    'q9_profit_by_nation',
+    'q_anti_customers_no_orders',
+    'q_asof_last_click',
+    'q_cohort_retention',
+    'q_corr_matrix',
+    'q_cube_events',
+    'q_customers_per_region',
+    'q_event_funnel',
+    'q_events_by_type',
+    'q_group_ols',
+    'q_grouping_sets',
+    'q_intersect',
+    'q_json_extract',
+    'q_outer_join_order_fill',
+    'q_outlier_mad',
+    'q_percentiles',
+    'q_pivot_events',
+    'q_profile_orders',
+    'q_rank_top3_per_segment',
+    'q_resample_gapfill',
+    'q_rfm_segmentation',
+    'q_rolling_time_avg',
+    'q_rolling_zscore',
+    'q_rollup_lineitem',
+    'q_running_sum',
+    'q_scd2_build',
+    'q_semi_orders_with_items',
+    'q_session_window',
+    'q_user_paths',
+    'q_user_sessions',
+    'q_value_histogram',
+    'q_zorder_cells',
+    'sample_deterministic',
+    'sample_domain_cap',
+    'sample_leakage_split',
+    'sample_mix',
+    'sample_pack',
+    'sample_split',
+    'sample_stratified',
+    'sample_temperature',
+    'sample_weighted',
+    'sample_weighted_k',
+    'sim_ann_filtered',
+    'sim_ann_join',
+    'sim_ann_lsh',
+    'sim_ivf_append',
+    'sim_ivf_join',
+    'sim_ivf_kmeans',
+    'sim_ivfpq_query',
+    'sim_ivfpq_residual',
+    'sim_pq_topk',
+    'sink_clustered_parquet',
+    'sink_hive_partitioned',
+    'src_csv_roundtrip',
+    'src_jsonl_roundtrip',
+    'src_orc_roundtrip',
+    'src_schema_evolution',
+    'src_warc_roundtrip',
+    'stream_append_table',
+    'stream_hourly_counts',
+    'stream_outer_join',
+    'stream_restart_rollup',
+    'stream_rollup_maintenance',
+    'stream_session_window',
+    'stream_stateful_dedup',
+    'stream_watermark_eviction',
+    'text_bigram_lm',
+    'text_bm25_topk',
+    'text_bpe_count',
+    'text_bpe_learn_batched',
+    'text_bpe_learn_greedy',
+    'text_bpe_learn_local',
+    'text_classifier_score',
+    'text_decontaminate',
+    'text_doc_stats',
+    'text_entropy',
+    'text_hashed_features',
+    'text_langid',
+    'text_langid_ngram',
+    'text_perplexity_bucket',
+    'text_pmi_collocations',
+    'text_repetition',
+    'text_unigram_lm',
+    'text_winnowing',
 ]
-
 
 def _reorder_registry() -> None:
     global REGISTRY
