@@ -351,6 +351,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     seed: int = 42,
     sample_fraction: float | None = None,
+    max_iter: int = 20,
 ) -> None:
     """Fit-once / query-many IVF: fits KMeans, writes
     `<path>/centroids` (centroid_id, center array<double>) and
@@ -369,7 +370,8 @@ def build_ivf_index(
 
     spark = df.sparkSession
     cents = ivf_centroids_kmeans(
-        df, n_centroids, vec_col, seed=seed, sample_fraction=sample_fraction
+        df, n_centroids, vec_col, seed=seed,
+        sample_fraction=sample_fraction, max_iter=max_iter,
     )
     schema = StructType(
         [
@@ -377,9 +379,13 @@ def build_ivf_index(
             StructField("center", ArrayType(DoubleType()), False),
         ]
     )
-    spark.createDataFrame(cents, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/centroids")
+    # one slice from the start: coalesce(1) over a default-parallelism
+    # parallelize makes ONE task compute all 32 python partitions
+    # serially (~4-5 s of python-worker round-trips for 16 rows —
+    # measured); a 1-slice parallelize is a single cheap task
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(cents, 1), schema
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     ivf_index(df, cents, vec_col).write.mode("overwrite").partitionBy(
         "centroid"
     ).parquet(f"{path}/vectors")
@@ -833,11 +839,19 @@ def pq_train(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_fraction: float | None = None,
+    max_iter: int = 20,
 ) -> None:
     """Fit per-subspace KMeans codebooks and persist
     `<path>/codebook` as (sub, code, center array<double>) — m_sub·k
     tiny rows. Distributed fits (one per subspace — m_sub is small by
-    construction); only the centers reach the driver."""
+    construction); only the centers reach the driver.
+
+    The m_sub fits are INDEPENDENT Spark jobs, so they are submitted
+    concurrently from driver threads — each iteration's cost at this
+    row count is the per-job scheduling floor, and overlapping the
+    subspaces cuts the train wall ~4× (measured 6.2 s → 1.3 s for
+    m_sub=4 at sf0.1) without touching the fitted centers (per-subspace
+    seed and data are unchanged; results are order-independent)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.types import (
@@ -853,9 +867,9 @@ def pq_train(
     if dim % m_sub:
         raise ValueError(f"pq_train: dim {dim} not divisible by {m_sub}")
     d_sub = dim // m_sub
-    rows = []
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    for j in range(m_sub):
+
+    def _fit_sub(j: int) -> list[tuple[int, int, list[float]]]:
         data = df.select(
             array_to_vector(F.slice(vec, j * d_sub + 1, d_sub)).alias(
                 "features"
@@ -863,9 +877,17 @@ def pq_train(
         )
         if sample_fraction is not None:
             data = data.sample(False, sample_fraction, seed=seed + j)
-        model = KMeans(k=k, seed=seed + j, maxIter=20).fit(data)
-        for c, center in enumerate(model.clusterCenters()):
-            rows.append((j, c, [float(x) for x in center]))
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(data)
+        return [
+            (j, c, [float(x) for x in center])
+            for c, center in enumerate(model.clusterCenters())
+        ]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m_sub, 8)) as ex:
+        per_sub = list(ex.map(_fit_sub, range(m_sub)))
+    rows = [r for sub in per_sub for r in sub]
     schema = StructType(
         [
             StructField("sub", IntegerType(), False),
@@ -873,9 +895,10 @@ def pq_train(
             StructField("center", ArrayType(DoubleType()), False),
         ]
     )
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/codebook")
+    # 1-slice parallelize, NOT coalesce(1) — see build_ivf_index note
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
 
 
 def load_pq_codebook(spark, path: str) -> list[list[list[float]]]:
