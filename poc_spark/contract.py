@@ -3643,6 +3643,32 @@ def ivf_index_path(sf_dir: str) -> str:
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_shuffle(spark, n: int = 8):
+    """Scope spark.sql.shuffle.partitions for a streaming query START.
+
+    The shuffle-partition count fixes the number of STATE STORE
+    instances for the query's lifetime, and every micro-batch pays one
+    commit per store: at these scenarios' state sizes (hundreds of
+    keys) 32 stores is pure per-batch overhead — 8 cut
+    stream_watermark_eviction 23.6 -> 14.1 s and stream_outer_join
+    11.9 -> 5.6 s at sf0.1 with identical results. This is the same
+    per-query state-partition sizing decision a production job makes
+    (Spark's 200-partition default is sized for wide clusters, not for
+    a join carrying kilobytes of state); a 100 TB job with hot state
+    sizes it UP instead. Restores the session value afterwards so
+    batch entries keep the suite-wide 32."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _export_path(subdir: str, sf_dir: str) -> str:
     return os.path.join(
         _REPO_ROOT, ".tmp", subdir, os.path.basename(os.path.normpath(sf_dir))
@@ -4070,14 +4096,15 @@ def stream_hourly_counts(spark, sf_dir):
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
     qname = "stream_hourly_" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(qname)
 
 
@@ -4619,14 +4646,15 @@ def stream_click_attribution(spark, sf_dir):
         click_watermark="90 days",
     )
     qname = "stream_attr_" + uuid.uuid4().hex[:12]
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     pairs = spark.table(qname)
     return pairs.groupBy("ad_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -4711,6 +4739,10 @@ def stream_watermark_eviction(spark, sf_dir):
             ).alias("ts"),
         )
     )
+    # ONE scan of events for the whole staging (r11 verdict nit: the
+    # max agg, the f1 write, and the f4 late-click derive each re-read
+    # the table) — persist the projected slice, unpersist after staging
+    ev = ev.persist()
     max_row = ev.agg(F.max("ts").alias("mx")).collect()[0]  # 1-row scalar
     max_us = int(max_row["mx"].timestamp() * 1_000_000)
     staged = _export_path("stream_evict_src", sf_dir)
@@ -4729,8 +4761,12 @@ def stream_watermark_eviction(spark, sf_dir):
         os.utime(dest, (mtime, mtime))
 
     def _sentinels(pairs, us: int):
+        # 1-slice parallelize: coalesce(1) over a default-parallelism
+        # createDataFrame makes one task walk all 32 python partitions
+        # serially (~4-5 s per sentinel file, measured)
         return spark.createDataFrame(
-            list(pairs), "event_type string, ad_id long"
+            spark.sparkContext.parallelize(list(pairs), 1),
+            "event_type string, ad_id long",
         ).select(
             "event_type", "ad_id", F.expr(f"timestamp_micros({us})").alias("ts")
         )
@@ -4760,6 +4796,7 @@ def stream_watermark_eviction(spark, sf_dir):
         F.expr("ts + INTERVAL 1 HOUR").alias("ts"),
     )
     _stage(late, "f4_late.parquet", t0 + 90)
+    ev.unpersist()
 
     src_schema = "event_type string, ad_id long, ts timestamp"
 
@@ -4781,14 +4818,15 @@ def stream_watermark_eviction(spark, sf_dir):
         click_watermark="1 hour",
     )
     qname = "stream_evict_" + uuid.uuid4().hex[:12]
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     progress = q.recentProgress
     n_batches = sum(1 for p in progress if p["numInputRows"] > 0)
     removed = sum(
@@ -4886,6 +4924,8 @@ def stream_session_window(spark, sf_dir):
             "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
         ).alias("ts"),
     )
+    # ONE scan of events for the whole staging (r11 verdict nit)
+    ev = ev.persist()
     cut_row = ev.agg(
         F.percentile_approx("ts", [1.0 / 3.0, 2.0 / 3.0]).alias("cuts"),
         F.max("ts").alias("mx"),
@@ -4915,6 +4955,7 @@ def stream_session_window(spark, sf_dir):
     ]
     for i, sl in enumerate(slices):
         _stage(sl, f"f{i + 1}_real.parquet", t0 + 30 * i)
+    ev.unpersist()
     adv = max_us + 100 * 24 * 3_600_000_000
 
     def _sentinel(uid: int, us: int):
@@ -4955,14 +4996,15 @@ def stream_session_window(spark, sf_dir):
         )
     )
     qname = "stream_sess_" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     progress = q.recentProgress
     n_batches = sum(1 for p in progress if p["numInputRows"] > 0)
     removed = sum(
@@ -5036,6 +5078,8 @@ def stream_stateful_dedup(spark, sf_dir):
             "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
         ).alias("ts"),
     )
+    # ONE scan of events for the whole staging (r11 verdict nit)
+    ev = ev.persist()
     cuts = ev.agg(
         F.percentile_approx("ts", [0.25, 0.5, 0.75]).alias("c")
     ).collect()[0]["c"]  # 1-row scalar collect: three cuts
@@ -5064,6 +5108,7 @@ def stream_stateful_dedup(spark, sf_dir):
         if hi is not None:
             sl = sl.filter(F.col("ts") < F.lit(hi))
         _stage(sl, f"f{i}.parquet", t0 + 30 * i)
+    ev.unpersist()
 
     src = (
         spark.readStream.schema("user_id long, event_type string, ts timestamp")
@@ -5071,15 +5116,16 @@ def stream_stateful_dedup(spark, sf_dir):
         .parquet(staged)
     )
     qname = "stream_dedup_" + uuid.uuid4().hex[:12]
-    q = (
-        first_event_stream(src)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            first_event_stream(src)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     progress = q.recentProgress
     n_batches = sum(1 for p in progress if p["numInputRows"] > 0)
     if n_batches < 4:

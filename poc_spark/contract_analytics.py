@@ -28,6 +28,7 @@ from poc_spark.contract import (
     EVENT_ORDER,
     _content_agg,
     _export_path,
+    _stream_shuffle,
     _t,
     register,
 )
@@ -644,6 +645,8 @@ def stream_outer_join(spark, sf_dir):
             ).alias("ts"),
         )
     )
+    # ONE scan of events for the whole staging (r11 verdict nit)
+    ev = ev.persist()
     max_row = ev.agg(F.max("ts").alias("mx")).collect()[0]  # 1-row scalar
     max_us = int(max_row["mx"].timestamp() * 1_000_000)
     staged = _export_path("stream_outer_src", sf_dir)
@@ -660,14 +663,19 @@ def stream_outer_join(spark, sf_dir):
         os.utime(dest, (mtime, mtime))
 
     def _sentinels(pairs, us: int):
+        # 1-slice parallelize: coalesce(1) over a default-parallelism
+        # createDataFrame walks all 32 python partitions in one task
+        # (~4-5 s per sentinel file, measured)
         return spark.createDataFrame(
-            list(pairs), "event_type string, ad_id long"
+            spark.sparkContext.parallelize(list(pairs), 1),
+            "event_type string, ad_id long",
         ).select(
             "event_type", "ad_id", F.expr(f"timestamp_micros({us})").alias("ts")
         )
 
     t0 = _time.time() - 300
     _stage(ev, "f1_real.parquet", t0)
+    ev.unpersist()
     adv = max_us + 100 * 24 * 3_600_000_000
     _stage(
         _sentinels([("view", -1), ("click", -2)], adv),
@@ -700,14 +708,15 @@ def stream_outer_join(spark, sf_dir):
         click_watermark="1 hour",
     )
     qname = "stream_outer_" + uuid.uuid4().hex[:12]
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     progress = q.recentProgress
     n_batches = sum(1 for p in progress if p["numInputRows"] > 0)
     if n_batches < 3:
