@@ -81,3 +81,122 @@ def text_decontaminate(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return decontaminate(train, bench, n=5)
+
+
+@register(
+    "text_quality_classifier",
+    """
+    WITH base AS (
+      SELECT doc_id, lower(text) AS t,
+             len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                           x -> x <> '')))::DOUBLE
+               / greatest(len(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')), 1) AS ratio
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id, t,
+             CASE WHEN ratio <= 0.40 THEN 'low'
+                  WHEN ratio >= 0.60 THEN 'high' END AS label,
+             ('0x' || substr(md5(t || ':qcsplit'), 1, 15))::BIGINT % 4 AS s
+      FROM base
+    ),
+    tg AS (
+      SELECT label AS lang,
+             ('0x' || substr(md5(g.gram || ':lid'), 1, 15))::BIGINT % 4096
+               AS bucket
+      FROM split,
+           UNNEST(CASE WHEN length(t) >= 3
+                  THEN list_transform(range(1, length(t) - 1),
+                                      i -> substr(t, i, 3))
+                  ELSE [] END) AS g(gram)
+      WHERE s < 3 AND label IS NOT NULL
+    ),
+    model AS (
+      SELECT lang, bucket, count(*)::BIGINT AS c FROM tg
+      GROUP BY lang, bucket
+    ),
+    totals AS (SELECT lang, sum(c)::BIGINT AS total FROM model GROUP BY lang),
+    dg AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g.gram || ':lid'), 1, 15))::BIGINT % 4096
+               AS bucket
+      FROM split,
+           UNNEST(CASE WHEN length(t) >= 3
+                  THEN list_transform(range(1, length(t) - 1),
+                                      i -> substr(t, i, 3))
+                  ELSE [] END) AS g(gram)
+      WHERE s = 3
+    ),
+    docg AS (
+      SELECT doc_id, bucket, count(*)::BIGINT AS tf FROM dg
+      GROUP BY doc_id, bucket
+    ),
+    per AS (
+      SELECT d.doc_id, m.lang,
+             sum(d.tf * m.c)::BIGINT::DOUBLE / max(tt.total)::DOUBLE AS sc
+      FROM docg d
+      JOIN model m USING (bucket)
+      JOIN totals tt ON m.lang = tt.lang
+      GROUP BY d.doc_id, m.lang
+    ),
+    piv AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN lang = 'high' THEN sc END), 0.0) AS sh,
+             coalesce(sum(CASE WHEN lang = 'low' THEN sc END), 0.0) AS sl
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, round(sl, 6) AS q_low, round(sh, 6) AS q_high,
+           round(sh / (sh + sl), 6) AS quality,
+           CASE WHEN sh >= sl THEN 'high' ELSE 'low' END AS pred_label
+    FROM piv
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """TRAINED quality classifier (r11 VERDICT #5 — the CCNet/fastText
+    quality-filtering stage, the one standard pretraining step that had
+    no trained form; operators/textquality.py quality_weak_labels +
+    quality_classifier_score, trainer shared with the langid classifier
+    textstats.py langid_ngram_train): weak labels from the fixed-
+    threshold distinct-token-ratio rule (<= 0.40 'low' spam, >= 0.60
+    'high', middle band abstains), a leakage-safe content-addressed 3/4
+    split trains per-(label, hashed char-trigram bucket) counts, and
+    the held-out quarter — ALL its docs, labeled or not — is scored
+    s_class = Σ tf·c / total with quality = s_high / (s_high + s_low).
+    The ENTIRE weak-label + train + apply chain replays relationally in
+    the oracle, so the model the SQL builds must equal Spark's bucket
+    for bucket. Model <= 2 x 4096 rows (broadcast at apply; corpus work
+    is two map-side-combining hash aggs) — the 100 TB shape. HONESTY:
+    on the synthetic corpus the weak-label signal IS the distinct-ratio
+    rule; QUALITY_RECALL.json measures real generalization on planted
+    degenerate/clean docs the rule never labeled."""
+    from poc_spark.operators.textstats import langid_ngram_train
+    from poc_spark.operators.textquality import (
+        quality_classifier_score,
+        quality_weak_labels,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labels = quality_weak_labels(docs)
+    s = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lower("text"), F.lit(":qcsplit"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(4),
+    )
+    split = docs.join(labels.select("doc_id", "label"), "doc_id").withColumn(
+        "s", s
+    )
+    train = split.filter("s < 3 AND label IS NOT NULL").withColumnRenamed(
+        "label", "lang"
+    )
+    model = langid_ngram_train(train)
+    preds = quality_classifier_score(split.filter("s = 3"), model)
+    return preds.select(
+        F.col("id").alias("doc_id"), "q_low", "q_high", "quality",
+        "pred_label",
+    )

@@ -141,3 +141,99 @@ def decontaminate(
             id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
         )
     )
+
+
+def quality_weak_labels(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    low_max_ratio: float = 0.40,
+    high_min_ratio: float = 0.60,
+) -> DataFrame:
+    """(id, distinct_ratio, label) — WEAK supervision for the trained
+    quality classifier (the CCNet-style labeling stage): documents
+    whose distinct-token ratio is at or below `low_max_ratio` are
+    weak-labeled 'low' (duplicated-token spam), at or above
+    `high_min_ratio` 'high'; the ambiguous middle band gets NULL and is
+    EXCLUDED from training — standard weak-supervision practice, the
+    classifier then generalizes over the whole corpus including the
+    band the rule abstains on. Thresholds are fixed constants (not
+    learned quantiles) so the rule replays bit-identically in any
+    engine: ratio is one exact-int division."""
+    toks = _tokens(F.col(text_col))
+    ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(ratio, 6).alias("distinct_ratio"),
+        F.when(ratio <= F.lit(low_max_ratio), F.lit("low"))
+        .when(ratio >= F.lit(high_min_ratio), F.lit("high"))
+        .alias("label"),
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    model: DataFrame,
+    n_features: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY the trained quality classifier (model = textstats.
+    langid_ngram_train over quality_weak_labels output — the same
+    hashed char-trigram count relation, labels {'low','high'} instead
+    of languages): per-class score s = Σ tf·c / total (exact integer
+    numerator, one double division), then
+      quality    = s_high / (s_high + s_low)   (absent class -> 0.0)
+      pred_label = 'high' iff s_high >= s_low.
+    Returns (id, q_low, q_high, quality, pred_label); documents whose
+    trigrams hit no model bucket have no row (both engines agree).
+
+    Scale shape is the langid scorer's: corpus-sized work is the gram
+    explode + two map-side-combining hash aggs keyed by id; the model
+    (<= 2 x n_features rows) broadcasts — the corpus never shuffles
+    against it."""
+    from poc_spark.operators.textstats import _char_trigrams, _gram_bucket
+
+    docg = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_char_trigrams(text_col)).alias("g"),
+        )
+        .select("id", _gram_bucket(F.col("g"), n_features).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per = (
+        docg.join(F.broadcast(model), "bucket")
+        .groupBy("id", "lang")
+        .agg(
+            F.sum(F.col("tf") * F.col("c")).cast("long").alias("num"),
+            F.max("total").alias("total"),  # constant within the group
+        )
+        .select(
+            "id",
+            "lang",
+            (F.col("num").cast("double") / F.col("total").cast("double")).alias(
+                "sc"
+            ),
+        )
+    )
+    sh = F.coalesce(F.sum(F.when(F.col("lang") == "high", F.col("sc"))), F.lit(0.0))
+    sl = F.coalesce(F.sum(F.when(F.col("lang") == "low", F.col("sc"))), F.lit(0.0))
+    return (
+        per.groupBy("id")
+        .agg(sh.alias("sh"), sl.alias("sl"))
+        .select(
+            "id",
+            F.round("sl", 6).alias("q_low"),
+            F.round("sh", 6).alias("q_high"),
+            F.round(F.col("sh") / (F.col("sh") + F.col("sl")), 6).alias(
+                "quality"
+            ),
+            F.when(F.col("sh") >= F.col("sl"), F.lit("high"))
+            .otherwise(F.lit("low"))
+            .alias("pred_label"),
+        )
+    )

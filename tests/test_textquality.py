@@ -60,3 +60,72 @@ def test_decontaminate_flags_exact_overlap(spark):
     )
     got = {r["doc_id"]: r["contaminated"] for r in decontaminate(train, bench).collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_quality_weak_labels_fixed_thresholds(spark):
+    from poc_spark.operators.textquality import quality_weak_labels
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a a a a a a a b b b"),  # 2/10 = 0.2 -> low
+            (2, "a b c d e f g h i j"),  # 10/10 = 1.0 -> high
+            (3, "a a b b c c d d e f"),  # 6/10 -> high (>= 0.6)
+            (4, "a a a b b c c d e a"),  # 5/10 -> abstain (NULL)
+            (5, "a a a a b b b c c d"),  # 4/10 -> low (<= 0.4)
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["distinct_ratio"], r["label"])
+        for r in quality_weak_labels(docs).collect()
+    }
+    assert got[1] == (0.2, "low")
+    assert got[2] == (1.0, "high")
+    assert got[3] == (0.6, "high")
+    assert got[4] == (0.5, None)
+    assert got[5] == (0.4, "low")
+
+
+def test_quality_classifier_separates_planted_spam(spark):
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.textquality import (
+        quality_classifier_score,
+        quality_weak_labels,
+    )
+    from poc_spark.operators.textstats import langid_ngram_train
+
+    # train: rule-labelable spam (repeated loop) vs clean (all distinct)
+    # 18 loop tokens + 1 unique -> 7/19 distinct = 0.368 <= 0.40
+    spam = " ".join(["buy now click here free win"] * 3)
+    train_rows = [
+        (i, f"{spam} x{i}") for i in range(20)
+    ] + [
+        (100 + i, " ".join(f"word{i}n{j}" for j in range(12)))
+        for i in range(20)
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    lab = quality_weak_labels(train)
+    labeled = (
+        train.join(lab.select("doc_id", "label"), "doc_id")
+        .filter(F.col("label").isNotNull())
+        .withColumnRenamed("label", "lang")
+    )
+    assert labeled.count() == 40  # the rule labels every training doc
+    model = langid_ngram_train(labeled)
+    # test: abstain-band docs (ratio 0.5) of both families
+    test_rows = [
+        (1000, "buy now click here free win buy now click here free win"),
+        (1001, " ".join(["wordQnR"] * 6 + [f"t{j}" for j in range(6)])),
+    ]
+    test = spark.createDataFrame(test_rows, "doc_id long, text string")
+    assert (
+        quality_weak_labels(test).filter(F.col("label").isNotNull()).count()
+        == 0
+    )
+    got = {
+        r["id"]: (r["pred_label"], r["quality"])
+        for r in quality_classifier_score(test, model).collect()
+    }
+    assert got[1000][0] == "low" and got[1000][1] < 0.5
+    assert got[1001][0] == "high" and got[1001][1] > 0.5
