@@ -4283,21 +4283,22 @@ def stream_rollup_maintenance(spark, sf_dir):
     # rule — replaying onto an existing rollup would double-count)
     ev.repartition(4).write.mode("overwrite").parquet(landing)
     drop_tree(agg_root)
-    n_batches = maintain_rollup_stream(
-        spark,
-        landing,
-        spark.read.parquet(landing).schema,
-        agg_root,
-        lambda df: df.select(
-            F.date_format("ts", "yyyy-MM-dd").alias("day"),
-            "event_type",
-            "user_id",
-        ),
-        "day",
-        ["event_type"],
-        ["user_id"],
-        max_files_per_trigger=1,
-    )
+    with _stream_shuffle(spark):
+        n_batches = maintain_rollup_stream(
+            spark,
+            landing,
+            spark.read.parquet(landing).schema,
+            agg_root,
+            lambda df: df.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                "event_type",
+                "user_id",
+            ),
+            "day",
+            ["event_type"],
+            ["user_id"],
+            max_files_per_trigger=1,
+        )
     if n_batches < 2:
         raise RuntimeError(
             f"stream_rollup_maintenance: expected a multi-batch drain, "
@@ -4395,7 +4396,8 @@ def stream_restart_rollup(spark, sf_dir):
             min_cols=["user_id"],
             max_cols=["user_id"],
         )
-    n1 = drain()  # query 1: first delivery only, then stops
+    with _stream_shuffle(spark):
+        n1 = drain()  # query 1: first delivery only, then stops
     if n1 < 2:
         raise RuntimeError(
             f"stream_restart_rollup: query 1 drained {n1} batches — the "
@@ -4419,7 +4421,8 @@ def stream_restart_rollup(spark, sf_dir):
     # second delivery lands as NEW files; a brand-new query resumes
     # from the same checkpoint
     second.repartition(3).write.mode("append").parquet(landing)
-    n2 = drain()  # query 2: must drain ONLY the new files
+    with _stream_shuffle(spark):
+        n2 = drain()  # query 2: must drain ONLY the new files
     if not (1 <= n2 <= 3):
         raise RuntimeError(
             f"stream_restart_rollup: query 2 drained {n2} batches — a "
@@ -4509,7 +4512,8 @@ def stream_append_table(spark, sf_dir):
             max_files_per_trigger=1, checkpoint=ckpt,
         )
 
-    n1 = drain()
+    with _stream_shuffle(spark):
+        n1 = drain()
     if n1 < 2:
         raise RuntimeError(
             f"stream_append_table: query 1 drained {n1} batches — the "
@@ -4527,7 +4531,8 @@ def stream_append_table(spark, sf_dir):
             "exactly-once dedup is broken"
         )
     second.repartition(3).write.mode("append").parquet(landing)
-    n2 = drain()  # new query, same checkpoint: only the new files
+    with _stream_shuffle(spark):
+        n2 = drain()  # new query, same checkpoint: only the new files
     if not (1 <= n2 <= 3):
         raise RuntimeError(
             f"stream_append_table: query 2 drained {n2} batches — a "

@@ -1605,18 +1605,19 @@ def stream_ivm_join(spark, sf_dir):
         "o_orderkey long, o_custkey long, o_totalprice double, "
         "o_orderpriority string"
     )
-    n_batches = maintain_view_stream(
-        spark,
-        landing,
-        schema,
-        view_root,
-        dims,
-        "o_orderkey",
-        "o_custkey",
-        dim_cols,
-        "o_orderpriority",
-        checkpoint=ckpt,
-    )
+    with _stream_shuffle(spark):
+        n_batches = maintain_view_stream(
+            spark,
+            landing,
+            schema,
+            view_root,
+            dims,
+            "o_orderkey",
+            "o_custkey",
+            dim_cols,
+            "o_orderpriority",
+            checkpoint=ckpt,
+        )
     if n_batches < 3:
         raise RuntimeError(
             f"stream degraded: {n_batches} micro-batches < 3 (the delta "

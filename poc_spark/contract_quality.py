@@ -200,3 +200,148 @@ def text_quality_classifier(spark, sf_dir):
         F.col("id").alias("doc_id"), "q_low", "q_high", "quality",
         "pred_label",
     )
+
+
+@register(
+    "pipeline_quality_filter",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, lower(text) AS t,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                           x -> x <> '')))::DOUBLE
+               / greatest(len(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')), 1) AS ratio
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id, lang, t, fp,
+             CASE WHEN ratio <= 0.40 THEN 'low'
+                  WHEN ratio >= 0.60 THEN 'high' END AS label,
+             ('0x' || substr(md5(t || ':qcsplit'), 1, 15))::BIGINT % 4 AS s
+      FROM base
+    ),
+    tg AS (
+      SELECT label AS clz,
+             ('0x' || substr(md5(g.gram || ':lid'), 1, 15))::BIGINT % 4096
+               AS bucket
+      FROM split,
+           UNNEST(CASE WHEN length(t) >= 3
+                  THEN list_transform(range(1, length(t) - 1),
+                                      i -> substr(t, i, 3))
+                  ELSE [] END) AS g(gram)
+      WHERE s < 3 AND label IS NOT NULL
+    ),
+    model AS (
+      SELECT clz, bucket, count(*)::BIGINT AS c FROM tg GROUP BY clz, bucket
+    ),
+    totals AS (SELECT clz, sum(c)::BIGINT AS total FROM model GROUP BY clz),
+    dg AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g.gram || ':lid'), 1, 15))::BIGINT % 4096
+               AS bucket
+      FROM split,
+           UNNEST(CASE WHEN length(t) >= 3
+                  THEN list_transform(range(1, length(t) - 1),
+                                      i -> substr(t, i, 3))
+                  ELSE [] END) AS g(gram)
+    ),
+    docg AS (
+      SELECT doc_id, bucket, count(*)::BIGINT AS tf FROM dg
+      GROUP BY doc_id, bucket
+    ),
+    per AS (
+      SELECT d.doc_id, m.clz,
+             sum(d.tf * m.c)::BIGINT::DOUBLE / max(tt.total)::DOUBLE AS sc
+      FROM docg d
+      JOIN model m USING (bucket)
+      JOIN totals tt ON m.clz = tt.clz
+      GROUP BY d.doc_id, m.clz
+    ),
+    piv AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN clz = 'high' THEN sc END), 0.0) AS sh,
+             coalesce(sum(CASE WHEN clz = 'low' THEN sc END), 0.0) AS sl
+      FROM per GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT doc_id FROM piv WHERE round(sh / (sh + sl), 6) >= 0.5
+    ),
+    surv AS (
+      SELECT min(b.doc_id) AS doc_id
+      FROM base b JOIN kept k USING (doc_id)
+      GROUP BY b.fp
+    )
+    SELECT b.lang,
+           count(*)::BIGINT AS n_total,
+           count(k.doc_id)::BIGINT AS n_quality_kept,
+           count(sv.doc_id)::BIGINT AS n_final
+    FROM base b
+    LEFT JOIN kept k USING (doc_id)
+    LEFT JOIN surv sv USING (doc_id)
+    GROUP BY b.lang
+    """,
+)
+def pipeline_quality_filter(spark, sf_dir):
+    """The trained quality classifier AS A PIPELINE STAGE — the CCNet
+    corpus-filtering composition: weak-label + train (identical chain
+    to text_quality_classifier), score the ENTIRE corpus, keep docs
+    with quality >= 0.5, exact-dedup the survivors on the normalized
+    md5 fingerprint (min doc_id survives per group), and report the
+    funnel per lang: (lang, n_total, n_quality_kept, n_final). Every
+    stage — model, scores, threshold, dedup rank — replays relationally
+    in the oracle. Scale shape: the classifier's broadcast-model aggs +
+    one fingerprint hash agg; no corpus-vs-corpus shuffle anywhere."""
+    from poc_spark.operators.textstats import (
+        fingerprints,
+        langid_ngram_train,
+    )
+    from poc_spark.operators.textquality import (
+        quality_classifier_score,
+        quality_weak_labels,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    labels = quality_weak_labels(docs)
+    s = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lower("text"), F.lit(":qcsplit"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(4),
+    )
+    split = docs.join(labels.select("doc_id", "label"), "doc_id").withColumn(
+        "s", s
+    )
+    # docs carry a REAL `lang` column here (the report key), so the
+    # class label trains under its own name instead of the rename the
+    # classifier entry uses
+    train = split.filter("s < 3 AND label IS NOT NULL").select(
+        "doc_id", F.col("label").alias("clz"), "text"
+    )
+    model = langid_ngram_train(train, lang_col="clz")
+    scored = quality_classifier_score(docs, model)
+    kept = scored.filter(F.col("quality") >= 0.5).select(
+        F.col("id").alias("doc_id")
+    )
+    fps = fingerprints(docs)
+    surv = (
+        fps.join(kept, "doc_id", "leftsemi")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(kept.withColumn("_q", F.lit(1)), "doc_id", "left")
+        .join(surv.withColumn("_s", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("_q").alias("n_quality_kept"),
+            F.count("_s").alias("n_final"),
+        )
+    )
