@@ -345,3 +345,46 @@ def pipeline_quality_filter(spark, sf_dir):
             F.count("_s").alias("n_final"),
         )
     )
+
+
+@register(
+    "text_doc_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> len(x) > 0))::BIGINT AS n_toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_toks,
+             SUM(n_toks) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_toks
+               AS cum_before
+      FROM t
+    ),
+    p AS (SELECT doc_id, n_toks,
+               (cum_before::BIGINT // 256)::BIGINT AS seq_id FROM c)
+    SELECT seq_id, count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS n_tokens,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           round(sum(n_toks)::DOUBLE / 256.0, 6) AS fill_ratio
+    FROM p GROUP BY seq_id
+    """,
+)
+def text_doc_packing(spark, sf_dir):
+    """SEQUENCE PACKING for pretraining (textstats.pack_documents_
+    greedy): docs concatenate in doc_id order, each assigned wholly to
+    the 256-token sequence its first token lands in (pack-until-
+    overflow). The Spark plan is the TWO-PASS distributed prefix sum —
+    per-chunk totals to the driver (n_chunks rows), parallel per-chunk
+    local cumsums plus literal offsets — never a global-order window;
+    the oracle's single global window proves the chunked plan equal
+    (the chunk count is a pure parallelism knob, the result is
+    identical for any contiguous chunking). Exact LONG arithmetic;
+    fill_ratio is one double division by the constant."""
+    from poc_spark.operators.textstats import pack_documents_greedy
+
+    return pack_documents_greedy(
+        _t(spark, sf_dir, "documents"), seq_len=256, n_chunks=8
+    )

@@ -1570,3 +1570,84 @@ def bpe_learn_greedy(
     return spark.createDataFrame(
         merges, "rank long, left_sym string, right_sym string, pair_count long"
     )
+
+
+def pack_documents_greedy(
+    df: DataFrame,
+    seq_len: int = 256,
+    n_chunks: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SEQUENCE PACKING for pretraining (the concat-then-chop packing
+    stage at doc granularity): documents concatenate in `id_col` order
+    and each doc is assigned wholly to the sequence where its first
+    token lands — seq_id = floor(tokens_before_doc / seq_len). A doc
+    that crosses a boundary stays with the sequence it starts in, so a
+    sequence's token total may overrun seq_len by at most one doc (the
+    standard pack-until-overflow contract; fill_ratio reports it).
+    Returns (seq_id, n_docs, n_tokens, min_doc, max_doc, fill_ratio).
+
+    The global prefix sum is computed WITHOUT a global-order window
+    (which would move the corpus to one partition): a TWO-PASS
+    distributed prefix sum — range-split on the id into `n_chunks`
+    value buckets via ntile-free fixed arithmetic (id ranges from a
+    1-row min/max scalar), per-chunk token totals (n_chunks rows)
+    collect to the driver and become literal offsets, then each chunk
+    computes its LOCAL cumsum in parallel and adds its offset. The
+    result is identical for ANY contiguous chunking, so the chunk
+    count is a pure parallelism knob — the same discipline as
+    plans/chunked_lag.py. Exact LONG arithmetic throughout."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("n_toks"),
+    )
+    lohi = toks.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    ).collect()[0]  # 1-row scalar
+    lo, hi = int(lohi["lo"]), int(lohi["hi"])
+    span = max(hi - lo + 1, 1)
+    chunk = (F.col("id") - F.lit(lo)) * F.lit(n_chunks) / F.lit(span)
+    toks = toks.withColumn("chunk", chunk.cast("long"))
+    # pass 1: per-chunk totals -> driver (n_chunks rows) -> offsets
+    totals = {
+        int(r["chunk"]): int(r["t"])
+        for r in toks.groupBy("chunk").agg(F.sum("n_toks").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for c in range(n_chunks):
+        offsets[c] = acc
+        acc += totals.get(c, 0)
+    off_expr = F.lit(0).cast("long")
+    for c, o in offsets.items():
+        off_expr = F.when(F.col("chunk") == c, F.lit(o)).otherwise(off_expr)
+    # pass 2: local cumsum per chunk (parallel) + literal offset
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("chunk")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "id",
+        "n_toks",
+        (
+            off_expr + F.sum("n_toks").over(w) - F.col("n_toks")
+        ).alias("cum_before"),
+    ).select(
+        "id",
+        "n_toks",
+        (F.col("cum_before") / F.lit(seq_len))
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.min("id").alias("min_doc"),
+        F.max("id").alias("max_doc"),
+        F.round(
+            F.sum("n_toks").cast("double") / F.lit(float(seq_len)), 6
+        ).alias("fill_ratio"),
+    )

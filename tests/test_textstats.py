@@ -656,3 +656,37 @@ def test_langid_ngram_learns_subword_signal(spark):
     # determinism: retrain+rescore is bit-identical
     again = langid_ngram_score(test, langid_ngram_train(train)).withColumnRenamed("id", "doc_id")
     assert sorted(map(tuple, preds.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_pack_documents_greedy_hand_and_chunk_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.textstats import pack_documents_greedy
+
+    # doc token counts: 3, 4, 2, 5, 1 -> cum_before 0,3,7,9,14
+    # seq_len=5 -> seq ids 0,0,1,1,2
+    rows = [
+        (1, "a b c"),
+        (2, "d e f g"),
+        (3, "h i"),
+        (4, "j k l m n"),
+        (5, "o"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["seq_id"]: (r["n_docs"], r["n_tokens"], r["min_doc"], r["max_doc"])
+        for r in pack_documents_greedy(docs, seq_len=5, n_chunks=2).collect()
+    }
+    assert got == {0: (2, 7, 1, 2), 1: (2, 7, 3, 4), 2: (1, 1, 5, 5)}
+    # overflow contract: seq 0 carries 7 tokens (doc 2 crosses the
+    # boundary and stays with the sequence it starts in)
+    # chunking-independence: any contiguous chunk count gives the same
+    # packing (the two-pass prefix sum is exact)
+    for n_chunks in (1, 3, 8):
+        again = {
+            r["seq_id"]: (r["n_docs"], r["n_tokens"])
+            for r in pack_documents_greedy(
+                docs, seq_len=5, n_chunks=n_chunks
+            ).collect()
+        }
+        assert again == {k: v[:2] for k, v in got.items()}
