@@ -1762,3 +1762,68 @@ def q_profile_generic(spark, sf_dir):
     return agg.select(F.explode(F.array(*cells)).alias("p")).select(
         "p.col", "p.metric", "p.value"
     )
+
+
+@register(
+    "lake_change_feed",
+    """
+    WITH ins AS (
+      SELECT doc_id + 100000 AS doc_id FROM documents WHERE doc_id % 50 = 0
+    ),
+    upd2 AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    del3 AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+    SELECT doc_id, 'insert' AS change_type, 2::BIGINT AS version FROM ins
+    UNION ALL
+    SELECT doc_id, 'update', 2::BIGINT FROM upd2
+    UNION ALL
+    SELECT doc_id, 'delete', 3::BIGINT FROM del3
+    """,
+)
+def lake_change_feed(spark, sf_dir):
+    """CHANGE DATA FEED between lake versions (sources/lake.py
+    change_feed — the Delta-CDF capability derived by diffing the
+    immutable retained snapshots; produce-direction twin of
+    cdc_latest_state): a fresh base takes one mixed INSERT+UPDATE
+    commit (new +100000 ids for doc_id % 50, ' v2' text rewrites for
+    doc_id % 5) and one DELETE commit (merge_full matched-delete of
+    doc_id % 7), then the feed over versions 1→3 must emit exactly the
+    per-commit row-level changes — (doc_id, change_type, version) —
+    the oracle derives from the same modular rules. Each commit costs
+    one narrow (key, fingerprint) full-outer join; the loop is bounded
+    by retention depth, never table size."""
+    from poc_spark.sources.lake import (
+        change_feed,
+        drop_tree,
+        list_versions,
+        merge_full_partitioned,
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _export_path("cdftree", sf_dir)
+    drop_tree(root)  # fresh versions 1..3 every run (stale-artifact rule)
+    # the feed needs all three snapshots retained (default retain=2
+    # would prune the base right when commit 3 publishes)
+    spark.conf.set("spark.poc.lake.retain", "3")
+    write_partitioned(docs, root, ["lang"])
+    updates = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat("text", F.lit(" v2"))
+    ).withColumn("n_chars", F.col("n_chars") + 3)
+    inserts = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    merge_upsert_partitioned(
+        spark, root, updates.unionByName(inserts), "doc_id", "lang"
+    )
+    dels = docs.filter(F.col("doc_id") % 7 == 0)
+    merge_full_partitioned(
+        spark, root, dels, "doc_id", "lang", matched_delete=F.lit(True)
+    )
+    spark.conf.unset("spark.poc.lake.retain")
+    vs = list_versions(root)
+    if len(vs) != 3:
+        raise RuntimeError(
+            f"lake_change_feed: expected 3 retained versions, got {vs}"
+        )
+    return change_feed(spark, root, vs[0], vs[-1], ["doc_id"])

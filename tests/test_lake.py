@@ -1782,3 +1782,67 @@ def test_evolution_ignores_nested_nullability(spark, tmp_path):
     bad = spark.createDataFrame([(1, "en", [1], (5,))], retyped)
     with pytest.raises(ValueError, match="TYPE-changed"):
         merge_upsert_partitioned(spark, root, bad, "k", "lang")
+
+
+def test_change_feed_per_commit_row_changes(spark, tmp_path_repo):
+    """Three-commit tree: the feed emits exactly each commit's row-level
+    insert/update/delete set, stamped with the commit's version."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from poc_spark.sources.lake import (
+        change_feed,
+        list_versions,
+        merge_full_partitioned,
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    root = str(tmp_path_repo / "cdf")
+    spark.conf.set("spark.poc.lake.retain", "3")
+    try:
+        base = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")],
+            "id long, text string, part string",
+        )
+        write_partitioned(base, root, ["part"])
+        # commit 2: update id 1, insert id 9
+        merge_upsert_partitioned(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(1, "a2", "x"), (9, "new", "y")],
+                "id long, text string, part string",
+            ),
+            "id",
+            "part",
+        )
+        # commit 3: delete id 2
+        merge_full_partitioned(
+            spark,
+            root,
+            spark.createDataFrame([(2, "b", "x")], "id long, text string, part string"),
+            "id",
+            "part",
+            matched_delete=F.lit(True),
+        )
+        vs = list_versions(root)
+        got = {
+            (r["id"], r["version"]): r["change_type"]
+            for r in change_feed(spark, root, vs[0], vs[-1], ["id"]).collect()
+        }
+        assert got == {
+            (1, vs[1]): "update",
+            (9, vs[1]): "insert",
+            (2, vs[2]): "delete",
+        }
+        # a single-commit window sees only its own commit
+        one = {
+            (r["id"], r["version"]): r["change_type"]
+            for r in change_feed(spark, root, vs[1], vs[2], ["id"]).collect()
+        }
+        assert one == {(2, vs[2]): "delete"}
+        with pytest.raises(ValueError, match="must exceed"):
+            change_feed(spark, root, vs[-1], vs[-1], ["id"])
+    finally:
+        spark.conf.unset("spark.poc.lake.retain")
