@@ -9150,6 +9150,11 @@ _TAIL = [
     # Everything below has an r8+ driver witness and pytest/local-sweep
     # coverage; capability-wise each is demonstrated by a green head
     # entry of the same family.
+    # (late-r12 adjustment: text_inverted_index yields its head slot to
+    # the new lake_ivm_agg — its r12 change (duplicate-term dedupe) is
+    # behavior-preserving for its own query and pytest-pinned, and it
+    # carries a fresh r11 driver witness.)
+    'text_inverted_index',
     'dedup_cluster_report',
     'dedup_containment',
     'dedup_embedding_cosine',

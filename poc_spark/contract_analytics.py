@@ -1827,3 +1827,106 @@ def lake_change_feed(spark, sf_dir):
             f"lake_change_feed: expected 3 retained versions, got {vs}"
         )
     return change_feed(spark, root, vs[0], vs[-1], ["doc_id"])
+
+
+@register(
+    "lake_ivm_agg",
+    """
+    WITH ins AS (
+      SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    upd AS (
+      SELECT doc_id, text || ' v2' AS text, lang, source,
+             n_chars + 3 AS n_chars
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    v2 AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id % 5 <> 0
+      UNION ALL SELECT doc_id, text, lang, source, n_chars FROM upd
+      UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins
+    ),
+    v3 AS (
+      SELECT * FROM v2 WHERE NOT (doc_id % 7 = 0 AND doc_id < 100000)
+    )
+    SELECT lang, count(*)::BIGINT AS n_rows,
+           sum(n_chars)::BIGINT AS sum_val
+    FROM v3 GROUP BY lang
+    """,
+)
+def lake_ivm_agg(spark, sf_dir):
+    """INCREMENTAL AGGREGATE maintenance under RETRACTIONS
+    (operators/ivm.py agg_delta_for_commit / maintain_agg_from_feed —
+    the Materialize/DBToaster delta algebra, closing the IVM family's
+    gap: lake_ivm_join maintains a join view, rollup_incremental
+    absorbs inserts, but nothing maintained an aggregate through
+    UPDATES and DELETES): a per-lang (n_rows, sum n_chars) rollup is
+    folded forward through one mixed insert+update commit and one
+    matched-delete commit by consuming the CHANGE FEED — deletes
+    retract their OLD row (−1), updates retract old and assert new,
+    zero-count groups disappear. Per commit the corpus-sized work is
+    only the changed-key snapshot reads (feed-key semi-joins); the
+    view/delta combine is |groups| rows. The gate LOUDLY asserts the
+    maintained view equals a direct re-aggregation of the final
+    snapshot before returning it; the oracle replays the final state
+    relationally."""
+    from poc_spark.operators.ivm import maintain_agg_from_feed
+    from poc_spark.sources.lake import (
+        drop_tree,
+        list_versions,
+        merge_full_partitioned,
+        merge_upsert_partitioned,
+        read_version,
+        write_partitioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _export_path("ivmaggtree", sf_dir)
+    drop_tree(root)  # fresh versions every run (stale-artifact rule)
+    spark.conf.set("spark.poc.lake.retain", "3")
+    try:
+        write_partitioned(docs, root, ["lang"])
+        updates = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "text", F.concat("text", F.lit(" v2"))
+        ).withColumn("n_chars", F.col("n_chars") + 3)
+        inserts = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+        merge_upsert_partitioned(
+            spark, root, updates.unionByName(inserts), "doc_id", "lang"
+        )
+        merge_full_partitioned(
+            spark,
+            root,
+            docs.filter(F.col("doc_id") % 7 == 0),
+            "doc_id",
+            "lang",
+            matched_delete=F.lit(True),
+        )
+        vs = list_versions(root)
+        if len(vs) != 3:
+            raise RuntimeError(
+                f"lake_ivm_agg: expected 3 retained versions, got {vs}"
+            )
+        maintained = maintain_agg_from_feed(
+            spark, root, vs[0], vs[-1], ["doc_id"], ["lang"], "n_chars"
+        )
+        direct = (
+            read_version(spark, root, vs[-1])
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("sum_val"),
+            )
+        )
+        got = {r["lang"]: (r["n_rows"], r["sum_val"]) for r in maintained.collect()}
+        want = {r["lang"]: (r["n_rows"], r["sum_val"]) for r in direct.collect()}
+        if got != want:
+            raise RuntimeError(
+                f"lake_ivm_agg: maintained view diverged from the "
+                f"re-aggregated snapshot: {got} != {want}"
+            )
+        return maintained
+    finally:
+        spark.conf.unset("spark.poc.lake.retain")
