@@ -1846,3 +1846,72 @@ def test_change_feed_per_commit_row_changes(spark, tmp_path_repo):
             change_feed(spark, root, vs[-1], vs[-1], ["id"])
     finally:
         spark.conf.unset("spark.poc.lake.retain")
+
+
+def test_maintain_agg_from_feed_retractions_and_group_death(spark, tmp_path_repo):
+    """Aggregate IVM under retractions: updates retract old/assert new,
+    a fully-deleted group disappears from the maintained view, and the
+    fold equals direct re-aggregation of the final snapshot."""
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.ivm import maintain_agg_from_feed
+    from poc_spark.sources.lake import (
+        list_versions,
+        merge_full_partitioned,
+        merge_upsert_partitioned,
+        read_version,
+        write_partitioned,
+    )
+
+    root = str(tmp_path_repo / "ivmagg")
+    spark.conf.set("spark.poc.lake.retain", "4")
+    try:
+        base = spark.createDataFrame(
+            [(1, "x", 10), (2, "x", 20), (3, "y", 5), (4, "y", 7), (5, "z", 1)],
+            "id long, grp string, val long",
+        )
+        write_partitioned(base, root, ["grp"])
+        # commit 2: update id 1 (10 -> 13), insert id 6 into x
+        merge_upsert_partitioned(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(1, "x", 13), (6, "x", 100)], "id long, grp string, val long"
+            ),
+            "id",
+            "grp",
+        )
+        # commit 3: delete BOTH y rows (group y must die) and id 5
+        merge_full_partitioned(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(3, "y", 0), (4, "y", 0), (5, "z", 0)],
+                "id long, grp string, val long",
+            ),
+            "id",
+            "grp",
+            matched_delete=F.lit(True),
+        )
+        vs = list_versions(root)
+        got = {
+            r["grp"]: (r["n_rows"], r["sum_val"])
+            for r in maintain_agg_from_feed(
+                spark, root, vs[0], vs[-1], ["id"], ["grp"], "val"
+            ).collect()
+        }
+        # x: rows 1(13), 2(20), 6(100); y and z fully deleted -> absent
+        assert got == {"x": (3, 133)}
+        direct = {
+            r["grp"]: (r["n_rows"], r["sum_val"])
+            for r in read_version(spark, root, vs[-1])
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("val").cast("long").alias("sum_val"),
+            )
+            .collect()
+        }
+        assert got == direct
+    finally:
+        spark.conf.unset("spark.poc.lake.retain")
