@@ -1915,3 +1915,32 @@ def test_maintain_agg_from_feed_retractions_and_group_death(spark, tmp_path_repo
         assert got == direct
     finally:
         spark.conf.unset("spark.poc.lake.retain")
+
+
+def test_change_feed_empty_across_compaction(spark, tmp_path_repo):
+    """Compaction rewrites bytes, not rows: the change feed across a
+    compaction commit must be EMPTY (the physical/logical separation a
+    CDC consumer relies on — a file-layout commit is not data change)."""
+    from poc_spark.sources.lake import (
+        change_feed,
+        compact_partitions,
+        list_versions,
+        write_partitioned,
+    )
+
+    root = str(tmp_path_repo / "cdfcompact")
+    spark.conf.set("spark.poc.lake.retain", "3")
+    try:
+        base = spark.createDataFrame(
+            [(i, "p" if i % 2 else "q", i * 10) for i in range(8)],
+            "id long, part string, val long",
+        ).repartition(4)
+        write_partitioned(base, root, ["part"])
+        compacted = compact_partitions(spark, root, "part", target_bytes=1 << 30)
+        assert compacted  # at least one fragmented partition rewrote
+        vs = list_versions(root)
+        assert len(vs) >= 2
+        feed = change_feed(spark, root, vs[-2], vs[-1], ["id"])
+        assert feed.count() == 0
+    finally:
+        spark.conf.unset("spark.poc.lake.retain")
