@@ -9155,6 +9155,11 @@ _TAIL = [
     # behavior-preserving for its own query and pytest-pinned, and it
     # carries a fresh r11 driver witness.)
     'text_inverted_index',
+    # (sketch_quantile_bounds yields its r7-refresh slot to the new
+    # lake_rollup_quantile — same sketch family, and a NEW entry's
+    # first witness outranks a refresh; it stays covered by pytest +
+    # the local sweeps.)
+    'sketch_quantile_bounds',
     'dedup_cluster_report',
     'dedup_containment',
     'dedup_embedding_cosine',
@@ -9367,3 +9372,101 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["sink_clustered_parquet"] = _clustered_oracle(sf_base)
     out["src_schema_evolution"] = _evolved_oracle(sf_base)
     return out
+
+
+@register(
+    "lake_rollup_quantile",
+    """
+    WITH h AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             floor(value / 10.0)::BIGINT AS bucket
+      FROM events
+    ),
+    s AS (SELECT day, bucket, count(*)::BIGINT AS cnt FROM h GROUP BY day, bucket),
+    c AS (
+      SELECT day, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY day ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY day) AS total
+      FROM s
+    )
+    SELECT day,
+           min(CASE WHEN cum >= ceil(0.5 * total::DOUBLE) THEN bucket END)
+             * 10.0 AS q_0_5_lo,
+           min(CASE WHEN cum >= ceil(0.95 * total::DOUBLE) THEN bucket END)
+             * 10.0 AS q_0_95_lo,
+           max(total)::BIGINT AS n_rows
+    FROM c GROUP BY day
+    """,
+)
+def lake_rollup_quantile(spark, sf_dir):
+    """MERGEABLE QUANTILE SKETCH inside the incremental rollup
+    (operators/sketches.py histogram_partial/histogram_quantile — the
+    quantile twin of lake_rollup_hll): per-day p50/p95 of `value` is
+    the aggregate exact percentiles cannot maintain incrementally, so
+    the rollup stores the fixed-width histogram state as ROWS —
+    (day, bucket, cnt), bucket = floor(value/10) — which merges by
+    SUM, exactly the sum_cols shape rollup_incremental already
+    maintains. The events stream lands in two disjoint-user halves:
+    the first builds the rollup, the second merges in as a delta
+    touching only its days' partitions; the estimate (lower edge of
+    the rank-ceil(p·n) bucket — no interpolation, which engines
+    disagree on; error honestly bounded by the bucket width) reads
+    from the maintained state. The oracle computes the same from ALL
+    events in one shot, so the merge-associativity claim (incremental
+    sum-merge == one-pass state) is value-hashed. At 100 TB: ≤
+    range/width small rows per day, maintained for the cost of each
+    delta — the standing latency-percentile dashboard shape."""
+    from poc_spark.operators.sketches import (
+        histogram_partial,
+        histogram_quantile,
+    )
+    from poc_spark.sources.lake import (
+        read_snapshot,
+        rollup_incremental,
+        rollup_partial,
+        write_partitioned,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id", "value"
+    )
+    root = _export_path("rollup_quantile", sf_dir)
+    from poc_spark.sources.lake import drop_tree
+
+    drop_tree(root)  # fresh base every run (the sink stale-artifact rule)
+    first = ev.filter(F.col("user_id") % 2 == 0)
+    second = ev.filter(F.col("user_id") % 2 != 0)
+    write_partitioned(
+        rollup_partial(
+            histogram_partial(first, ["day"], "value", 10.0),
+            "day",
+            ["bucket"],
+            ["cnt"],
+        ),
+        root,
+        ["day"],
+    )
+    rollup_incremental(
+        spark,
+        root,
+        histogram_partial(second, ["day"], "value", 10.0),
+        "day",
+        ["bucket"],
+        ["cnt"],
+    )
+    state = read_snapshot(spark, root).select(
+        "day", "bucket", F.col("sum_cnt").alias("cnt")
+    )
+    return histogram_quantile(state, ["day"], (0.5, 0.95), 10.0).select(
+        F.col("day").cast("string").alias("day"),
+        "q_0_5_lo",
+        "q_0_95_lo",
+        "n_rows",
+    )
+
+
+# late registration above lands after the module-level reorder ran;
+# re-apply so the new entry sits in the head window (slot freed by the
+# sketch_quantile_bounds tail move)
+_reorder_registry()

@@ -177,3 +177,79 @@ def hll_estimate(partials: DataFrame, keys: Sequence[str]) -> DataFrame:
             6,
         ).alias("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# RELATIONAL HISTOGRAM QUANTILE — the quantile twin of the relational
+# HLL above: a mergeable quantile state whose rows are
+# (keys..., bucket, cnt) with bucket = floor(value / width). The state
+# merges by SUM — exactly the sum_cols shape rollup_partial /
+# rollup_incremental already maintain — so a lake rollup can keep
+# standing per-partition quantiles current for the cost of each delta,
+# never re-scanning history (KLL/GK summaries merge too, but their
+# state is opaque and order-sensitive; this one is rows, exact
+# integers, and value-hashes cross-engine). The estimate is the LOWER
+# EDGE of the first bucket whose cumulative count reaches
+# rank = ceil(p·n) — a deterministic rank lookup with honest error
+# bounded by the bucket width (reported beside n_rows; no
+# interpolation, which engines disagree on).
+# ---------------------------------------------------------------------------
+
+
+def histogram_partial(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    width: float,
+) -> DataFrame:
+    """(keys..., bucket, cnt) — the sum-mergeable fixed-width histogram
+    state. One hash aggregate; at 100 TB the state is
+    O(value_range / width) small rows per key group."""
+    return (
+        df.groupBy(
+            *keys,
+            F.floor(F.col(col) / F.lit(float(width)))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    state: DataFrame,
+    keys: Sequence[str],
+    probs: Sequence[float],
+    width: float,
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """(keys..., q_<p>_lo..., n_rows) from a histogram_partial state
+    (possibly merged across deltas): for each p, the lower edge
+    (bucket·width) of the first bucket whose cumulative count reaches
+    ceil(p·n). Work is |state| rows per key group — the window runs
+    over buckets, never raw values."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    c = state.select(
+        *keys,
+        "bucket",
+        F.sum(cnt_col).over(w_cum).alias("cum"),
+        F.sum(cnt_col).over(w_all).alias("total"),
+    )
+    aggs = []
+    for p in probs:
+        rank = F.ceil(F.lit(float(p)) * F.col("total").cast("double"))
+        aggs.append(
+            (
+                F.min(F.when(F.col("cum") >= rank, F.col("bucket")))
+                * F.lit(float(width))
+            ).alias(f"q_{str(p).replace('.', '_')}_lo")
+        )
+    aggs.append(F.max("total").cast("long").alias("n_rows"))
+    return c.groupBy(*keys).agg(*aggs)

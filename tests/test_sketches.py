@@ -125,3 +125,35 @@ def test_relational_hll_accuracy_and_merge(spark):
     assert a == b
     est2 = {r["g"]: r["est"] for r in hll_estimate(merged, ["g"]).collect()}
     assert est2 == est
+
+
+def test_histogram_quantile_hand_ranks_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.sketches import (
+        histogram_partial,
+        histogram_quantile,
+    )
+
+    # values 1..10 in one group, width 2 -> buckets 0..5
+    rows = [("g", float(v)) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    state = histogram_partial(df, ["k"], "v", 2.0)
+    got = histogram_quantile(state, ["k"], (0.5, 0.9), 2.0).collect()[0]
+    # rank ceil(0.5*10)=5 -> value 5 lives in bucket 2 (lower edge 4.0)
+    # rank ceil(0.9*10)=9 -> value 9 in bucket 4 (lower edge 8.0)
+    assert (got["q_0_5_lo"], got["q_0_9_lo"], got["n_rows"]) == (4.0, 8.0, 10)
+    # merge associativity: two half-states summed == one-pass state
+    h1 = histogram_partial(df.filter("v <= 5"), ["k"], "v", 2.0)
+    h2 = histogram_partial(df.filter("v > 5"), ["k"], "v", 2.0)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("k", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    again = histogram_quantile(merged, ["k"], (0.5, 0.9), 2.0).collect()[0]
+    assert (again["q_0_5_lo"], again["q_0_9_lo"], again["n_rows"]) == (
+        4.0,
+        8.0,
+        10,
+    )
