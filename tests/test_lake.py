@@ -1944,3 +1944,38 @@ def test_change_feed_empty_across_compaction(spark, tmp_path_repo):
         assert feed.count() == 0
     finally:
         spark.conf.unset("spark.poc.lake.retain")
+
+
+def test_change_feed_beyond_retention_fails_loudly(spark, tmp_path_repo):
+    """A feed window reaching a PRUNED version must raise, never return
+    a partial feed (the CDC consumer's staleness guard)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from poc_spark.sources.lake import (
+        change_feed,
+        list_versions,
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    root = str(tmp_path_repo / "cdfret")
+    # default retain=2: three commits prune the base version
+    base = spark.createDataFrame(
+        [(1, "x", 1)], "id long, part string, val long"
+    )
+    write_partitioned(base, root, ["part"])
+    for i in range(2):
+        merge_upsert_partitioned(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(1, "x", 10 + i)], "id long, part string, val long"
+            ),
+            "id",
+            "part",
+        )
+    vs = list_versions(root)
+    assert len(vs) == 2  # base pruned
+    with pytest.raises(ValueError):
+        change_feed(spark, root, 1, vs[-1], ["id"])

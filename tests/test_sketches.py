@@ -157,3 +157,18 @@ def test_histogram_quantile_hand_ranks_and_merge(spark):
         8.0,
         10,
     )
+
+
+def test_histogram_quantile_edge_probs(spark):
+    from poc_spark.operators.sketches import (
+        histogram_partial,
+        histogram_quantile,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    state = histogram_partial(df, ["k"], "v", 2.0)
+    got = histogram_quantile(state, ["k"], (0.01, 1.0), 2.0).collect()[0]
+    # rank ceil(0.01*10)=1 -> value 1 in bucket 0; rank 10 -> value 10
+    # in bucket 5 (lower edge 10.0)
+    assert (got["q_0_01_lo"], got["q_1_0_lo"]) == (0.0, 10.0)
