@@ -177,3 +177,36 @@ def test_unknown_table_rejected(spark, setup):
     upd = spark.createDataFrame([(1, "x", 11)], SCHEMA)
     with pytest.raises(ValueError, match="no tables"):
         catalog_txn_upsert(spark, cat, {"nope": (upd, "k", "part")})
+
+
+def test_deeply_stale_hint_probes_full_claim_chain(spark, setup):
+    # hint left THREE epochs behind: the reader must walk the
+    # contiguous claim chain e2 -> e3 -> e4 to the committed epoch
+    import json
+
+    from poc_spark.sources.lake import _fs
+
+    cat, a, b = setup
+    fs = _fs(spark, cat)
+    old_hint = fs.get_bytes(cat)  # epoch 1
+    for i in range(3):
+        catalog_txn_upsert(
+            spark,
+            cat,
+            {
+                "facts": (
+                    spark.createDataFrame([(1, "x", 60 + i)], SCHEMA),
+                    "k",
+                    "part",
+                )
+            },
+        )
+    fs.put_atomic(cat, old_hint)  # simulate three crashed hint writes
+    assert _vals(spark, cat, "facts")[1] == 62
+    new_cat = catalog_txn_upsert(
+        spark,
+        cat,
+        {"facts": (spark.createDataFrame([(1, "x", 99)], SCHEMA), "k", "part")},
+    )
+    assert new_cat["epoch"] == 5
+    assert json.loads(fs.get_bytes(cat))["epoch"] == 5
