@@ -9129,139 +9129,125 @@ from poc_spark import contract_analytics  # noqa: E402,F401  isort: skip
 # last. tests/test_contract_registry.py pins the invariant.
 
 _TAIL = [
-    # --- r12 rotation: regenerated oldest-witness-first from the
-    # CORRECTNESS_r01-r11 union (census: histogram r7=33 r8=33 r9=39
-    # r10=48 r11=50; 9 entries with no witness in any round). The
-    # 50-slot head holds:
-    # (a) the 9 never-witnessed entries — the 8 the r11 verdict named
-    #     (graph_modularity, lake_catalog_txn, lake_ivm_join,
-    #     pipeline_entity_resolution, q_profile_generic, stream_ivm_join,
-    #     text_domain_divergence, text_keywords) plus the r12-new
-    #     graph_adamic_adar_capped;
+    # --- r13 rotation: regenerated oldest-witness-first from the
+    # CORRECTNESS_r01-r12 union (census: r7=1 r8=33 r9=39 r10=48
+    # r11=47 r12=50; zero never-witnessed entries — a first, per the
+    # r12 verdict). The 50-slot head holds:
+    # (a) all 34 entries whose freshest witness is r7/r8 — the whole
+    #     stale cohort the r12 verdict task #1 names (JPEG trio,
+    #     q8/q9/q11/q12/q15/q16/q20/q21, sample_split/mix/pack,
+    #     sketch_quantile_bounds, dedup_simhash/_semantic_buckets/
+    #     _ngram_spans/_embedding_cosine, graph_triangles/kcore, ...);
     # (b) mm_decode (pinned in-window by test_contract_registry);
-    # (c) the entries whose machinery CHANGED this round:
-    #     graph_adamic_adar (degree-table prune refactor),
-    #     text_inverted_index (conjunctive_search termset dedupe),
-    #     lake_branching (fast-forward base advance);
-    # (d) all 33 entries whose freshest witness is r7 — the oldest
-    #     cohort, due for rotation;
-    # (e) ~4 spare slots for entries added later in r12 (new entries
-    #     are never in _TAIL, so they land in the head automatically).
-    # Everything below has an r8+ driver witness and pytest/local-sweep
+    # (c) 11 refreshes from the next-oldest (r9) cohort, chosen for
+    #     drift-sensitivity: the flagship (op_graph_flagship), three
+    #     TPC-H shapes (q1/q2/q17), iterative graph (components,
+    #     pagerank), the IVF pair (kmeans fit + join), one source
+    #     round-trip (csv), one BPE learner (greedy), one sampler
+    #     (stratified);
+    # (d) ~4 spare slots for entries added in r13 (new entries are
+    #     never in _TAIL, so they land in the head automatically; a
+    #     new entry's first witness outranks a refresh, so an (c)
+    #     refresh yields its slot if the count overflows 50).
+    # Everything below has an r9+ driver witness and pytest/local-sweep
     # coverage; capability-wise each is demonstrated by a green head
     # entry of the same family.
-    # (late-r12 adjustment: text_inverted_index yields its head slot to
-    # the new lake_ivm_agg — its r12 change (duplicate-term dedupe) is
-    # behavior-preserving for its own query and pytest-pinned, and it
-    # carries a fresh r11 driver witness.)
-    'text_inverted_index',
-    # (sketch_quantile_bounds yields its r7-refresh slot to the new
-    # lake_rollup_quantile — same sketch family, and a NEW entry's
-    # first witness outranks a refresh; it stays covered by pytest +
-    # the local sweeps.)
-    'sketch_quantile_bounds',
     'dedup_cluster_report',
     'dedup_containment',
-    'dedup_embedding_cosine',
     'dedup_exact',
     'dedup_incremental',
     'dedup_keep_best',
     'dedup_minhash_clusters',
     'dedup_minhash_lsh',
     'dedup_ngram_jaccard',
-    'dedup_ngram_spans',
-    'dedup_semantic_buckets',
     'dedup_semdedup',
-    'dedup_simhash',
     'dedup_span_removal',
     'dedup_url',
     'emb_project',
     'emb_quantize',
     'fuzzy_name_join',
+    'graph_adamic_adar',
+    'graph_adamic_adar_capped',
     'graph_cluster_coeff',
-    'graph_components',
     'graph_degrees',
-    'graph_kcore',
-    'graph_pagerank',
-    'graph_triangles',
+    'graph_modularity',
     'lake_bloom_skipping',
+    'lake_branching',
+    'lake_catalog_txn',
     'lake_cdc_apply',
     'lake_cdc_merge',
-    'lake_compact',
+    'lake_change_feed',
     'lake_compact_partitions',
     'lake_deletion_vectors',
     'lake_expectations',
+    'lake_ivm_agg',
+    'lake_ivm_join',
     'lake_merge_full',
     'lake_merge_upsert',
     'lake_repartition_spec',
     'lake_retention_policy',
     'lake_rollup_hll',
     'lake_rollup_incremental',
+    'lake_rollup_quantile',
     'lake_schema_evolution',
     'lake_snapshot_diff',
     'lake_stats_skipping',
     'lake_time_travel',
     'mm_audio_autocorr',
     'mm_audio_energy',
-    'mm_frame_sample',
-    'mm_jpeg420_decode',
-    'mm_jpeg_decode',
-    'mm_jpeg_resize',
+    'mm_payload_stats',
     'mm_png_decode',
     'mm_png_resize',
-    'mm_resize',
     'op_agg_nodes',
     'op_agg_wordfreq',
     'op_fil_daterange',
     'op_fil_substr',
     'op_fn_hash',
-    'op_graph_flagship',
+    'op_fn_sqrt',
     'op_graph_partitioned',
+    'op_join_point',
     'op_join_semi',
     'op_lag_edge',
     'op_limit_n',
     'op_norm_sender',
     'op_parse_regex',
     'op_proj_users',
+    'op_src_doc_scan',
     'op_topk',
     'pipeline_bpe_greedy_train_apply',
     'pipeline_bpe_train_apply',
     'pipeline_crawl_to_corpus',
+    'pipeline_entity_resolution',
     'pipeline_lake_lifecycle',
+    'pipeline_quality_filter',
     'pipeline_training_prep',
-    'q11_important_parts',
-    'q12_late_priority',
-    'q15_top_supplier',
-    'q16_supplier_cnt',
-    'q17_small_qty_revenue',
-    'q1_pricing_summary',
-    'q20_heavy_suppliers',
-    'q21_sole_late_supplier',
-    'q2_min_cost_supplier',
+    'q10_returned_items',
+    'q13_customer_distribution',
+    'q14_promo_revenue',
+    'q18_large_orders',
+    'q19_disjunctive_revenue',
+    'q22_idle_balances',
     'q3_top_revenue',
+    'q4_late_ship_priority',
     'q5_revenue_by_region',
     'q6_selective_revenue',
-    'q8_market_share',
-    'q9_profit_by_nation',
+    'q7_volume_shipping',
     'q_anti_customers_no_orders',
     'q_asof_last_click',
-    'q_cohort_retention',
     'q_corr_matrix',
-    'q_cube_events',
     'q_customers_per_region',
     'q_event_funnel',
     'q_events_by_type',
-    'q_group_ols',
     'q_grouping_sets',
     'q_intersect',
-    'q_json_extract',
     'q_outer_join_order_fill',
     'q_outlier_mad',
     'q_percentiles',
     'q_pivot_events',
+    'q_profile_generic',
     'q_profile_orders',
+    'q_range_bucket_join',
     'q_rank_top3_per_segment',
-    'q_resample_gapfill',
     'q_rfm_segmentation',
     'q_rolling_time_avg',
     'q_rolling_zscore',
@@ -9269,18 +9255,15 @@ _TAIL = [
     'q_running_sum',
     'q_scd2_build',
     'q_semi_orders_with_items',
-    'q_session_window',
+    'q_union_except',
     'q_user_paths',
     'q_user_sessions',
     'q_value_histogram',
+    'q_window_zoo',
     'q_zorder_cells',
-    'sample_deterministic',
     'sample_domain_cap',
+    'sample_epoch_order',
     'sample_leakage_split',
-    'sample_mix',
-    'sample_pack',
-    'sample_split',
-    'sample_stratified',
     'sample_temperature',
     'sample_weighted',
     'sample_weighted_k',
@@ -9288,20 +9271,23 @@ _TAIL = [
     'sim_ann_join',
     'sim_ann_lsh',
     'sim_ivf_append',
-    'sim_ivf_join',
-    'sim_ivf_kmeans',
     'sim_ivfpq_query',
     'sim_ivfpq_residual',
+    'sim_knn_brute',
+    'sim_knn_join',
     'sim_pq_topk',
     'sink_clustered_parquet',
     'sink_hive_partitioned',
-    'src_csv_roundtrip',
+    'sketch_distinct_bounds',
+    'sketch_hll_union',
     'src_jsonl_roundtrip',
     'src_orc_roundtrip',
     'src_schema_evolution',
     'src_warc_roundtrip',
     'stream_append_table',
+    'stream_click_attribution',
     'stream_hourly_counts',
+    'stream_ivm_join',
     'stream_outer_join',
     'stream_restart_rollup',
     'stream_rollup_maintenance',
@@ -9309,21 +9295,33 @@ _TAIL = [
     'stream_stateful_dedup',
     'stream_watermark_eviction',
     'text_bigram_lm',
+    'text_bigrams',
     'text_bm25_topk',
-    'text_bpe_count',
+    'text_boilerplate',
+    'text_bpe_apply',
+    'text_bpe_learn',
     'text_bpe_learn_batched',
-    'text_bpe_learn_greedy',
     'text_bpe_learn_local',
+    'text_chunking',
     'text_classifier_score',
-    'text_decontaminate',
+    'text_doc_packing',
     'text_doc_stats',
+    'text_domain_divergence',
     'text_entropy',
+    'text_fingerprint',
     'text_hashed_features',
+    'text_inverted_index',
+    'text_keywords',
     'text_langid',
     'text_langid_ngram',
     'text_perplexity_bucket',
+    'text_pii_scrub',
     'text_pmi_collocations',
-    'text_repetition',
+    'text_quality_classifier',
+    'text_sentences',
+    'text_tfidf',
+    'text_token_count',
+    'text_unicode_normalize',
     'text_unigram_lm',
     'text_winnowing',
 ]
