@@ -36,6 +36,23 @@ from poc_spark.operators.graph import adamic_adar, clustering_coefficient
 from poc_spark.operators.network import lag_edges
 from poc_spark.operators.search import bm25_topk, conjunctive_search
 
+
+def _assert_insert_offset_free(docs, entry: str, offset: int = 100000) -> None:
+    """The change-feed / IVM entries synthesize INSERT keys as
+    doc_id + 100000 and guard their DELETEs with doc_id < 100000 in the
+    oracle. If documents ever carried doc_id >= 100000 (a larger scale
+    factor), inserts would COLLIDE with existing rows (silently becoming
+    upserts) and Spark's matched-delete would diverge from the oracle's
+    guarded delete — a data-dependent oracle mismatch. Fail loudly
+    instead (r12 ADVICE); 1-row scalar."""
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= offset:
+        raise RuntimeError(
+            f"{entry}: insert offset {offset} collides with existing "
+            f"doc_id range (max={max_id}); raise the offset in BOTH the "
+            "entry and its oracle before running at this scale"
+        )
+
 # DuckDB token pipeline shared by the retrieval oracles — identical to
 # the text_tfidf oracle's tokenizer (lowercase, whitespace split, empties
 # dropped) so the index the oracle builds matches textstats._tokens.
@@ -1801,26 +1818,31 @@ def lake_change_feed(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    _assert_insert_offset_free(docs, "lake_change_feed")
     root = _export_path("cdftree", sf_dir)
     drop_tree(root)  # fresh versions 1..3 every run (stale-artifact rule)
     # the feed needs all three snapshots retained (default retain=2
-    # would prune the base right when commit 3 publishes)
+    # would prune the base right when commit 3 publishes); try/finally
+    # so an exception in the commits can't leak retain=3 into every
+    # later lake entry of the sweep (r12 ADVICE)
     spark.conf.set("spark.poc.lake.retain", "3")
-    write_partitioned(docs, root, ["lang"])
-    updates = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
-        "text", F.concat("text", F.lit(" v2"))
-    ).withColumn("n_chars", F.col("n_chars") + 3)
-    inserts = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 100000
-    )
-    merge_upsert_partitioned(
-        spark, root, updates.unionByName(inserts), "doc_id", "lang"
-    )
-    dels = docs.filter(F.col("doc_id") % 7 == 0)
-    merge_full_partitioned(
-        spark, root, dels, "doc_id", "lang", matched_delete=F.lit(True)
-    )
-    spark.conf.unset("spark.poc.lake.retain")
+    try:
+        write_partitioned(docs, root, ["lang"])
+        updates = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "text", F.concat("text", F.lit(" v2"))
+        ).withColumn("n_chars", F.col("n_chars") + 3)
+        inserts = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+        merge_upsert_partitioned(
+            spark, root, updates.unionByName(inserts), "doc_id", "lang"
+        )
+        dels = docs.filter(F.col("doc_id") % 7 == 0)
+        merge_full_partitioned(
+            spark, root, dels, "doc_id", "lang", matched_delete=F.lit(True)
+        )
+    finally:
+        spark.conf.unset("spark.poc.lake.retain")
     vs = list_versions(root)
     if len(vs) != 3:
         raise RuntimeError(
@@ -1882,6 +1904,7 @@ def lake_ivm_agg(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    _assert_insert_offset_free(docs, "lake_ivm_agg")
     root = _export_path("ivmaggtree", sf_dir)
     drop_tree(root)  # fresh versions every run (stale-artifact rule)
     spark.conf.set("spark.poc.lake.retain", "3")

@@ -97,22 +97,36 @@ def catalog_init(
     """Create a catalog over existing tables: records each table's
     CURRENT version (migrating plain trees to versioned form first)
     and tags it with epoch 1 so the catalog's promise is pinned.
-    Exactly one creator wins the conditional PUT of the epoch-1 claim;
-    tags are created only AFTER winning, so a losing creator leaks no
-    pins (it previously tagged first and left the tags behind on the
-    already-exists error, permanently pinning versions)."""
+    Pins come BEFORE the commit point: tags are created first under
+    attempt-unique names (`cat1-<name>-<token>`), then exactly one
+    creator wins the conditional PUT of the epoch-1 claim. The loser
+    deletes its own uniquely-named tags, so it leaks no pins — and the
+    winner's catalog never names a version that is not already pinned
+    (the r12 tags-after-claim ordering opened a window where a
+    concurrent retention/vacuum on a member table could prune a
+    version the just-committed catalog pointed at; this is the
+    tags-first ordering with the original leak fixed on the losing
+    path instead). Mirrors catalog_txn_upsert's txn-id tag pattern."""
     fs = _fs(spark, catalog_path)
+    token = uuid.uuid4().hex[:8]
     entries = {}
+    created_tags: list[tuple[str, str]] = []
     for name, root in tables.items():
         cur = _ensure_versioned(root, spark, fs)
         entries[name] = {"root": root, "current": os.path.basename(cur)}
+        ref = f"cat1-{name}-{token}"
+        create_tag(spark, root, ref)
+        created_tags.append((root, ref))
     payload = {"epoch": 1, "tables": entries}
     if not fs.put_if_absent(
         _epoch_claim_path(catalog_path, 1), json.dumps(payload).encode()
     ):
+        for root, ref in created_tags:
+            try:
+                delete_ref(root, ref)
+            except ValueError:
+                pass
         raise ValueError(f"catalog already exists at {catalog_path!r}")
-    for name, ent in entries.items():
-        create_tag(spark, ent["root"], f"cat1-{name}-init")
     fs.put_atomic(catalog_path, json.dumps(payload).encode())
     return payload
 

@@ -52,8 +52,14 @@ part of the 100 TB extension surface.
 
 from __future__ import annotations
 
+import itertools
 import os
 import shutil
+
+#: per-process monotonic token for private in-flight file names (no RNG
+#: — determinism matters elsewhere in the repo; uniqueness here only
+#: needs pid + counter since the tmp lives and dies inside one call)
+_INFLIGHT = itertools.count()
 
 
 def _fsync_dir(path: str) -> None:
@@ -203,18 +209,33 @@ class PosixStorage(Storage):
         _fsync_dir(os.path.dirname(path))
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
+        # Content-atomic conditional create (r12 ADVICE): the old
+        # O_EXCL-create-then-write left a window — between the create
+        # (claim visible) and the write/fsync — where a racing reader
+        # or a crash exposed an existing-but-EMPTY claim object.
+        # json.loads on a torn claim raised, and because the claim
+        # path existed, every later committer lost the conditional
+        # PUT forever: a wedged catalog. link(2) publishes the
+        # directory entry with the COMPLETE payload already behind it
+        # and fails with EEXIST for the loser — the same
+        # fails-if-taken semantics as O_EXCL but with zero
+        # claim→content window, matching a real store's conditional
+        # PUT (S3 If-None-Match:*, where a partial body is never
+        # visible).
+        tmp = f"{path}.pia.{os.getpid()}.{next(_INFLIGHT)}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            os.link(tmp, path)
         except FileExistsError:
             return False
-        try:
-            os.write(fd, data)
-            os.fsync(fd)
         finally:
-            os.close(fd)
-        # the O_EXCL create is a COMMIT POINT for create_table_versioned
+            os.unlink(tmp)
+        # the link publish is a COMMIT POINT for create_table_versioned
         # and the rollup bootstrap — without the parent-directory fsync
-        # a crash after reported success can undo the manifest creation
+        # a crash after reported success can undo the entry creation
         # (the same power-loss rollback class put_atomic closes; r9
         # ADVICE)
         _fsync_dir(os.path.dirname(path))
@@ -379,16 +400,24 @@ class FakeObjectStorage(Storage):
         os.replace(tmp, path)
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
+        # A real store's conditional PUT is BODY-atomic: the winner's
+        # object appears with its complete content or not at all, and
+        # the loser gets 412. The double must therefore never expose a
+        # created-but-empty object either (r12 ADVICE — the old
+        # O_EXCL-then-write did, wedging the catalog claim chain on a
+        # torn read). Same tmp+link publish as PosixStorage.
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = f"{path}.pia.{os.getpid()}.{next(_INFLIGHT)}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            os.link(tmp, path)
         except FileExistsError:
             return False
-        try:
-            os.write(fd, data)
-            os.fsync(fd)
         finally:
-            os.close(fd)
+            os.unlink(tmp)
         # symmetry with PosixStorage: a real store's conditional PUT is
         # durable by the store's guarantee; the double models it with
         # the same parent-directory fsync (r9 ADVICE)

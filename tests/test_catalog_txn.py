@@ -159,9 +159,11 @@ def test_stale_hint_still_serves_committed_epoch(spark, setup):
 
 
 def test_losing_catalog_init_leaks_no_pins(spark, setup, tmp_path_repo):
-    # a second creator at the same catalog path must lose the
-    # conditional PUT BEFORE tagging — previously it tagged first and
-    # leaked cat1-*-init pins on its tables
+    # a second creator at the same catalog path loses the conditional
+    # PUT and must delete its own attempt-unique cat1-* tags (tags-
+    # first ordering with loser-side cleanup, r12 ADVICE — the winner's
+    # catalog must never name an unpinned version, so tagging cannot
+    # move after the claim)
     cat, a, b = setup
     c = str(tmp_path_repo / "other")
     write_partitioned(
@@ -170,6 +172,20 @@ def test_losing_catalog_init_leaks_no_pins(spark, setup, tmp_path_repo):
     with pytest.raises(ValueError, match="already exists"):
         catalog_init(spark, cat, {"other": c})
     assert not any(n.startswith("cat1-") for n in list_refs(c))
+
+
+def test_catalog_init_pins_exist_at_commit(spark, tmp_path_repo):
+    # no unpinned window: the moment catalog_init returns, every table
+    # the catalog names carries an epoch-1 pin tag (created BEFORE the
+    # epoch-1 claim — a concurrent vacuum between claim and tag could
+    # otherwise prune a version the committed catalog points at)
+    a = str(tmp_path_repo / "t1")
+    write_partitioned(
+        spark.createDataFrame([(1, "x", 10)], SCHEMA), a, ["part"]
+    )
+    cat = str(tmp_path_repo / "cat.json")
+    catalog_init(spark, cat, {"t1": a})
+    assert any(n.startswith("cat1-t1-") for n in list_refs(a))
 
 
 def test_unknown_table_rejected(spark, setup):

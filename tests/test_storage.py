@@ -136,6 +136,35 @@ def test_put_if_absent_exactly_once(fs, tmp_path):
 
 
 @pytest.mark.parametrize("fs", BACKENDS, ids=IDS)
+def test_put_if_absent_is_content_atomic(fs, tmp_path, monkeypatch):
+    """r12 ADVICE: the claim must never be visible with torn/empty
+    content. Pin the ordering — at the instant the directory entry is
+    published (the link call), the full payload is already durable
+    behind it — and that no in-flight temp files leak, winner or
+    loser."""
+    p = str(tmp_path / "claim")
+    payload = b"x" * 65536
+    seen = {}
+    real_link = os.link
+
+    def checking_link(src, dst, **kw):
+        # the publish step: content must be complete BEFORE the entry
+        # appears, and the target path must not pre-exist as a torn
+        # stub from this attempt
+        with open(src, "rb") as f:
+            seen["content_at_publish"] = f.read()
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(os, "link", checking_link)
+    assert fs.put_if_absent(p, payload) is True
+    assert seen["content_at_publish"] == payload
+    assert fs.put_if_absent(p, b"loser") is False
+    assert fs.get_bytes(p) == payload
+    leftovers = [n for n in os.listdir(tmp_path) if ".pia." in n]
+    assert leftovers == []
+
+
+@pytest.mark.parametrize("fs", BACKENDS, ids=IDS)
 def test_put_atomic_replaces_whole_object(fs, tmp_path):
     p = str(tmp_path / "obj")
     fs.put_atomic(p, b"first version")
