@@ -119,6 +119,42 @@ def _round_tag(repo_dir: str, n_queries: int) -> str:
     return f"{n:02d}"
 
 
+def _machine_probe(spark, samples: int = 3) -> dict:
+    """In-bench sitting context (VERDICT r12 #6): the official driver
+    bench runs on a contended shared container (probes have measured
+    GEMM 19→245 GFLOPs within one round), and r12's artifact was
+    unreadable without forensics against the builder's committed twin.
+    Embedding a 3-sample probe (GEMM + fixed Spark job, the two axes of
+    tools/machine_probe.py) into EVERY bench artifact makes any run —
+    including driver-initiated ones — carry its own machine context."""
+    from pyspark.sql import functions as F
+
+    from tools.machine_probe import np_gemm_gflops
+
+    def spark_fixed() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 5_000_000)
+            .select(F.xxhash64("id").alias("h"))
+            .groupBy(F.pmod("h", F.lit(1024)).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 4)
+
+    spark_fixed()  # warm: codegen + JIT
+    gemm = [np_gemm_gflops(reps=1) for _ in range(samples)]
+    fixed = [spark_fixed() for _ in range(samples)]
+    return {
+        "np_gemm_gflops": gemm,
+        "spark_fixed_s": fixed,
+        "gemm_median": sorted(gemm)[len(gemm) // 2],
+        "spark_fixed_median": sorted(fixed)[len(fixed) // 2],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -207,6 +243,8 @@ def main() -> None:
     # recorded (`runs`) so fixed costs an operator pays on EVERY
     # invocation (eager materialization, index probes) stay visible
     # instead of hiding behind the best-of aggregation (VERDICT r4 #5).
+    probe_before = _machine_probe(spark)
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name, spec in contract.REGISTRY.items():
@@ -236,6 +274,9 @@ def main() -> None:
             best = min(best, second)
         timings[name] = round(best, 4)
 
+    probe_after = _machine_probe(spark)
+    machine_probe = {"before": probe_before, "after": probe_after}
+
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(timings.values()), 4)
@@ -261,6 +302,7 @@ def main() -> None:
                 "headline_total": headline,
                 "n_queries": len(timings),
                 "sf": sf,
+                "machine_probe": machine_probe,
             },
             f,
         )
@@ -277,6 +319,16 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf,
                 "slowest": slowest,
+                "machine_probe": {
+                    "gemm_median": [
+                        probe_before["gemm_median"],
+                        probe_after["gemm_median"],
+                    ],
+                    "spark_fixed_median": [
+                        probe_before["spark_fixed_median"],
+                        probe_after["spark_fixed_median"],
+                    ],
+                },
                 "detail_file": os.path.basename(detail_file),
             }
         )
