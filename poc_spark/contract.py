@@ -6969,6 +6969,104 @@ def sim_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, q, 10)
 
 
+def _pq_rerank_oracle(sf_base: str) -> str:
+    # replays BOTH retrieval stages from the stored codebook artifact:
+    # the ADC shortlist (encode + LUT + sub-ordered fold, LIMIT k'),
+    # then the exact L2² re-rank of only the shortlist — the same
+    # per-dimension left-associative fold the Spark side computes with
+    # zip_with + aggregate, so every double survives the value hash.
+    root = os.path.join(_REPO_ROOT, ".tmp", "pqrr", sf_base)
+    return f"""
+    WITH cb AS (
+      SELECT sub, code, center
+      FROM read_parquet('{root}/codebook/*.parquet')
+    ),
+    q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    sd AS (
+      SELECT e.vec_id, cb.sub, cb.code,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+                 d -> (v[cb.sub * 16 + d] - center[d])
+                    * (v[cb.sub * 16 + d] - center[d]))),
+               (acc, x) -> acc + x) AS dist
+      FROM e, cb
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM sd
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist ASC, code ASC) = 1
+    ),
+    lut AS (
+      SELECT cb.sub, cb.code,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+                 d -> (qv[cb.sub * 16 + d] - center[d])
+                    * (qv[cb.sub * 16 + d] - center[d]))),
+               (acc, x) -> acc + x) AS ld
+      FROM cb, q
+    ),
+    shortlist AS (
+      SELECT enc.vec_id,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list(lut.ld ORDER BY enc.sub)),
+               (acc, x) -> acc + x) AS adist
+      FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+      GROUP BY enc.vec_id
+      ORDER BY round(adist, 6) ASC, vec_id ASC LIMIT 50
+    ),
+    rr AS (
+      SELECT e.vec_id,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                 d -> (v[d] - qv[d]) * (v[d] - qv[d]))),
+               (acc, x) -> acc + x) AS dist
+      FROM e JOIN shortlist USING (vec_id), q
+    )
+    SELECT vec_id AS id, round(dist, 6) AS dist
+    FROM rr ORDER BY dist ASC, id ASC LIMIT 10
+    """
+
+
+@register("sim_pq_rerank", _pq_rerank_oracle("sf0.01"))
+def sim_pq_rerank(spark, sf_dir):
+    """TWO-STAGE retrieval: ADC shortlist → exact re-rank (VERDICT r12
+    missing #3 — PQ_RECALL.json shows ADC recall@10 saturating ~0.52
+    even at 96-bit codes; the standard fix, FAISS's serving
+    architecture, is to over-fetch k'=50 candidates by compressed
+    distance and re-rank ONLY those against the float vectors). Stage
+    1 is sim_pq_topk's machinery (fresh-fit codebook, codes-only
+    narrow scan, asymmetric-distance TakeOrderedAndProject); stage 2
+    broadcasts the 50-row shortlist into the vector table and
+    re-scores with an exact per-dimension left-associative L2² fold.
+    The oracle replays BOTH stages from the persisted codebook — the
+    shortlist membership AND every re-ranked double are value-hashed.
+    The recall-vs-k' curve that justifies the architecture is
+    receipted in PQ_RECALL.json (rerank block)."""
+    from poc_spark.operators.similarity import (
+        load_pq_codebook,
+        pq_encode,
+        pq_rerank_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _export_path("pqrr", sf_dir)
+    # cheap-fit settings as sim_pq_topk: the oracle replays the
+    # persisted artifact, so centroid quality moves recall only
+    pq_train(emb, path, m_sub=4, k=16, sample_fraction=0.5, max_iter=6)
+    cb = load_pq_codebook(spark, path)
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    codes = pq_encode(emb, cb)
+    return pq_rerank_topk(emb, codes, cb, q, k=10, k_prime=50)
+
+
 def _ivfpq_oracle(sf_base: str) -> str:
     # combines _ivf_oracle's list pruning with _pq_oracle's
     # encode/LUT/fold — candidates come ONLY from the probed lists of
@@ -9509,6 +9607,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     sf_base = os.path.basename(os.path.normpath(sf_dir))
     out["sim_ivf_kmeans"] = _ivf_oracle(sf_base)
     out["sim_pq_topk"] = _pq_oracle(sf_base)
+    out["sim_pq_rerank"] = _pq_rerank_oracle(sf_base)
     out["sim_ivfpq_query"] = _ivfpq_oracle(sf_base)
     out["sim_ivfpq_residual"] = _ivfpq_residual_oracle(sf_base)
     out["dedup_semdedup"] = _semdedup_oracle(sf_base)

@@ -992,6 +992,52 @@ def pq_adc_topk(
     )
 
 
+def pq_rerank_topk(
+    df: DataFrame,
+    codes_df: DataFrame,
+    codebook: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    k_prime: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """TWO-STAGE retrieval (the FAISS serving architecture, Jégou et
+    al. 2011 §V): an ADC shortlist of k' ≫ k candidates over the
+    compressed codes, then an EXACT L2² re-rank of ONLY the shortlist
+    against the float vectors. ADC distances are lossy (recall@10
+    saturates ~0.5 at 96-bit codes — PQ_RECALL.json), but the true
+    nearest neighbors rarely fall far down the ADC order, so exact
+    re-ranking a small multiple of k recovers most of the lost recall
+    while touching k' float vectors instead of the corpus.
+
+    Plan shape: stage 1 is pq_adc_topk's TakeOrderedAndProject over
+    the narrow codes scan; stage 2 broadcasts the k'-row shortlist
+    into an inner join against the vector table (scan pruned to
+    id+embedding; no shuffle) and re-ranks with a per-dimension
+    left-associative fold — the exact arithmetic an oracle can replay.
+    At 100 TB the float table is id-bucketed so the broadcast join
+    prunes to the shortlist's buckets; the corpus-sized work stays in
+    the codes scan."""
+    shortlist = pq_adc_topk(codes_df, codebook, query_vec, k_prime).select(
+        "id"
+    )
+    q = _as_double_array(query_vec)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sq = F.zip_with(v, q, lambda a, b: (a - b) * (a - b))
+    dist = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+    cand = df.join(
+        F.broadcast(shortlist), df[id_col] == shortlist["id"], "inner"
+    )
+    return (
+        cand.select(
+            F.col(id_col).alias("id"), F.round(dist, 6).alias("dist")
+        )
+        .orderBy(F.col("dist").asc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
 def pq_residual_df(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

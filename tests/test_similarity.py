@@ -585,3 +585,70 @@ def test_pq_roundtrip_on_separable_data(spark, tmp_path):
         assert top[0]["id"] == probe, (probe, top)
         assert top[0]["dist"] == 0.0
         assert top[1]["dist"] > 0.0  # separable: nobody else at 0
+
+
+def test_pq_rerank_recovers_exact_order(spark, tmp_path):
+    """Two-stage re-rank: with k' = N (the whole corpus shortlisted)
+    the exact re-rank must reproduce brute-force exact-L2 top-k
+    regardless of code quality; with small k' the output is exactly
+    the exact-L2 re-ordering of the ADC shortlist (membership from
+    stage 1, order from stage 2)."""
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.similarity import (
+        load_pq_codebook,
+        pq_adc_topk,
+        pq_encode,
+        pq_rerank_topk,
+        pq_train,
+    )
+
+    rows = []
+    for i in range(32):
+        vec = []
+        for j in range(4):
+            vec += [float((i * 7 + j * 3) % 13), float((i + j) % 5)] * 8
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "pqrr")
+    pq_train(df, path, m_sub=4, k=4, max_iter=4)
+    cb = load_pq_codebook(spark, path)
+    codes = pq_encode(df, cb).cache()
+    q = rows[5][1]
+
+    def exact_order(ids=None):
+        ql = F.array(*[F.lit(float(x)) for x in q])
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        d = F.aggregate(
+            F.zip_with(v, ql, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        base = df if ids is None else df.filter(F.col("vec_id").isin(ids))
+        return [
+            (r["id"], r["dist"])
+            for r in base.select(
+                F.col("vec_id").alias("id"), F.round(d, 6).alias("dist")
+            )
+            .orderBy("dist", "id")
+            .limit(5)
+            .collect()
+        ]
+
+    # k' = N: brute force recovered exactly
+    full = [
+        (r["id"], r["dist"])
+        for r in pq_rerank_topk(df, codes, cb, q, k=5, k_prime=32).collect()
+    ]
+    assert full == exact_order()
+    assert full[0][0] == 5 and full[0][1] == 0.0  # self is top-1 at dist 0
+
+    # small k': membership = ADC shortlist, order = exact distances
+    shortlist = [
+        int(r["id"]) for r in pq_adc_topk(codes, cb, q, 8).collect()
+    ]
+    got = [
+        (r["id"], r["dist"])
+        for r in pq_rerank_topk(df, codes, cb, q, k=5, k_prime=8).collect()
+    ]
+    assert got == exact_order(shortlist)
