@@ -1455,6 +1455,92 @@ def dedup_span_removal(spark, sf_dir):
 
 
 @register(
+    "dedup_suffix_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, nt, unnest(grams) AS gram,
+             generate_subscripts(grams, 1) AS gpos1
+      FROM (
+        SELECT doc_id, len(t) AS nt,
+               CASE
+                 WHEN len(t) >= 13 THEN
+                   list_transform(range(1, len(t) - 11), i ->
+                     array_to_string(t[i:i+12], ' '))
+                 WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                 ELSE [] END AS grams
+        FROM toks
+      )
+    ), dup AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+      ) WHERE nd >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id,
+             unnest(range(gpos1,
+                          greatest(least(gpos1 + 12, nt), gpos1) + 1))
+               AS tpos1
+      FROM g JOIN dup USING (gram)
+    ), isl AS (
+      SELECT doc_id, tpos1,
+             tpos1 - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tpos1) AS grp
+      FROM cov
+    ), sp AS (
+      SELECT doc_id, grp, count(*)::BIGINT AS span_len
+      FROM isl GROUP BY doc_id, grp
+    ), prof AS (
+      SELECT doc_id, count(*)::BIGINT AS n_spans,
+             sum(span_len)::BIGINT AS covered_tokens,
+             max(span_len)::BIGINT AS max_span
+      FROM sp GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+           coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+           coalesce(p.covered_tokens, 0)::BIGINT AS covered_tokens,
+           coalesce(p.max_span, 0)::BIGINT AS max_span,
+           CASE WHEN len(t.t) > 0
+                THEN coalesce(p.covered_tokens, 0)::DOUBLE
+                     / len(t.t)::DOUBLE
+                ELSE 0.0 END AS covered_frac
+    FROM toks t LEFT JOIN prof p USING (doc_id)
+    """,
+)
+def dedup_suffix_spans(spark, sf_dir):
+    """MAXIMAL duplicated-span profile by the sorted-suffix-window
+    method (operators/dedup.py duplicated_suffix_spans — the
+    distributed approximation of Lee et al. 2022's suffix-array
+    exact-substring dedup, VERDICT r12 #7): k-token windows
+    (length-truncated suffixes) meet BY EXACT CONTENT (no hash
+    collisions — the fidelity step past dedup_ngram_spans' md5-60
+    profile), seed positions merge into maximal spans via
+    pos − row_number islands, and each doc reports
+    (n_spans, covered_tokens, max_span, covered_frac) — the
+    suffix-array output: one planted 200-token duplicate is ONE span
+    of 200 here, vs 188 anonymous gram slots in the hash profile
+    (A/B receipt: SUFFIX_SPANS_AB_r13.json). Linear plan — window
+    build, content-keyed two-phase agg, semi-join, bounded coverage
+    explode, doc-local islands; covered_frac is one long/long
+    division."""
+    from poc_spark.operators.dedup import duplicated_suffix_spans
+
+    return duplicated_suffix_spans(
+        _t(spark, sf_dir, "documents"), k=13
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_spans",
+        "covered_tokens",
+        "max_span",
+        "covered_frac",
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     f"""
     WITH sh AS ({_SHINGLES_SQL})

@@ -741,26 +741,24 @@ def containment_stats(
     )
 
 
-def _gram_hash_rows(
+def _gram_string_rows(
     df: DataFrame,
     n: int,
     text_col: str,
     id_col: str,
-    hash_fn: str,
 ) -> DataFrame:
-    """(id, nt, gpos, h) — positioned token n-gram hash rows for the
-    duplicated-span family, built with ONE sliding window of lead()
-    calls over the exploded token stream instead of word_grams' n-way
-    arrays_zip: measured 5.4x faster at n=13 / sf0.1 (0.74 s vs
-    3.99 s, bit-identical output) because the zip form runs n layers
-    of interpreted array HOFs per document while the window shape is
-    one shuffle-by-doc + one sort + JVM lead()s. The shuffle is hash
-    by doc id (parallel, skew-free beyond document length) and linear
-    in corpus tokens — the right trade at 100 TB where the HOF CPU
-    dominates. word_grams' conventions are preserved: docs shorter
-    than n yield one gram of all their tokens (concat_ws skips the
-    null leads), and zero-token docs yield one '' gram (union branch).
-    """
+    """(id, nt, gpos, gram) — positioned token n-gram STRING rows,
+    built with ONE sliding window of lead() calls over the exploded
+    token stream instead of word_grams' n-way arrays_zip: measured
+    5.4x faster at n=13 / sf0.1 (0.74 s vs 3.99 s, bit-identical
+    output) because the zip form runs n layers of interpreted array
+    HOFs per document while the window shape is one shuffle-by-doc +
+    one sort + JVM lead()s. The shuffle is hash by doc id (parallel,
+    skew-free beyond document length) and linear in corpus tokens —
+    the right trade at 100 TB where the HOF CPU dominates.
+    word_grams' conventions are preserved: docs shorter than n yield
+    one gram of all their tokens (concat_ws skips the null leads),
+    and zero-token docs yield one '' gram (union branch)."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
     )
@@ -780,20 +778,30 @@ def _gram_hash_rows(
             (F.col("tpos") <= F.col("nt") - n)
             | ((F.col("nt") < n) & (F.col("tpos") == 0))
         )
-        .select(
-            "id",
-            "nt",
-            F.col("tpos").alias("gpos"),
-            token_hash(F.col("gram"), hash_fn).alias("h"),
-        )
+        .select("id", "nt", F.col("tpos").alias("gpos"), "gram")
     )
     empties = base.filter(F.size("t") == 0).select(
         "id",
         F.lit(0).cast("int").alias("nt"),
         F.lit(0).cast("int").alias("gpos"),
-        token_hash(F.lit(""), hash_fn).alias("h"),
+        F.lit("").alias("gram"),
     )
     return rows.unionByName(empties)
+
+
+def _gram_hash_rows(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    hash_fn: str,
+) -> DataFrame:
+    """(id, nt, gpos, h) — _gram_string_rows with the gram hashed
+    (the duplicated-span family's working shape: 60/64-bit hashes
+    shuffle instead of gram strings)."""
+    return _gram_string_rows(df, n, text_col, id_col).select(
+        "id", "nt", "gpos", token_hash(F.col("gram"), hash_fn).alias("h")
+    )
 
 
 def duplicated_ngram_spans(
@@ -925,6 +933,106 @@ def remove_duplicated_spans(
             ),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
+    )
+
+
+def duplicated_suffix_spans(
+    df: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, n_spans, covered_tokens, max_span, covered_frac)
+    — MAXIMAL duplicated-span profile by the sorted-suffix-window
+    method: the distributed approximation of Lee et al. 2022's
+    suffix-array exact-substring dedup (§4.1 of the paper — build the
+    suffix array, take adjacent equal prefixes ≥ the threshold). A
+    duplicated substring of ≥ k tokens necessarily contains a
+    duplicated k-token window, so (1) every k-token window (a
+    length-k-truncated suffix) is materialized with its position,
+    (2) windows are brought together BY EXACT CONTENT — the shuffle
+    realizes what the suffix sort's adjacency realizes, with no hash
+    collisions, the fidelity difference vs the 13-gram HASH profile
+    (duplicated_ngram_spans) — and windows equal across ≥2 distinct
+    docs become seeds, (3) per doc, seed-covered token positions merge
+    into MAXIMAL spans by run detection (pos − row_number islands):
+    the suffix-array output a scrubber wants, where one planted
+    200-token duplicate reports as ONE span of 200, not 188 anonymous
+    duplicated gram slots (receipted in SUFFIX_SPANS_AB_r13.json).
+
+    Shape at 100 TB: one gram window build (shuffle by doc), one
+    content-keyed two-phase agg (map-side combine collapses each
+    partition's repeats before the exchange; at production scale the
+    same plan runs over (hash, window) pairs to halve shuffle bytes,
+    with exact verify on the colliding runs), a semi-join of windows
+    against the duplicated set, a bounded sequence-explode of covered
+    positions, and per-doc islands over doc-local windows. Linear in
+    corpus tokens; nothing quadratic, no global sort. Docs shorter
+    than k follow word_grams' one-gram convention (whole-doc window);
+    empty docs report zeros."""
+    from pyspark.sql import Window
+
+    grams = _gram_string_rows(df, k, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    dup = (
+        grams.filter(F.col("nt") > 0)
+        .groupBy("gram")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.col("gpos"),
+                    F.greatest(
+                        F.least(
+                            F.col("gpos") + F.lit(k - 1), F.col("nt") - 1
+                        ),
+                        F.col("gpos"),
+                    ),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        covered.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "grp")
+        .agg(F.count(F.lit(1)).alias("span_len"))
+    )
+    prof = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("covered_tokens"),
+        F.max("span_len").alias("max_span"),
+    )
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), n_tok.cast("long").alias("n_tokens")
+    )
+    return base.join(prof, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("covered_tokens", F.lit(0))
+        .cast("long")
+        .alias("covered_tokens"),
+        F.coalesce("max_span", F.lit(0)).cast("long").alias("max_span"),
+        F.when(F.col("n_tokens") > 0,
+               F.coalesce("covered_tokens", F.lit(0)).cast("double")
+               / F.col("n_tokens").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("covered_frac"),
     )
 
 

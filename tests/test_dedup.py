@@ -837,3 +837,72 @@ def test_lsh_pairs_path_tracks_code_fingerprint(monkeypatch):
     monkeypatch.setattr(contract, "_lsh_code_fingerprint", lambda: "deadbeef")
     p2 = contract.lsh_pairs_path("/root/testdata/sf0.01")
     assert p2 != p1 and "deadbeef" in p2
+
+
+def test_suffix_spans_maximal_merge_and_boundaries(spark):
+    """duplicated_suffix_spans recovers PLANTED structure exactly: a
+    shared 30-token passage is one maximal span of 30 at the right
+    coverage; two separated shared passages are two spans; unique docs
+    report zeros; short (<k) fully-duplicated docs cover themselves."""
+    from poc_spark.operators.dedup import duplicated_suffix_spans
+
+    shared1 = " ".join(f"s{i:02d}" for i in range(30))
+    shared2 = " ".join(f"t{i:02d}" for i in range(20))
+    ua = " ".join(f"ua{i:02d}" for i in range(10))
+    ub = " ".join(f"ub{i:02d}" for i in range(10))
+    uc = " ".join(f"uc{i:02d}" for i in range(40))
+    ud = " ".join(f"ud{i:02d}" for i in range(10))
+    ue = " ".join(f"ue{i:02d}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{ua} {shared1}"),                # span at tail
+            (2, f"{shared1} {ub}"),                # span at head
+            (3, uc),                               # unique: zeros
+            (4, f"{shared2} {ud} {shared1}"),      # two separated spans
+            (5, f"{shared2} {ue}"),                # shares only passage 2
+            (6, "tiny shared doc"),                # < k, duplicated whole
+            (7, "tiny shared doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r.asDict()
+        for r in duplicated_suffix_spans(docs, k=13).collect()
+    }
+    assert got[3]["n_spans"] == 0 and got[3]["covered_frac"] == 0.0
+    for i in (1, 2):
+        assert got[i]["n_spans"] == 1
+        assert got[i]["max_span"] == 30
+        assert got[i]["covered_tokens"] == 30
+        assert got[i]["n_tokens"] == 40
+        assert got[i]["covered_frac"] == 30 / 40
+    # doc 4: shared2 (20) and shared1 (30) separated by unique filler
+    assert got[4]["n_spans"] == 2
+    assert got[4]["covered_tokens"] == 50
+    assert got[4]["max_span"] == 30
+    # doc 5 shares only the 20-token passage
+    assert got[5]["n_spans"] == 1 and got[5]["max_span"] == 20
+    # short duplicated docs: whole-doc window convention covers all
+    for i in (6, 7):
+        assert got[i]["covered_tokens"] == 3
+        assert got[i]["covered_frac"] == 1.0
+
+
+def test_suffix_spans_exact_content_no_hash_aliasing(spark):
+    """The suffix form keys on window CONTENT: two docs with distinct
+    30-token passages never co-flag (no collision channel exists),
+    and an empty doc reports zeros without dividing by zero."""
+    from poc_spark.operators.dedup import duplicated_suffix_spans
+
+    a = " ".join(f"aa{i:02d}" for i in range(30))
+    b = " ".join(f"bb{i:02d}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r.asDict()
+        for r in duplicated_suffix_spans(docs, k=13).collect()
+    }
+    assert all(got[i]["n_spans"] == 0 for i in (1, 2, 3))
+    assert got[3]["n_tokens"] == 0 and got[3]["covered_frac"] == 0.0
