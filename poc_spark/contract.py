@@ -1455,6 +1455,90 @@ def dedup_span_removal(spark, sf_dir):
 
 
 @register(
+    "dedup_span_keep_one",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, nt, unnest(grams) AS gram,
+             generate_subscripts(grams, 1) AS gpos1
+      FROM (
+        SELECT doc_id, len(t) AS nt,
+               CASE
+                 WHEN len(t) >= 13 THEN
+                   list_transform(range(1, len(t) - 11), i ->
+                     array_to_string(t[i:i+12], ' '))
+                 WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                 ELSE [''] END AS grams
+        FROM toks
+      )
+    ), gh AS (
+      SELECT doc_id, nt, gpos1,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+      FROM g
+    ), dup AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM gh GROUP BY h
+      ) WHERE nd >= 2
+    ), canon AS (
+      SELECT h, doc_id AS cid, gpos1 AS cpos
+      FROM gh JOIN dup USING (h)
+      QUALIFY row_number() OVER (PARTITION BY h
+                                 ORDER BY doc_id, gpos1) = 1
+    ), rem AS (
+      SELECT gh.doc_id, gh.nt, gh.gpos1
+      FROM gh JOIN canon USING (h)
+      WHERE NOT (gh.doc_id = canon.cid AND gh.gpos1 = canon.cpos)
+    ), cov AS (
+      SELECT DISTINCT doc_id,
+             unnest(range(gpos1,
+                          greatest(least(gpos1 + 12, nt), gpos1) + 1))
+               AS tpos1
+      FROM rem
+    ), tok_rows AS (
+      SELECT doc_id, unnest(t) AS tok,
+             generate_subscripts(t, 1) AS tpos1
+      FROM toks
+    ), kept AS (
+      SELECT k.doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(k.tok, ' ' ORDER BY k.tpos1) AS clean_text
+      FROM tok_rows k
+      LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tpos1 = c.tpos1
+      WHERE c.doc_id IS NULL
+      GROUP BY k.doc_id
+    )
+    SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+           (len(t.t) - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+           coalesce(k.clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def dedup_span_keep_one(spark, sf_dir):
+    """Lee et al. 2022's ACTUAL removal policy (operators/dedup.py
+    remove_duplicated_spans_keep_one — "we remove all but one" of each
+    duplicated substring's occurrences, vs dedup_span_removal's
+    stricter scrub-every-occurrence): the canonical occurrence of each
+    cross-document duplicated 13-gram is its first in corpus order
+    (min doc_id, then position — one min-struct riding the same
+    distinct-count agg), and only NON-canonical occurrences' windows
+    are scrubbed, so the corpus keeps one copy of every duplicated
+    passage. The oracle derives the identical canonical choice with a
+    QUALIFY row_number and replays coverage + ordered reassembly;
+    invariants (content preserved once, strictly fewer removals than
+    the scrub-all form) are pytest-pinned."""
+    from poc_spark.operators.dedup import remove_duplicated_spans_keep_one
+
+    return remove_duplicated_spans_keep_one(
+        _t(spark, sf_dir, "documents"), n=13, hash_fn="md5_60"
+    ).select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_removed", "clean_text"
+    )
+
+
+@register(
     "dedup_suffix_spans",
     """
     WITH toks AS (
@@ -9483,7 +9567,11 @@ _TAIL = [
     # (d) ~4 spare slots for entries added in r13 (new entries are
     #     never in _TAIL, so they land in the head automatically; a
     #     new entry's first witness outranks a refresh, so an (c)
-    #     refresh yields its slot if the count overflows 50).
+    #     refresh yields its slot if the count overflows 50 — with the
+    #     FIFTH new entry (dedup_span_keep_one), sample_stratified
+    #     yields: it keeps r9 witness + pytest + sweep coverage, and
+    #     sample_deterministic/split/mix/pack refresh its family).
+    'sample_stratified',
     # Everything below has an r9+ driver witness and pytest/local-sweep
     # coverage; capability-wise each is demonstrated by a green head
     # entry of the same family.

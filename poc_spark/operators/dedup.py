@@ -936,6 +936,89 @@ def remove_duplicated_spans(
     )
 
 
+def remove_duplicated_spans_keep_one(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, n_tokens, n_removed, clean_text) — Lee et al. 2022's ACTUAL
+    removal semantics: of each duplicated substring's occurrences, keep
+    ONE and scrub the rest (§4 of the paper: "we remove all but one"),
+    where remove_duplicated_spans scrubs every occurrence (a stricter
+    decontamination-style policy that loses the content entirely). The
+    canonical occurrence of a duplicated n-gram is its first in corpus
+    order — min (doc_id, position) — a deterministic choice both
+    engines can derive; every NON-canonical occurrence's token window
+    is scrubbed. A canonical occurrence can still lose tokens to a
+    DIFFERENT gram's non-canonical overlap in the same document — the
+    same approximation the paper accepts for overlapping duplicate
+    clusters.
+
+    Shape at 100 TB: identical to remove_duplicated_spans plus one
+    min-struct per gram hash (rides the same two-phase agg that counts
+    distinct docs — no extra shuffle), and the covered explode now
+    skips the canonical occurrences. Linear in corpus tokens."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t")).localCheckpoint(
+        eager=False
+    )
+    tokpos = base.select("id", F.posexplode("t").alias("tpos", "tok"))
+    grams = _gram_hash_rows(df, n, text_col, id_col, hash_fn).localCheckpoint(
+        eager=False
+    )
+    canon = (
+        grams.groupBy("h")
+        .agg(
+            F.count_distinct("id").alias("nd"),
+            F.min(F.struct("id", "gpos")).alias("c"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", F.col("c.id").alias("cid"), F.col("c.gpos").alias("cpos"))
+    )
+    removable = grams.join(canon, "h").filter(
+        ~((F.col("id") == F.col("cid")) & (F.col("gpos") == F.col("cpos")))
+    )
+    covered = removable.select(
+        "id",
+        F.explode(
+            F.sequence(
+                F.col("gpos"),
+                F.greatest(
+                    F.least(F.col("gpos") + F.lit(n - 1), F.col("nt") - 1),
+                    F.col("gpos"),
+                ),
+            )
+        ).alias("tpos"),
+    ).distinct()
+    kept = tokpos.join(covered, ["id", "tpos"], "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("id", F.size("t").cast("long").alias("n_tokens"))
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def duplicated_suffix_spans(
     df: DataFrame,
     k: int = 13,

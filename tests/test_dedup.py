@@ -906,3 +906,71 @@ def test_suffix_spans_exact_content_no_hash_aliasing(spark):
     }
     assert all(got[i]["n_spans"] == 0 for i in (1, 2, 3))
     assert got[3]["n_tokens"] == 0 and got[3]["covered_frac"] == 0.0
+
+
+def test_span_keep_one_preserves_one_occurrence(spark):
+    """Lee et al. removal semantics: of each duplicated passage's
+    occurrences the corpus-order-first survives; scrub-all removes
+    every copy. keep-one therefore removes strictly less, and the
+    passage text remains findable exactly once."""
+    from poc_spark.operators.dedup import (
+        remove_duplicated_spans,
+        remove_duplicated_spans_keep_one,
+    )
+
+    shared = " ".join(f"s{i:02d}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha00 alpha01 {shared}"),
+            (2, f"{shared} beta00 beta01"),
+            (3, "gamma00 gamma01 gamma02"),
+        ],
+        "doc_id long, text string",
+    )
+    keep = {
+        r["id"]: r.asDict()
+        for r in remove_duplicated_spans_keep_one(docs, n=13).collect()
+    }
+    scrub = {
+        r["id"]: r.asDict()
+        for r in remove_duplicated_spans(docs, n=13).collect()
+    }
+    # canonical = doc 1 (min doc_id): its copy survives, doc 2's goes
+    assert keep[1]["n_removed"] == 0
+    assert shared in keep[1]["clean_text"]
+    assert keep[2]["n_removed"] == 20
+    assert shared not in keep[2]["clean_text"]
+    assert keep[2]["clean_text"] == "beta00 beta01"
+    # scrub-all removes BOTH copies
+    assert scrub[1]["n_removed"] == 20 and scrub[2]["n_removed"] == 20
+    # unique doc untouched by both
+    assert keep[3]["n_removed"] == 0 and scrub[3]["n_removed"] == 0
+    # global: keep-one removes strictly less than scrub-all here
+    assert sum(r["n_removed"] for r in keep.values()) < sum(
+        r["n_removed"] for r in scrub.values()
+    )
+
+
+def test_span_keep_one_within_doc_repeats(spark):
+    """A gram duplicated across docs AND repeated within the canonical
+    doc: only the FIRST in-doc occurrence is canonical — later in-doc
+    repeats scrub too (min (doc_id, position) ordering)."""
+    from poc_spark.operators.dedup import remove_duplicated_spans_keep_one
+
+    shared = " ".join(f"w{i:02d}" for i in range(13))  # exactly one gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} mid00 {shared}"),
+            (2, f"{shared} tail00"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r.asDict()
+        for r in remove_duplicated_spans_keep_one(docs, n=13).collect()
+    }
+    # doc 1 keeps its first copy, loses the second; doc 2 loses its copy
+    assert got[1]["n_removed"] == 13
+    assert got[1]["clean_text"].startswith("w00")
+    assert got[1]["clean_text"].count("w00") == 1
+    assert got[2]["clean_text"] == "tail00"
