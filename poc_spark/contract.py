@@ -9528,6 +9528,81 @@ def text_classifier_score(spark, sf_dir):
     ).select(F.col("id").alias("id"), "n_toks", "score")
 
 
+@register(
+    "text_pii_redact",
+    """
+    SELECT doc_id AS id,
+           (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT AS n_email,
+           (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::INT AS n_ip,
+           (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::INT AS n_phone,
+           length(text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' contact <EMAIL> now' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' from <IP>' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' call <PHONE>' ELSE '' END)::INT AS clean_len,
+           text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' contact <EMAIL> now' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' from <IP>' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' call <PHONE>' ELSE '' END AS clean_text
+    FROM documents
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII REDACTION (operators/textstats.py pii_redact — the scrub
+    stage every released pretraining pipeline runs; CCNet/RefinedWeb
+    shape: regex-replace emails/IPv4s/phones with placeholder tokens).
+    The synthetic corpus carries no PII (letters-only word salad), so
+    the entry PLANTS deterministic PII derived from doc_id (an email
+    for doc_id%3, an IP for %5, a phone for %7) and redacts it — which
+    makes the oracle ALGEBRAIC GROUND TRUTH, not regex-vs-regex: DuckDB
+    reconstructs exactly what a correct redaction must produce
+    (original text + placeholder-substituted plants), so Spark's
+    Java-regex match boundaries, counts, and replacement output are
+    value-verified end-to-end. Multi-match/boundary/idempotence
+    semantics are pytest-pinned on adversarial fixtures. Plan: one
+    codegen projection, no shuffle — linear in corpus bytes."""
+    from poc_spark.operators.textstats import pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    d.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (d % 256).cast("string"),
+                    F.lit("."),
+                    (d % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_redact(planted)
+
+
 # TPC-H shapes 2/8/9/11/12/15/16/17/20/21 and the text-quality gates
 # register themselves on import (bottom-of-module imports: the helpers
 # above must already exist).
@@ -9570,8 +9645,12 @@ _TAIL = [
     #     refresh yields its slot if the count overflows 50 — with the
     #     FIFTH new entry (dedup_span_keep_one), sample_stratified
     #     yields: it keeps r9 witness + pytest + sweep coverage, and
-    #     sample_deterministic/split/mix/pack refresh its family).
+    #     sample_deterministic/split/mix/pack refresh its family; with
+    #     the SIXTH (text_pii_redact), src_csv_roundtrip yields — the
+    #     new src_tar_shards round-trip is this round's source-family
+    #     witness).
     'sample_stratified',
+    'src_csv_roundtrip',
     # Everything below has an r9+ driver witness and pytest/local-sweep
     # coverage; capability-wise each is demonstrated by a green head
     # entry of the same family.

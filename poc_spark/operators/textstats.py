@@ -81,6 +81,46 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+#: (class name, Java-regex pattern, replacement token) — applied in
+#: order; replacement tokens contain no digits/@, so one class's
+#: redaction can never create or destroy a later class's match.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
+]
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_email, n_ip, n_phone, clean_len, clean_text) — the PII
+    scrub stage every published training pipeline runs before
+    release (C4 strips lines by blocklist; CCNet/RefinedWeb-style
+    pipelines regex-replace emails/IPs/phones with placeholder
+    tokens, which is the shape here). Each class is counted, then
+    replaced, in PII_PATTERNS order; idempotent (placeholders match
+    no pattern). Pure JVM regexp_count/regexp_replace — one
+    projection, no shuffle, whole-stage codegen; linear in corpus
+    bytes, the 100 TB shape."""
+    out = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("clean_text")
+    )
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count("clean_text", F.lit(pat)).cast("int"),
+        ).withColumn(
+            "clean_text", F.regexp_replace("clean_text", pat, token)
+        )
+    return out.select(
+        "id",
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+        F.length("clean_text").cast("int").alias("clean_len"),
+        "clean_text",
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, pred_lang, hits) — stopword-hit language ID: count distinct
     stopword matches per language, argmax with deterministic alphabetical
