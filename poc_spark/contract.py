@@ -9529,6 +9529,75 @@ def text_classifier_score(spark, sf_dir):
 
 
 @register(
+    "text_boilerplate_removal",
+    """
+    WITH p AS (
+      SELECT doc_id, source,
+             'nav header ' || source || chr(10) || text || chr(10)
+               || 'copyright ' || source || ' footer' AS text
+      FROM documents
+    ), l AS (
+      SELECT doc_id, source,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS lpos1
+      FROM p
+    ), b AS (
+      SELECT source, line FROM (
+        SELECT source, line, count(DISTINCT doc_id) AS nd
+        FROM l GROUP BY source, line
+      ) WHERE nd >= 5
+    ), kept AS (
+      SELECT l.doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(l.line, chr(10) ORDER BY l.lpos1) AS clean_text
+      FROM l LEFT JOIN b ON l.source = b.source AND l.line = b.line
+      WHERE b.line IS NULL
+      GROUP BY l.doc_id
+    )
+    SELECT p.doc_id,
+           len(string_split(p.text, chr(10)))::BIGINT AS n_lines,
+           (len(string_split(p.text, chr(10)))
+              - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+           coalesce(k.clean_text, '') AS clean_text
+    FROM p LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def text_boilerplate_removal(spark, sf_dir):
+    """LINE-level boilerplate removal (operators/textstats.py
+    remove_boilerplate_lines — the CCNet/C4 stage span dedup doesn't
+    cover: nav menus / cookie banners / copyright footers repeated
+    across a SITE's pages). The synthetic corpus is single-line, so
+    the entry PLANTS per-source header and footer lines around every
+    document; sources with >= 5 documents must lose both planted lines
+    from every doc while the body line survives, and smaller sources
+    keep theirs — the threshold logic is replayed by the oracle (count
+    distinct docs per (source, line)), not assumed, so the
+    group-scoped distinct-count, anti-join, and ordered reassembly are
+    all value-verified. Plan: line explode, (source,line)-keyed
+    two-phase agg (shuffle skew-bounded by the largest site — the key
+    CCNet shards by), anti-join, per-doc reassembly; linear in corpus
+    lines."""
+    from poc_spark.operators.textstats import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("nav header "),
+            "source",
+            F.lit("\n"),
+            "text",
+            F.lit("\n"),
+            F.lit("copyright "),
+            "source",
+            F.lit(" footer"),
+        ),
+    )
+    return remove_boilerplate_lines(planted, min_docs=5).select(
+        F.col("id").alias("doc_id"), "n_lines", "n_removed", "clean_text"
+    )
+
+
+@register(
     "text_pii_redact",
     """
     SELECT doc_id AS id,
@@ -9648,9 +9717,13 @@ _TAIL = [
     #     sample_deterministic/split/mix/pack refresh its family; with
     #     the SIXTH (text_pii_redact), src_csv_roundtrip yields — the
     #     new src_tar_shards round-trip is this round's source-family
+    #     witness; with the SEVENTH (text_boilerplate_removal),
+    #     sim_ivf_join yields — sim_ivf_kmeans refreshes the IVF
+    #     artifact path and sim_pq_rerank is the sim-family's new
     #     witness).
     'sample_stratified',
     'src_csv_roundtrip',
+    'sim_ivf_join',
     # Everything below has an r9+ driver witness and pytest/local-sweep
     # coverage; capability-wise each is demonstrated by a green head
     # entry of the same family.

@@ -121,6 +121,63 @@ def pii_redact(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """(id, n_lines, n_removed, clean_text) — LINE-level boilerplate
+    removal, the CCNet/C4 stage that doc-level span dedup doesn't
+    cover: a line occurring in >= min_docs DISTINCT documents of the
+    same group (site/domain) is boilerplate — nav menus, cookie
+    banners, copyright footers — and is dropped from every document of
+    that group; clean_text rejoins the surviving lines in order.
+    Empty lines count like any other (ubiquitous blank lines are
+    boilerplate by this rule — the standard outcome).
+
+    Shape at 100 TB: one line explode (≈ lines-per-doc rows), a
+    two-phase distinct-count agg keyed (group, line) — per-domain
+    keys, so the shuffle is skew-bounded by the largest site, the same
+    key CCNet shards by — an anti-join against the small boilerplate
+    set, and one ordered per-doc reassembly. Linear in corpus lines."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("lpos", "line"),
+    )
+    boiler = (
+        lines.groupBy("grp", "line")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("grp", "line")
+    )
+    kept = lines.join(boiler, ["grp", "line"], "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lpos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return base.join(agg, "id", "left").select(
+        "id",
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, pred_lang, hits) — stopword-hit language ID: count distinct
     stopword matches per language, argmax with deterministic alphabetical

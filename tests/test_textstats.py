@@ -745,3 +745,41 @@ def test_pii_redact_idempotent(spark):
     r = twice.collect()[0]
     assert r["clean_text"] == "<EMAIL> <IP> <PHONE>"
     assert r["n_email"] == r["n_ip"] == r["n_phone"] == 0
+
+
+def test_boilerplate_lines_group_scoped_threshold(spark):
+    """A line repeated across >= min_docs docs of ONE group is removed
+    from that group only; the same line in a small group survives;
+    within-doc repeats of a boilerplate line all go; line order is
+    preserved in the rejoin."""
+    from poc_spark.operators.textstats import remove_boilerplate_lines
+
+    footer = "copyright acme"
+    rows = [
+        (i, "a.com", f"body {i}\n{footer}") for i in range(5)
+    ] + [
+        (10, "b.com", f"intro\n{footer}\nmain 10"),   # small group: keeps
+        (11, "a.com", f"{footer}\nx\n{footer}"),      # in-doc repeats: both go
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["id"]: r.asDict()
+        for r in remove_boilerplate_lines(docs, min_docs=5).collect()
+    }
+    for i in range(5):
+        assert got[i]["clean_text"] == f"body {i}"
+        assert got[i]["n_removed"] == 1
+    assert got[10]["clean_text"] == f"intro\n{footer}\nmain 10"
+    assert got[10]["n_removed"] == 0
+    assert got[11]["clean_text"] == "x"
+    assert got[11]["n_removed"] == 2
+
+
+def test_boilerplate_lines_all_removed_doc(spark):
+    from poc_spark.operators.textstats import remove_boilerplate_lines
+
+    rows = [(i, "a.com", "only line") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = remove_boilerplate_lines(docs, min_docs=5).collect()
+    assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in got)
+    assert all(r["n_lines"] == 1 for r in got)
