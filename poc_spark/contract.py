@@ -8028,6 +8028,70 @@ def text_boilerplate(spark, sf_dir):
     return strip_boilerplate(multi, min_docs=2)
 
 
+@register(
+    "text_boilerplate_domain",
+    """
+    WITH p AS (
+      SELECT doc_id, source,
+             'nav header ' || source || chr(10) || text || chr(10)
+               || 'copyright ' || source || ' footer' AS text
+      FROM documents
+    ), l AS (
+      SELECT doc_id, source,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS lpos1
+      FROM p
+    ), b AS (
+      SELECT source, line FROM (
+        SELECT source, line, count(DISTINCT doc_id) AS nd
+        FROM l GROUP BY source, line
+      ) WHERE nd >= 5
+    ), kept AS (
+      SELECT l.doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(l.line, chr(10) ORDER BY l.lpos1) AS clean_text
+      FROM l LEFT JOIN b ON l.source = b.source AND l.line = b.line
+      WHERE b.line IS NULL
+      GROUP BY l.doc_id
+    )
+    SELECT p.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           (len(string_split(p.text, chr(10)))
+              - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+    FROM p LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def text_boilerplate_domain(spark, sf_dir):
+    """GROUP-SCOPED boilerplate-line removal (strip_boilerplate's r13
+    `group_col` mode — the CCNet rule, which shards line-dedup per
+    SITE: text_boilerplate's global threshold would also kill a line
+    coincidentally repeated across different sites; the scoped form
+    keeps it). The entry plants per-source header and footer lines
+    around every document: sources with >= 5 documents must lose both
+    planted lines from every doc while the body survives, and smaller
+    sources keep theirs — the oracle REPLAYS the threshold over
+    (source, line), so the group-scoped distinct-count, anti-join, and
+    ordered reassembly are all value-verified, including the
+    small-source negative case. The (source,line)-keyed agg's shuffle
+    is skew-bounded by the largest site — the key CCNet shards by."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("nav header "),
+            "source",
+            F.lit("\n"),
+            "text",
+            F.lit("\n"),
+            F.lit("copyright "),
+            "source",
+            F.lit(" footer"),
+        ),
+    )
+    return strip_boilerplate(
+        planted, min_docs=5, group_col="source"
+    ).select("doc_id", "clean_text", "n_removed")
+
+
 # ---------------------------------------------------------------------------
 # Sketches (HLL cardinality, mergeable unions, approx quantiles).
 # Sketch binaries/estimates are implementation-defined, so these
@@ -9528,150 +9592,6 @@ def text_classifier_score(spark, sf_dir):
     ).select(F.col("id").alias("id"), "n_toks", "score")
 
 
-@register(
-    "text_boilerplate_removal",
-    """
-    WITH p AS (
-      SELECT doc_id, source,
-             'nav header ' || source || chr(10) || text || chr(10)
-               || 'copyright ' || source || ' footer' AS text
-      FROM documents
-    ), l AS (
-      SELECT doc_id, source,
-             unnest(string_split(text, chr(10))) AS line,
-             generate_subscripts(string_split(text, chr(10)), 1) AS lpos1
-      FROM p
-    ), b AS (
-      SELECT source, line FROM (
-        SELECT source, line, count(DISTINCT doc_id) AS nd
-        FROM l GROUP BY source, line
-      ) WHERE nd >= 5
-    ), kept AS (
-      SELECT l.doc_id, count(*)::BIGINT AS n_kept,
-             string_agg(l.line, chr(10) ORDER BY l.lpos1) AS clean_text
-      FROM l LEFT JOIN b ON l.source = b.source AND l.line = b.line
-      WHERE b.line IS NULL
-      GROUP BY l.doc_id
-    )
-    SELECT p.doc_id,
-           len(string_split(p.text, chr(10)))::BIGINT AS n_lines,
-           (len(string_split(p.text, chr(10)))
-              - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
-           coalesce(k.clean_text, '') AS clean_text
-    FROM p LEFT JOIN kept k USING (doc_id)
-    """,
-)
-def text_boilerplate_removal(spark, sf_dir):
-    """LINE-level boilerplate removal (operators/textstats.py
-    remove_boilerplate_lines — the CCNet/C4 stage span dedup doesn't
-    cover: nav menus / cookie banners / copyright footers repeated
-    across a SITE's pages). The synthetic corpus is single-line, so
-    the entry PLANTS per-source header and footer lines around every
-    document; sources with >= 5 documents must lose both planted lines
-    from every doc while the body line survives, and smaller sources
-    keep theirs — the threshold logic is replayed by the oracle (count
-    distinct docs per (source, line)), not assumed, so the
-    group-scoped distinct-count, anti-join, and ordered reassembly are
-    all value-verified. Plan: line explode, (source,line)-keyed
-    two-phase agg (shuffle skew-bounded by the largest site — the key
-    CCNet shards by), anti-join, per-doc reassembly; linear in corpus
-    lines."""
-    from poc_spark.operators.textstats import remove_boilerplate_lines
-
-    docs = _t(spark, sf_dir, "documents")
-    planted = docs.withColumn(
-        "text",
-        F.concat(
-            F.lit("nav header "),
-            "source",
-            F.lit("\n"),
-            "text",
-            F.lit("\n"),
-            F.lit("copyright "),
-            "source",
-            F.lit(" footer"),
-        ),
-    )
-    return remove_boilerplate_lines(planted, min_docs=5).select(
-        F.col("id").alias("doc_id"), "n_lines", "n_removed", "clean_text"
-    )
-
-
-@register(
-    "text_pii_redact",
-    """
-    SELECT doc_id AS id,
-           (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT AS n_email,
-           (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::INT AS n_ip,
-           (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::INT AS n_phone,
-           length(text
-             || CASE WHEN doc_id % 3 = 0
-                THEN ' contact <EMAIL> now' ELSE '' END
-             || CASE WHEN doc_id % 5 = 0
-                THEN ' from <IP>' ELSE '' END
-             || CASE WHEN doc_id % 7 = 0
-                THEN ' call <PHONE>' ELSE '' END)::INT AS clean_len,
-           text
-             || CASE WHEN doc_id % 3 = 0
-                THEN ' contact <EMAIL> now' ELSE '' END
-             || CASE WHEN doc_id % 5 = 0
-                THEN ' from <IP>' ELSE '' END
-             || CASE WHEN doc_id % 7 = 0
-                THEN ' call <PHONE>' ELSE '' END AS clean_text
-    FROM documents
-    """,
-)
-def text_pii_redact(spark, sf_dir):
-    """PII REDACTION (operators/textstats.py pii_redact — the scrub
-    stage every released pretraining pipeline runs; CCNet/RefinedWeb
-    shape: regex-replace emails/IPv4s/phones with placeholder tokens).
-    The synthetic corpus carries no PII (letters-only word salad), so
-    the entry PLANTS deterministic PII derived from doc_id (an email
-    for doc_id%3, an IP for %5, a phone for %7) and redacts it — which
-    makes the oracle ALGEBRAIC GROUND TRUTH, not regex-vs-regex: DuckDB
-    reconstructs exactly what a correct redaction must produce
-    (original text + placeholder-substituted plants), so Spark's
-    Java-regex match boundaries, counts, and replacement output are
-    value-verified end-to-end. Multi-match/boundary/idempotence
-    semantics are pytest-pinned on adversarial fixtures. Plan: one
-    codegen projection, no shuffle — linear in corpus bytes."""
-    from poc_spark.operators.textstats import pii_redact
-
-    docs = _t(spark, sf_dir, "documents")
-    d = F.col("doc_id")
-    planted = docs.withColumn(
-        "text",
-        F.concat(
-            "text",
-            F.when(
-                d % 3 == 0,
-                F.concat(
-                    F.lit(" contact user"),
-                    d.cast("string"),
-                    F.lit("@example.com now"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                d % 5 == 0,
-                F.concat(
-                    F.lit(" from 10.0."),
-                    (d % 256).cast("string"),
-                    F.lit("."),
-                    (d % 100).cast("string"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                d % 7 == 0,
-                F.concat(
-                    F.lit(" call +1-555-"),
-                    F.lpad((d % 10000).cast("string"), 4, "0"),
-                ),
-            ).otherwise(F.lit("")),
-        ),
-    )
-    return pii_redact(planted)
-
-
 # TPC-H shapes 2/8/9/11/12/15/16/17/20/21 and the text-quality gates
 # register themselves on import (bottom-of-module imports: the helpers
 # above must already exist).
@@ -9717,12 +9637,13 @@ _TAIL = [
     #     sample_deterministic/split/mix/pack refresh its family; with
     #     the SIXTH (text_pii_redact), src_csv_roundtrip yields — the
     #     new src_tar_shards round-trip is this round's source-family
-    #     witness; with the SEVENTH (text_boilerplate_removal),
+    #     witness; with the SEVENTH (text_boilerplate_domain),
     #     sim_ivf_join yields — sim_ivf_kmeans refreshes the IVF
     #     artifact path and sim_pq_rerank is the sim-family's new
-    #     witness).
+    #     witness). (text_pii_redact was built then REMOVED in-round —
+    #     textclean.pii_scrub / text_pii_scrub already covered it —
+    #     returning src_csv_roundtrip's slot.)
     'sample_stratified',
-    'src_csv_roundtrip',
     'sim_ivf_join',
     # Everything below has an r9+ driver witness and pytest/local-sweep
     # coverage; capability-wise each is demonstrated by a green head

@@ -83,11 +83,20 @@ def strip_boilerplate(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    group_col: str | None = None,
 ) -> DataFrame:
     """(id, clean_text, n_removed) — remove every LINE that occurs in
     >= min_docs distinct documents (the classic corpus-level
     boilerplate filter: nav bars, cookie banners, footers). Documents
     whose every line is boilerplate survive with clean_text = ''.
+
+    With `group_col` (r13) the threshold is SCOPED to that group — the
+    CCNet rule, which shards line-dedup per site/domain: a line
+    repeated across >= min_docs docs OF THE SAME site is boilerplate
+    there, while the same line coincidentally spread across different
+    sites survives everywhere. The frequency agg then keys
+    (group, line), so its shuffle is skew-bounded by the largest site
+    rather than by the global line domain.
 
     Scale shape: the boilerplate line set is tiny by definition (only
     lines repeated across >= min_docs docs survive the HAVING), so the
@@ -97,17 +106,19 @@ def strip_boilerplate(
     size). Line-frequency counting is one count-distinct aggregate
     shuffled by line — at 100 TB, cap candidate lines first with a
     length/frequency prefilter if the line domain explodes."""
+    gcols = [group_col] if group_col else []
     lines = df.select(
         F.col(id_col),
+        *[F.col(c) for c in gcols],
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
     boiler = (
-        lines.groupBy("line")
+        lines.groupBy(*gcols, "line")
         .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
-        .select("line")
+        .select(*gcols, "line")
     )
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    kept = lines.join(F.broadcast(boiler), gcols + ["line"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             "\n",

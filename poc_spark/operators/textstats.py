@@ -81,103 +81,6 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
-#: (class name, Java-regex pattern, replacement token) — applied in
-#: order; replacement tokens contain no digits/@, so one class's
-#: redaction can never create or destroy a later class's match.
-PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
-]
-
-
-def pii_redact(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, n_email, n_ip, n_phone, clean_len, clean_text) — the PII
-    scrub stage every published training pipeline runs before
-    release (C4 strips lines by blocklist; CCNet/RefinedWeb-style
-    pipelines regex-replace emails/IPs/phones with placeholder
-    tokens, which is the shape here). Each class is counted, then
-    replaced, in PII_PATTERNS order; idempotent (placeholders match
-    no pattern). Pure JVM regexp_count/regexp_replace — one
-    projection, no shuffle, whole-stage codegen; linear in corpus
-    bytes, the 100 TB shape."""
-    out = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("clean_text")
-    )
-    for name, pat, token in PII_PATTERNS:
-        out = out.withColumn(
-            f"n_{name}",
-            F.regexp_count("clean_text", F.lit(pat)).cast("int"),
-        ).withColumn(
-            "clean_text", F.regexp_replace("clean_text", pat, token)
-        )
-    return out.select(
-        "id",
-        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
-        F.length("clean_text").cast("int").alias("clean_len"),
-        "clean_text",
-    )
-
-
-def remove_boilerplate_lines(
-    df: DataFrame,
-    min_docs: int = 5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    group_col: str = "source",
-) -> DataFrame:
-    """(id, n_lines, n_removed, clean_text) — LINE-level boilerplate
-    removal, the CCNet/C4 stage that doc-level span dedup doesn't
-    cover: a line occurring in >= min_docs DISTINCT documents of the
-    same group (site/domain) is boilerplate — nav menus, cookie
-    banners, copyright footers — and is dropped from every document of
-    that group; clean_text rejoins the surviving lines in order.
-    Empty lines count like any other (ubiquitous blank lines are
-    boilerplate by this rule — the standard outcome).
-
-    Shape at 100 TB: one line explode (≈ lines-per-doc rows), a
-    two-phase distinct-count agg keyed (group, line) — per-domain
-    keys, so the shuffle is skew-bounded by the largest site, the same
-    key CCNet shards by — an anti-join against the small boilerplate
-    set, and one ordered per-doc reassembly. Linear in corpus lines."""
-    lines = df.select(
-        F.col(id_col).alias("id"),
-        F.col(group_col).alias("grp"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("lpos", "line"),
-    )
-    boiler = (
-        lines.groupBy("grp", "line")
-        .agg(F.count_distinct("id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("grp", "line")
-    )
-    kept = lines.join(boiler, ["grp", "line"], "left_anti")
-    agg = kept.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("lpos", "line"))),
-                lambda x: x["line"],
-            ),
-        ).alias("clean_text"),
-    )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
-    )
-    return base.join(agg, "id", "left").select(
-        "id",
-        "n_lines",
-        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-            "n_removed"
-        ),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-    )
-
-
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, pred_lang, hits) — stopword-hit language ID: count distinct
     stopword matches per language, argmax with deterministic alphabetical

@@ -211,3 +211,50 @@ def test_normalize_unicode_string_ids(spark):
     got = {r["url"]: (r["text_norm"], r["changed"]) for r in out.collect()}
     assert got["url-a"] == ("ascii row", False)
     assert got["url-b"] == ("café", True)
+
+
+def test_strip_boilerplate_group_scoped_threshold(spark):
+    """group_col mode (CCNet per-site rule): a line repeated across
+    >= min_docs docs of ONE group is removed from that group only; the
+    same line in a small group survives; a line spread across
+    DIFFERENT groups (global form would kill it) survives everywhere;
+    within-doc repeats of a boilerplate line all go."""
+    footer = "copyright acme"
+    cross = "shared across sites"
+    rows = [
+        (i, "a.com", f"body {i}\n{footer}\n{cross}") for i in range(5)
+    ] + [
+        (10, "b.com", f"intro\n{footer}\nmain 10\n{cross}"),
+        (11, "a.com", f"{footer}\nx\n{footer}"),
+    ] + [
+        (20 + i, f"site{i}.com", cross) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in strip_boilerplate(df, min_docs=5, group_col="source").collect()
+    }
+    # a.com has 6 docs: footer goes; cross appears in only 5 a.com docs
+    # ... (ids 0-4) — exactly at threshold, so it goes for a.com too
+    for i in range(5):
+        assert got[i]["clean_text"] == f"body {i}"
+    # b.com is small: keeps both lines
+    assert got[10]["clean_text"] == f"intro\n{footer}\nmain 10\n{cross}"
+    assert got[10]["n_removed"] == 0
+    # within-doc repeats of a group-boilerplate line all go
+    assert got[11]["clean_text"] == "x"
+    assert got[11]["n_removed"] == 2
+    # cross-site singletons survive: one doc per site
+    for i in range(5):
+        assert got[20 + i]["clean_text"] == cross
+
+
+def test_strip_boilerplate_group_none_matches_global(spark):
+    """group_col=None is exactly the original global behavior."""
+    rows = [(i, "x", f"u{i}\nshared line") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = sorted(
+        (r["doc_id"], r["clean_text"], r["n_removed"])
+        for r in strip_boilerplate(df, min_docs=2).collect()
+    )
+    assert a == [(0, "u0", 1), (1, "u1", 1), (2, "u2", 1)]

@@ -691,95 +691,3 @@ def test_pack_documents_greedy_hand_and_chunk_invariance(spark):
         }
         assert again == {k: v[:2] for k, v in got.items()}
 
-
-def test_pii_redact_multi_match_and_boundaries(spark):
-    """Adversarial fixtures for the PII scrubber: multiple matches per
-    class, adjacent punctuation, class interactions (an email's domain
-    must not leave digits that become a fake IP), and placeholders
-    that survive untouched."""
-    from poc_spark.operators.textstats import pii_redact
-
-    docs = spark.createDataFrame(
-        [
-            (1, "mail a@b.co and c.d+x@e-f.org, ok"),
-            (2, "ips 1.2.3.4 then 255.255.255.255."),
-            (3, "call +1-555-0000 or +44-123-9999 now"),
-            (4, "mixed a@b.co 1.2.3.4 +1-555-1234"),
-            (5, "clean text with no pii at all"),
-            (6, "already <EMAIL> <IP> <PHONE> here"),
-            (7, "version 1.2.3 is not an ip"),
-        ],
-        "doc_id long, text string",
-    )
-    got = {r["id"]: r.asDict() for r in pii_redact(docs).collect()}
-    assert got[1]["n_email"] == 2
-    assert got[1]["clean_text"] == "mail <EMAIL> and <EMAIL>, ok"
-    assert got[2]["n_ip"] == 2
-    assert got[2]["clean_text"] == "ips <IP> then <IP>."
-    assert got[3]["n_phone"] == 2
-    assert got[3]["clean_text"] == "call <PHONE> or <PHONE> now"
-    assert got[4]["clean_text"] == "mixed <EMAIL> <IP> <PHONE>"
-    assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (1, 1, 1)
-    assert got[5]["clean_text"] == "clean text with no pii at all"
-    assert got[5]["n_email"] == got[5]["n_ip"] == got[5]["n_phone"] == 0
-    # placeholders match no pattern: already-redacted text is stable
-    assert got[6]["clean_text"] == "already <EMAIL> <IP> <PHONE> here"
-    # three dotted numbers are not four: no match
-    assert got[7]["n_ip"] == 0 and "1.2.3" in got[7]["clean_text"]
-    # clean_len tracks the redacted string
-    assert all(r["clean_len"] == len(r["clean_text"]) for r in got.values())
-
-
-def test_pii_redact_idempotent(spark):
-    from poc_spark.operators.textstats import pii_redact
-
-    docs = spark.createDataFrame(
-        [(1, "a@b.co 1.2.3.4 +1-555-1234")], "doc_id long, text string"
-    )
-    once = pii_redact(docs).select(
-        "id", "clean_text"
-    )
-    twice = pii_redact(
-        once.withColumnRenamed("clean_text", "text"), id_col="id"
-    )
-    r = twice.collect()[0]
-    assert r["clean_text"] == "<EMAIL> <IP> <PHONE>"
-    assert r["n_email"] == r["n_ip"] == r["n_phone"] == 0
-
-
-def test_boilerplate_lines_group_scoped_threshold(spark):
-    """A line repeated across >= min_docs docs of ONE group is removed
-    from that group only; the same line in a small group survives;
-    within-doc repeats of a boilerplate line all go; line order is
-    preserved in the rejoin."""
-    from poc_spark.operators.textstats import remove_boilerplate_lines
-
-    footer = "copyright acme"
-    rows = [
-        (i, "a.com", f"body {i}\n{footer}") for i in range(5)
-    ] + [
-        (10, "b.com", f"intro\n{footer}\nmain 10"),   # small group: keeps
-        (11, "a.com", f"{footer}\nx\n{footer}"),      # in-doc repeats: both go
-    ]
-    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    got = {
-        r["id"]: r.asDict()
-        for r in remove_boilerplate_lines(docs, min_docs=5).collect()
-    }
-    for i in range(5):
-        assert got[i]["clean_text"] == f"body {i}"
-        assert got[i]["n_removed"] == 1
-    assert got[10]["clean_text"] == f"intro\n{footer}\nmain 10"
-    assert got[10]["n_removed"] == 0
-    assert got[11]["clean_text"] == "x"
-    assert got[11]["n_removed"] == 2
-
-
-def test_boilerplate_lines_all_removed_doc(spark):
-    from poc_spark.operators.textstats import remove_boilerplate_lines
-
-    rows = [(i, "a.com", "only line") for i in range(6)]
-    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    got = remove_boilerplate_lines(docs, min_docs=5).collect()
-    assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in got)
-    assert all(r["n_lines"] == 1 for r in got)
