@@ -8092,6 +8092,151 @@ def text_boilerplate_domain(spark, sf_dir):
     ).select("doc_id", "clean_text", "n_removed")
 
 
+@register(
+    "pipeline_clean_corpus",
+    """
+    WITH p AS (
+      SELECT doc_id, source,
+             'nav header ' || source AS hl,
+             text
+               || CASE WHEN doc_id % 3 = 0
+                  THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                  ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                  THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                       || (doc_id % 100)::VARCHAR
+                  ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                  THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  ELSE '' END AS bl,
+             'copyright ' || source || ' footer' AS fl
+      FROM documents
+    ), l AS (
+      SELECT doc_id, source, unnest([hl, bl, fl]) AS line,
+             unnest([1, 2, 3]) AS pos
+      FROM p
+    ), b AS (
+      SELECT source, line FROM (
+        SELECT source, line, count(DISTINCT doc_id) AS nd
+        FROM l GROUP BY source, line
+      ) WHERE nd >= 5
+    ), kept AS (
+      SELECT l.doc_id, l.source,
+             string_agg(l.line, chr(10) ORDER BY l.pos) AS ct
+      FROM l LEFT JOIN b ON l.source = b.source AND l.line = b.line
+      WHERE b.line IS NULL
+      GROUP BY l.doc_id, l.source
+    ), alldocs AS (
+      SELECT p.doc_id, p.source, coalesce(k.ct, '') AS ct
+      FROM p LEFT JOIN kept k USING (doc_id, source)
+    ), scrub AS (
+      SELECT doc_id, source,
+             replace(replace(replace(ct,
+               CASE WHEN doc_id % 3 = 0
+                 THEN 'user' || doc_id::VARCHAR || '@example.com'
+                 ELSE chr(1) END, '<EMAIL>'),
+               CASE WHEN doc_id % 5 = 0
+                 THEN '10.0.' || (doc_id % 256)::VARCHAR || '.'
+                      || (doc_id % 100)::VARCHAR
+                 ELSE chr(1) END, '<IP>'),
+               CASE WHEN doc_id % 7 = 0
+                 THEN '+1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE chr(1) END, '<PHONE>') AS ft,
+             CASE WHEN ct LIKE '%@example.com%' THEN 1 ELSE 0 END AS ne,
+             CASE WHEN ct LIKE '%from 10.0.%' THEN 1 ELSE 0 END AS ni,
+             CASE WHEN ct LIKE '%+1-555-%' THEN 1 ELSE 0 END AS np
+      FROM alldocs
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(ne)::BIGINT AS n_emails,
+           sum(ni)::BIGINT AS n_ips,
+           sum(np)::BIGINT AS n_phones,
+           sum(length(ft))::BIGINT AS sum_len,
+           sum(('0x' || substr(md5(ft), 1, 10))::BIGINT)::BIGINT
+             AS content_sum
+    FROM scrub GROUP BY source
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """The CLEANING pipeline END-TO-END (composition tier, beside
+    pipeline_quality_filter / pipeline_crawl_to_corpus): per-source
+    boilerplate lines AND per-doc PII are planted around/inside every
+    document, then the corpus flows strip_boilerplate(group_col=) →
+    pii_scrub, and the per-source profile of the final text — counts,
+    byte mass, and a content checksum over the EXACT cleaned strings —
+    must match the oracle's full replay: the (source,line) boilerplate
+    threshold re-derived, and the PII scrub reproduced as exact
+    literal substitution (the oracle KNOWS what redaction must
+    produce, so Spark's regex path is verified against ground truth;
+    PII riding a stripped body line must vanish from the counts, which
+    the replay's LIKE-on-surviving-text encodes). This is the entry
+    that verifies the STAGE INTERFACES — clean_text of one operator
+    feeding text_col of the next — not just each stage alone. Plan:
+    line explode + group-scoped agg + broadcast anti + one codegen
+    regex projection + one final agg; linear, no corpus self-join."""
+    from poc_spark.operators.textclean import pii_scrub, strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pii = F.concat(
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                (d % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("nav header "),
+            "source",
+            F.lit("\n"),
+            "text",
+            pii,
+            F.lit("\n"),
+            F.lit("copyright "),
+            "source",
+            F.lit(" footer"),
+        ).alias("text"),
+    )
+    stripped = strip_boilerplate(planted, min_docs=5, group_col="source")
+    scrubbed = pii_scrub(stripped, text_col="clean_text")
+    prof = scrubbed.join(docs.select("doc_id", "source"), "doc_id")
+    return prof.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_ips").cast("long").alias("n_ips"),
+        F.sum("n_phones").cast("long").alias("n_phones"),
+        F.sum(F.length("clean_text")).cast("long").alias("sum_len"),
+        F.sum(
+            F.conv(
+                F.substring(F.md5("clean_text"), 1, 10), 16, 10
+            ).cast("long")
+        ).alias("content_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sketches (HLL cardinality, mergeable unions, approx quantiles).
 # Sketch binaries/estimates are implementation-defined, so these
@@ -9642,9 +9787,11 @@ _TAIL = [
     #     artifact path and sim_pq_rerank is the sim-family's new
     #     witness). (text_pii_redact was built then REMOVED in-round —
     #     textclean.pii_scrub / text_pii_scrub already covered it —
-    #     returning src_csv_roundtrip's slot.)
+    #     briefly returning src_csv_roundtrip's slot until the EIGHTH
+    #     new entry, pipeline_clean_corpus, took it back.)
     'sample_stratified',
     'sim_ivf_join',
+    'src_csv_roundtrip',
     # Everything below has an r9+ driver witness and pytest/local-sweep
     # coverage; capability-wise each is demonstrated by a green head
     # entry of the same family.
