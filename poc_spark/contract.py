@@ -9773,22 +9773,20 @@ _TAIL = [
     #     pagerank), the IVF pair (kmeans fit + join), one source
     #     round-trip (csv), one BPE learner (greedy), one sampler
     #     (stratified);
-    # (d) ~4 spare slots for entries added in r13 (new entries are
-    #     never in _TAIL, so they land in the head automatically; a
-    #     new entry's first witness outranks a refresh, so an (c)
-    #     refresh yields its slot if the count overflows 50 — with the
-    #     FIFTH new entry (dedup_span_keep_one), sample_stratified
-    #     yields: it keeps r9 witness + pytest + sweep coverage, and
-    #     sample_deterministic/split/mix/pack refresh its family; with
-    #     the SIXTH (text_pii_redact), src_csv_roundtrip yields — the
-    #     new src_tar_shards round-trip is this round's source-family
-    #     witness; with the SEVENTH (text_boilerplate_domain),
-    #     sim_ivf_join yields — sim_ivf_kmeans refreshes the IVF
-    #     artifact path and sim_pq_rerank is the sim-family's new
-    #     witness). (text_pii_redact was built then REMOVED in-round —
-    #     textclean.pii_scrub / text_pii_scrub already covered it —
-    #     briefly returning src_csv_roundtrip's slot until the EIGHTH
-    #     new entry, pipeline_clean_corpus, took it back.)
+    # (d) spare slots for the SEVEN entries added in r13 (new entries
+    #     are never in _TAIL, so they land in the head automatically;
+    #     a new entry's first witness outranks a refresh, so an (c)
+    #     refresh yields its slot when the count overflows 50):
+    #     src_tar_shards, pipeline_shard_to_pixels, sim_pq_rerank,
+    #     dedup_suffix_spans took the 4 reserved slots; then
+    #     dedup_span_keep_one displaced sample_stratified (its family
+    #     stays refreshed by sample_deterministic/split/mix/pack),
+    #     text_boilerplate_domain displaced sim_ivf_join
+    #     (sim_ivf_kmeans refreshes the IVF artifact path), and
+    #     pipeline_clean_corpus displaced src_csv_roundtrip (the new
+    #     src_tar_shards round-trip is this round's source-family
+    #     witness). All three displaced refreshes keep r9 witnesses +
+    #     pytest + local-sweep coverage.
     'sample_stratified',
     'sim_ivf_join',
     'src_csv_roundtrip',
