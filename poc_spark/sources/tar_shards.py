@@ -91,7 +91,7 @@ def _split_key_ext(name: str) -> tuple[str, str]:
     return name[: slash + 1] + base[:dot], base[dot + 1 :]
 
 
-def _iter_members(fh):
+def _iter_members(fh, want=None):
     """Stream (name, payload, error) triples from one open tar stream.
 
     Regular files yield payloads; directories / pax metadata / GNU
@@ -99,7 +99,10 @@ def _iter_members(fh):
     next member). A header that fails the checksum yields ONE error
     triple and resyncs by scanning forward block-by-block for the next
     checksum-valid header; a payload larger than MAX_MEMBER_BYTES
-    quarantines and is skipped in bounded chunks."""
+    quarantines and is skipped in bounded chunks. ``want(name)``, when
+    given, is the projection-pushdown hook: members it rejects have
+    their payload SKIPPED (bounded chunks, never buffered) and yield
+    nothing."""
 
     def read_block():
         b = fh.read(BLOCK)
@@ -155,6 +158,9 @@ def _iter_members(fh):
             # directory / pax / link / other metadata: skip payload
             _skip(fh, padded)
             continue
+        if want is not None and not want(name):
+            _skip(fh, padded)
+            continue
         if size > MAX_MEMBER_BYTES:
             yield name, None, (
                 f"member-too-large: {size} > {MAX_MEMBER_BYTES}"
@@ -179,13 +185,28 @@ def _skip(fh, n: int, chunk: int = 1 << 20) -> None:
 
 
 def read_tar_shards(
-    spark: SparkSession, path: str, n_tasks: int = 64
+    spark: SparkSession,
+    path: str,
+    n_tasks: int = 64,
+    extensions: set[str] | None = None,
 ) -> DataFrame:
     """Scan a directory of ``.tar[.gz]`` shards into ONE ROW PER SAMPLE
     (SAMPLES_SCHEMA): consecutive members sharing a key collapse into a
     ``parts`` map of extension→payload. Malformed members surface as
     rows with ``error`` set — filter ``error IS NULL`` for the clean
     stream, its complement for the quarantine sink.
+
+    ``extensions`` is PROJECTION PUSHDOWN INTO THE CONTAINER: when
+    given, members whose extension is not in the set have their
+    payload bytes SKIPPED in bounded chunks instead of read — a
+    caption-only scan of an image-text corpus moves the text bytes,
+    not the terabytes of pixels (on plain ``.tar`` over a seekable
+    store this is a seek past the image; .tar.gz still decompresses
+    but never buffers). Skipped members neither appear in ``parts``
+    nor count in ``n_members``/``total_bytes``, and a sample whose
+    every member is skipped is absent from the output (its key is
+    never observed); the header walk still sees every member, so
+    quarantine behavior is unchanged.
 
     Scale: the file list is bounded driver metadata; each task streams
     its shards with O(one member + one Arrow batch) memory and yields
@@ -204,6 +225,12 @@ def read_tar_shards(
 
     BATCH_ROWS = 256
     BATCH_BYTES = MAX_MEMBER_BYTES  # ~64 MB of payload per Arrow batch
+
+    want = (
+        None
+        if extensions is None
+        else (lambda name: _split_key_ext(name)[1] in extensions)
+    )
 
     def scan(batches):
         import gzip
@@ -241,7 +268,7 @@ def read_tar_shards(
                         if fname.endswith((".tar.gz", ".tgz"))
                         else raw
                     )
-                    for name, payload, err in _iter_members(fh):
+                    for name, payload, err in _iter_members(fh, want):
                         if err is not None:
                             close_sample()
                             rows.append([fname, name, None, 0, 0, err])
@@ -274,15 +301,18 @@ def write_tar_shards(
     """Distributed WebDataset sink: `df` must carry (key string, parts
     map<string,binary>). Each task partition writes ONE ``.tar`` shard;
     repartitioning by key guarantees a sample never spans shards (the
-    WebDataset invariant). Members are byte-deterministic: ustar
-    format, mtime 0, mode 0644, empty owner, extensions sorted within
-    a sample; NULL part values are skipped (a sample with no non-null
-    parts is dropped). Returns the number of samples written."""
+    WebDataset invariant). Shards are NAMED by partition id
+    (``shard-000000.tar`` …) — the numbered convention WebDataset
+    consumers rely on for brace-notation shard lists
+    (``shard-{000000..000007}.tar``); names and member bytes are both
+    deterministic across runs (ustar format, mtime 0, mode 0644, empty
+    owner, extensions sorted within a sample). NULL part values are
+    skipped (a sample with no non-null parts is dropped). Returns the
+    number of samples written."""
     import io
     import os
     import shutil
     import tarfile
-    import uuid as _uuid
 
     from pyspark.sql import functions as F
 
@@ -299,8 +329,10 @@ def write_tar_shards(
 
     def sink(batches):
         import pandas as pd
+        from pyspark import TaskContext
 
-        fname = os.path.join(path, f"shard-{_uuid.uuid4().hex[:12]}.tar")
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"shard-{pid:06d}.tar")
         n = 0
         with tarfile.open(fname, "w", format=tarfile.USTAR_FORMAT) as tf:
             for pdf in batches:

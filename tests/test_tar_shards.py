@@ -195,8 +195,9 @@ def test_empty_dir_raises(spark, tmp_path_repo):
 
 def test_writer_members_are_deterministic(spark, tmp_path_repo):
     # two writes of the same data produce byte-identical MEMBER streams
-    # (shard file names differ — uuid — but the content of the sample
-    # set must be reproducible: mtime 0, fixed owner/mode, sorted exts)
+    # (names are also deterministic — shard-%06d by partition id, see
+    # the numbered-names test; here the content of the sample set is
+    # pinned: mtime 0, fixed owner/mode, sorted exts)
     import hashlib
 
     def content_fingerprint(p):
@@ -218,3 +219,49 @@ def test_writer_members_are_deterministic(spark, tmp_path_repo):
     f1, f2 = content_fingerprint(p1), content_fingerprint(p2)
     assert f1 == f2
     assert all(m[1] == 0 for m in f1)  # mtime pinned
+
+
+def test_extension_pushdown_skips_payloads(spark, tmp_path_repo):
+    """extensions= is projection pushdown into the container: only the
+    requested members' payloads are materialized, skipped members
+    vanish from parts/counts, and a sample with no wanted member is
+    absent entirely — while quarantine behavior is unchanged."""
+    path = str(tmp_path_repo / "shards")
+    df = spark.createDataFrame(
+        [
+            ("a", {"png": b"\x89PNG" + b"x" * 1000, "txt": b"caption a"}),
+            ("b", {"png": b"\x89PNG" + b"y" * 1000}),  # image-only
+            ("c", {"txt": b"caption c"}),
+        ],
+        "key string, parts map<string,binary>",
+    )
+    write_tar_shards(df, path, n_shards=1)
+    got = {
+        r["key"]: r.asDict()
+        for r in read_tar_shards(spark, path, extensions={"txt"}).collect()
+    }
+    assert set(got) == {"a", "c"}  # image-only sample b is absent
+    assert set(got["a"]["parts"]) == {"txt"}
+    assert got["a"]["n_members"] == 1
+    assert got["a"]["total_bytes"] == len(b"caption a")
+    # full read still sees everything
+    full = {
+        r["key"]: r.asDict() for r in read_tar_shards(spark, path).collect()
+    }
+    assert set(full) == {"a", "b", "c"}
+    assert set(full["a"]["parts"]) == {"png", "txt"}
+
+
+def test_shard_names_are_numbered_and_deterministic(spark, tmp_path_repo):
+    """WebDataset numbered-shard convention: shard-%06d.tar by
+    partition id, identical file sets across runs."""
+    p1 = str(tmp_path_repo / "w1")
+    p2 = str(tmp_path_repo / "w2")
+    write_tar_shards(_samples_df(spark), p1, n_shards=3)
+    write_tar_shards(_samples_df(spark), p2, n_shards=3)
+    n1, n2 = sorted(os.listdir(p1)), sorted(os.listdir(p2))
+    assert n1 == n2
+    assert all(
+        len(n) == len("shard-000000.tar") and n.startswith("shard-")
+        for n in n1
+    )
