@@ -50,6 +50,7 @@ STREAM_ENTRIES = [
     "stream_restart_rollup",
     "stream_rollup_maintenance",
     "stream_ivm_join",
+    "stream_shard_ingest",
 ]
 
 SENSITIVITY_ENTRIES = ["stream_click_attribution", "stream_stateful_dedup"]
