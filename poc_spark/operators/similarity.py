@@ -1019,15 +1019,18 @@ def pq_rerank_topk(
     At 100 TB the float table is id-bucketed so the broadcast join
     prunes to the shortlist's buckets; the corpus-sized work stays in
     the codes scan."""
+    # rename the shortlist key before the join: with id_col='id' both
+    # sides would expose 'id' and the join condition / later
+    # F.col(id_col) resolution becomes ambiguous
     shortlist = pq_adc_topk(codes_df, codebook, query_vec, k_prime).select(
-        "id"
+        F.col("id").alias("_sl_id")
     )
     q = _as_double_array(query_vec)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sq = F.zip_with(v, q, lambda a, b: (a - b) * (a - b))
     dist = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
     cand = df.join(
-        F.broadcast(shortlist), df[id_col] == shortlist["id"], "inner"
+        F.broadcast(shortlist), df[id_col] == shortlist["_sl_id"], "inner"
     )
     return (
         cand.select(

@@ -111,11 +111,21 @@ def catalog_init(
     token = uuid.uuid4().hex[:8]
     entries = {}
     created_tags: list[tuple[str, str]] = []
+    import re
+
+    from poc_spark.sources.lake import _VERSION_RE
+
     for name, root in tables.items():
         cur = _ensure_versioned(root, spark, fs)
         entries[name] = {"root": root, "current": os.path.basename(cur)}
         ref = f"cat1-{name}-{token}"
-        create_tag(spark, root, ref)
+        # Pin the tag at the SAME version the catalog entry records —
+        # create_tag without at_version pins the table's HEAD at tag
+        # time, and a concurrent commit between _ensure_versioned and
+        # create_tag would leave `cur` unpinned against retention (the
+        # exact window the tags-first ordering exists to close).
+        v = int(re.search(_VERSION_RE, os.path.basename(cur)).group(1))
+        create_tag(spark, root, ref, at_version=v)
         created_tags.append((root, ref))
     payload = {"epoch": 1, "tables": entries}
     if not fs.put_if_absent(

@@ -194,7 +194,11 @@ def read_tar_shards(
     (SAMPLES_SCHEMA): consecutive members sharing a key collapse into a
     ``parts`` map of extension→payload. Malformed members surface as
     rows with ``error`` set — filter ``error IS NULL`` for the clean
-    stream, its complement for the quarantine sink.
+    stream, its complement for the quarantine sink. A quarantined
+    member does NOT close the sample around it: good members of the
+    same key before and after a corrupt one still collapse into ONE
+    row (per-key grouping downstream never double-counts a sample
+    because of a quarantine in its middle).
 
     ``extensions`` is PROJECTION PUSHDOWN INTO THE CONTAINER: when
     given, members whose extension is not in the set have their
@@ -270,7 +274,14 @@ def read_tar_shards(
                     )
                     for name, payload, err in _iter_members(fh, want):
                         if err is not None:
-                            close_sample()
+                            # Quarantine WITHOUT closing the current
+                            # sample: a corrupt member that falls
+                            # between two good members of the same
+                            # sample must not split it into two rows
+                            # with the same key (downstream per-key
+                            # grouping would double-count). The error
+                            # row stands alone; the open sample
+                            # reassembles around it.
                             rows.append([fname, name, None, 0, 0, err])
                             continue
                         key, ext = _split_key_ext(name)
@@ -304,11 +315,18 @@ def write_tar_shards(
     WebDataset invariant). Shards are NAMED by partition id
     (``shard-000000.tar`` …) — the numbered convention WebDataset
     consumers rely on for brace-notation shard lists
-    (``shard-{000000..000007}.tar``); names and member bytes are both
-    deterministic across runs (ustar format, mtime 0, mode 0644, empty
-    owner, extensions sorted within a sample). NULL part values are
-    skipped (a sample with no non-null parts is dropped). Returns the
-    number of samples written."""
+    (``shard-{000000..000007}.tar``), and EVERY partition emits its
+    shard, empty partitions included (an empty tar is just the
+    end-of-archive marker, which the scanner reads as zero samples) —
+    so the numbering is always gap-free 0..n_shards-1. Names and
+    member bytes are both deterministic across runs: rows are
+    ``sortWithinPartitions(key)``-ordered before the sink (shuffle
+    arrival order alone is NOT deterministic for multi-partition
+    upstreams), members use ustar format with mtime 0, mode 0644,
+    empty owner, extensions sorted within a sample — consumers also
+    get key-sorted shards for free. NULL part values are skipped (a
+    sample with no non-null parts is dropped). Returns the number of
+    samples written."""
     import io
     import os
     import shutil
@@ -354,13 +372,15 @@ def write_tar_shards(
                         info.uid = info.gid = 0
                         tf.addfile(info, io.BytesIO(data))
                     n += 1
-        if n == 0:  # empty partition: no empty shard files
-            os.unlink(fname)
+        # empty partitions KEEP their (valid, empty) shard so the
+        # shard-%06d numbering never has gaps — brace-notation shard
+        # lists depend on contiguous numbers
         yield pd.DataFrame([[fname, n]], columns=["file", "n_samples"])
 
     result = (
         df.select("key", "parts")
         .repartition(n_shards, "key")
+        .sortWithinPartitions("key")
         .mapInPandas(sink, out_schema)
         .agg(F.sum("n_samples"))
         .collect()[0][0]

@@ -652,3 +652,14 @@ def test_pq_rerank_recovers_exact_order(spark, tmp_path):
         for r in pq_rerank_topk(df, codes, cb, q, k=5, k_prime=8).collect()
     ]
     assert got == exact_order(shortlist)
+
+    # id_col='id' must not be ambiguous against the shortlist's key
+    # (regression: the shortlist column is renamed before the join)
+    df_id = df.withColumnRenamed("vec_id", "id")
+    full_id = [
+        (r["id"], r["dist"])
+        for r in pq_rerank_topk(
+            df_id, codes, cb, q, k=5, k_prime=32, id_col="id"
+        ).collect()
+    ]
+    assert full_id == full

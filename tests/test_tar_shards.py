@@ -252,6 +252,65 @@ def test_extension_pushdown_skips_payloads(spark, tmp_path_repo):
     assert set(full["a"]["parts"]) == {"png", "txt"}
 
 
+def test_quarantine_mid_sample_does_not_split_it(spark, tmp_path_repo):
+    """A corrupt member BETWEEN two good members of the same sample
+    yields one error row but the sample still reassembles into ONE
+    output row (per-key grouping downstream must not double-count)."""
+    path = str(tmp_path_repo / "midq")
+    os.makedirs(path)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for ext, data in (("p1", b"first"), ("bad", b"doomed"), ("p2", b"second")):
+            info = tarfile.TarInfo(name=f"a.{ext}")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    raw = bytearray(buf.getvalue())
+    # stomp the SECOND member's header (block 2: hdr0@0, payload@1, hdr1@2)
+    raw[2 * BLOCK : 2 * BLOCK + 16] = b"GARBAGEGARBAGEGA"
+    with open(os.path.join(path, "s.tar"), "wb") as f:
+        f.write(bytes(raw))
+    back = read_tar_shards(spark, path).collect()
+    errs = [r for r in back if r["error"] is not None]
+    good = [r for r in back if r["error"] is None]
+    assert len(errs) == 1 and "resync" in errs[0]["error"]
+    assert len(good) == 1  # ONE row for key 'a', not two
+    assert good[0]["key"] == "a"
+    assert set(good[0]["parts"]) == {"p1", "p2"}
+    assert bytes(good[0]["parts"]["p1"]) == b"first"
+    assert bytes(good[0]["parts"]["p2"]) == b"second"
+
+
+def test_empty_partitions_keep_shards_numbering_gap_free(spark, tmp_path_repo):
+    """Far fewer samples than shards: every partition still emits its
+    (possibly empty) shard, so shard-%06d numbering is contiguous
+    0..n-1 — the brace-notation contract — and empty shards read back
+    as zero samples, zero errors."""
+    path = str(tmp_path_repo / "gapfree")
+    df = spark.createDataFrame(
+        [("a", {"txt": b"x"}), ("b", {"txt": b"y"})],
+        "key string, parts map<string,binary>",
+    )
+    n = write_tar_shards(df, path, n_shards=8)
+    assert n == 2
+    names = sorted(os.listdir(path))
+    assert names == [f"shard-{i:06d}.tar" for i in range(8)]
+    back = read_tar_shards(spark, path)
+    assert back.filter("error IS NOT NULL").count() == 0
+    assert back.count() == 2
+
+
+def test_members_key_sorted_within_shard(spark, tmp_path_repo):
+    """sortWithinPartitions(key) before the sink: member order inside
+    each shard is key-sorted (and therefore deterministic regardless of
+    shuffle arrival order)."""
+    path = str(tmp_path_repo / "sorted")
+    write_tar_shards(_samples_df(spark), path, n_shards=3)
+    for f in os.listdir(path):
+        with tarfile.open(os.path.join(path, f)) as tf:
+            keys = [_split_key_ext(m.name)[0] for m in tf.getmembers()]
+        assert keys == sorted(keys)
+
+
 def test_shard_names_are_numbered_and_deterministic(spark, tmp_path_repo):
     """WebDataset numbered-shard convention: shard-%06d.tar by
     partition id, identical file sets across runs."""
