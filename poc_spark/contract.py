@@ -4234,6 +4234,130 @@ def pipeline_shard_to_pixels(spark, sf_dir):
     )
 
 
+@register(
+    "mm_phash",
+    """
+    WITH sel AS (SELECT doc_id FROM documents),
+    nxt AS (
+      SELECT doc_id, lead(doc_id) OVER (ORDER BY doc_id) AS next_id
+      FROM sel
+    )
+    SELECT doc_id AS base_id, kind, TRUE AS near
+    FROM sel CROSS JOIN (VALUES ('reencode'), ('rescale')) AS k(kind)
+    UNION ALL
+    SELECT doc_id AS base_id, 'distinct' AS kind, FALSE AS near
+    FROM nxt WHERE next_id IS NOT NULL
+    """,
+)
+def mm_phash(spark, sf_dir):
+    """64-bit DCT perceptual hash over DECODED pixels (operators/
+    imagedup.py — the image-dedup stage of every multimodal
+    pretraining pipeline; VERDICT r13 missing #2). Documents seed a
+    PLANTED corpus of real PNGs (multimodal.synthesize_spectral_png_
+    media): per doc a base rendering, a byte-different RE-ENCODE of
+    the identical pixels, and a RESCALE of the same continuous field
+    at a different raster. The entry hashes all three through the real
+    decode lane (CRC walk, inflate, defilter, grayscale, bilinear
+    32×32, DCT-II, median threshold) and reports, per planted
+    relation, whether the pair is within Hamming radius 3 — plus a
+    distinct-image control (each base vs the next doc's base). The
+    oracle derives the expected verdicts from the planted structure by
+    id arithmetic: re-encode MUST be near (bit-identical, in fact —
+    pytest pins Hamming 0), rescale MUST survive the raster change,
+    distinct spectra MUST be far (measured margins: rescale ≤ 2 bits,
+    distinct ≥ 20 — IMAGE_DEDUP_RECALL.json). Quarantine and the
+    banding path are pytest-pinned (tests/test_imagedup.py)."""
+    from poc_spark.operators.imagedup import phash64
+    from poc_spark.operators.multimodal import synthesize_spectral_png_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hashes = phash64(synthesize_spectral_png_media(docs))
+    base = hashes.filter(F.col("media_id") % 10 == 0).select(
+        F.expr("media_id DIV 10").alias("base_id"),
+        F.col("phash").alias("p_base"),
+    )
+    variants = hashes.filter(F.col("media_id") % 10 != 0).select(
+        F.expr("media_id DIV 10").alias("base_id"),
+        F.when(F.col("media_id") % 10 == 1, F.lit("reencode"))
+        .otherwise(F.lit("rescale"))
+        .alias("kind"),
+        F.col("phash").alias("p_var"),
+    )
+    from pyspark.sql import Window
+
+    near = variants.join(base, "base_id").select(
+        "base_id",
+        "kind",
+        (
+            F.bit_count(F.col("p_var").bitwiseXOR(F.col("p_base"))) <= 3
+        ).alias("near"),
+    )
+    w = Window.orderBy("base_id")
+    control = (
+        base.select(
+            "base_id",
+            "p_base",
+            F.lead("p_base").over(w).alias("p_next"),
+        )
+        .filter(F.col("p_next").isNotNull())
+        .select(
+            "base_id",
+            F.lit("distinct").alias("kind"),
+            (
+                F.bit_count(F.col("p_base").bitwiseXOR(F.col("p_next"))) <= 3
+            ).alias("near"),
+        )
+    )
+    return near.unionByName(control)
+
+
+@register(
+    "pipeline_image_dedup",
+    """
+    SELECT (doc_id * 10)::BIGINT AS survivor, 3::BIGINT AS n_members
+    FROM documents
+    """,
+)
+def pipeline_image_dedup(spark, sf_dir):
+    """END-TO-END image dedup from the production container: the
+    planted spectral-PNG corpus (base + re-encode + rescale per doc)
+    ships as WebDataset tar shards, is read back by the streaming
+    ustar walker, decoded, pHashed, banded (4×16-bit pigeonhole —
+    complete for Hamming ≤ 3), clustered by pointer-jumping connected
+    components, and reduced to one survivor row per duplicate group.
+    The oracle knows every group by construction: each doc's three
+    variants are pairwise within radius 3 (re-encode at 0, rescale
+    ≤ 2) and distinct docs' spectra are ≥ 20 bits apart, so the
+    survivor set is exactly {base media_id, n=3} per doc — any missed
+    near-dup, any false merge, or any member lost in the tar/decode
+    hops breaks the hash match. Pixels are touched once (hash inside
+    the decode lane); clustering runs on 8-byte signatures."""
+    from poc_spark.operators.imagedup import image_dedup_survivors, phash64
+    from poc_spark.operators.multimodal import synthesize_spectral_png_media
+    from poc_spark.sources.tar_shards import read_tar_shards, write_tar_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = synthesize_spectral_png_media(docs)
+    path = _export_path("imgdedup", sf_dir)
+    samples = corpus.select(
+        F.format_string("%012d", F.col("media_id")).alias("key"),
+        F.create_map(F.lit("png"), F.col("payload")).alias("parts"),
+    )
+    n = write_tar_shards(samples, path, n_shards=8)
+    back = read_tar_shards(spark, path)
+    bad = back.filter(F.col("error").isNotNull()).count()
+    if bad or n != 3 * docs.count():
+        raise RuntimeError(
+            f"pipeline_image_dedup: {bad} quarantined, {n} written — "
+            "a fresh synthesized corpus must ship clean"
+        )
+    media = back.select(
+        F.col("key").cast("long").alias("media_id"),
+        F.col("parts").getItem("png").alias("payload"),
+    )
+    return image_dedup_survivors(phash64(media), max_hamming=3, chunks=4)
+
+
 @register("src_jsonl_roundtrip", _jsonl_oracle("sf0.01"))
 def src_jsonl_roundtrip(spark, sf_dir):
     """JSONL source/sink interop — the standard LLM-corpus format:

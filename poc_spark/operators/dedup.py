@@ -1344,34 +1344,42 @@ def simhash_signatures(
     return votes.select("id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
+def hamming_band_pairs(
+    sigs: DataFrame,
     max_hamming: int = 3,
     chunks: int = 4,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    hash_fn: str = "xxhash64",
     bits: int = 64,
+    id_col: str = "id",
+    sig_col: str = "sig",
 ) -> DataFrame:
-    """Pairs (id_a < id_b, hamming ≤ max_hamming) on SimHash, via
-    pigeonhole chunk banding: with `chunks` equal-width pieces, any pair
-    within hamming distance < chunks shares at least one exact piece —
-    recall is 100% (requires max_hamming < chunks), and the join is a
-    bucket join, not all-pairs."""
+    """Pairs (id_a < id_b, hamming ≤ max_hamming) over ANY long bit
+    signature (SimHash, pHash, …), via pigeonhole chunk banding: with
+    `chunks` equal-width pieces, any pair within hamming distance
+    < chunks shares at least one exact piece — recall is 100%
+    (requires max_hamming < chunks), and the join is a bucket join,
+    not all-pairs.
+
+    Scale tuning: piece width = bits/chunks bounds bucket occupancy at
+    |corpus| / 2^width expected per (chunk, piece) bucket, so widen
+    pieces (fewer chunks) as the corpus grows and the needed radius
+    allows — 4×16-bit chunks (radius ≤ 3) give 65 536 buckets per
+    chunk; 8×8-bit chunks (radius ≤ 7) only 256, quadratic inside each
+    at billions of rows. For large radii at large scale the published
+    fix is recursive pigeonhole over sub-chunks (multi-index hashing,
+    Norouzi et al. 2012) — same plan shape, one more banding level."""
     if max_hamming >= chunks:
         raise ValueError("pigeonhole completeness needs max_hamming < chunks")
     width = bits // chunks
-    sigs = simhash_signatures(df, text_col, id_col, hash_fn, bits)
     mask = (1 << width) - 1
     pieces = sigs.select(
-        "id",
-        "simhash",
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * width)
+                        F.shiftright(F.col(sig_col), c * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("piece"),
                     )
@@ -1379,7 +1387,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("cp"),
-    ).select("id", "simhash", "cp.chunk", "cp.piece")
+    ).select("id", "sig", "cp.chunk", "cp.piece")
 
     a = pieces.alias("a")
     b = pieces.alias("b")
@@ -1394,11 +1402,28 @@ def simhash_near_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
             ).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    bits: int = 64,
+) -> DataFrame:
+    """Pairs (id_a < id_b, hamming ≤ max_hamming) on SimHash — the
+    text instance of hamming_band_pairs' pigeonhole banding."""
+    sigs = simhash_signatures(df, text_col, id_col, hash_fn, bits)
+    return hamming_band_pairs(
+        sigs, max_hamming, chunks, bits, id_col="id", sig_col="simhash"
     )
 
 

@@ -411,6 +411,99 @@ def synthesize_png_media(
     )
 
 
+def _spectral_pixels(did: int, w: int, h: int) -> bytes:
+    """(w*h*3) RGB bytes of a smooth 'natural-looking' grayscale field
+    rendered from a content-derived LOW-FREQUENCY SPECTRUM: one md5
+    byte per (kx, ky) cell of the 8×8 DCT-frequency grid (DC fixed at
+    128), sign from the high bit, magnitude bounded AWAY from zero and
+    rolled off ~1/(1+kx+ky) like natural image spectra. Rendering uses
+    NORMALIZED coordinates — cos(π·kx·(c+0.5)/w) — so ANY raster
+    (w, h) samples the SAME continuous image: re-rendering at a
+    different size is a true rescale of identical visual content, the
+    planted near-duplicate a perceptual hash must catch. Every low
+    frequency carries meaningful energy, which is what makes all 63
+    pHash bits well-conditioned (no near-zero coefficients whose sign
+    flips under resampling)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    stream = b"".join(
+        hashlib.md5(f"img{did}:{i}".encode()).digest() for i in range(4)
+    )
+    y = (np.arange(h, dtype=np.float64)[:, None] + 0.5) / h
+    x = (np.arange(w, dtype=np.float64)[None, :] + 0.5) / w
+    acc = np.full((h, w), 128.0)
+    idx = 0
+    for ky in range(8):
+        cy = np.cos(math.pi * ky * y)
+        for kx in range(8):
+            if kx == 0 and ky == 0:
+                continue
+            b = stream[idx]
+            idx += 1
+            sign = 1.0 if b & 0x80 else -1.0
+            mag = (4.0 + (b & 0x3F) / 8.0) / (1.0 + kx + ky)
+            acc = acc + sign * mag * np.cos(math.pi * kx * x) * cy
+    gray = np.clip(np.round(acc), 0, 255).astype(np.uint8)
+    return np.repeat(gray[:, :, None], 3, axis=2).tobytes()
+
+
+#: (media_id, kind) layout of the planted image-dedup corpus:
+#: media_id = doc_id*10 + code, so oracles derive the ground truth by
+#: id arithmetic alone
+SPECTRAL_VARIANTS = {"base": 0, "reencode": 1, "rescale": 2}
+
+
+def synthesize_spectral_png_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    variants: tuple[str, ...] = ("base", "reencode", "rescale"),
+) -> DataFrame:
+    """(media_id, base_id, kind, payload) — a PLANTED image near-dup
+    corpus of real PNGs: per source row, a `base` rendering of the
+    spectral field at (36+id%29, 36+id*3%23), a `reencode` (identical
+    pixels, different PNG filter seed — byte-different container, the
+    recompressed-copy case), and a `rescale` (the SAME continuous
+    field re-rendered at 13/10 × 14/10 the raster — the
+    thumbnail/re-upload case). Distinct ids draw independent spectra,
+    so non-planted pairs are far in pHash space by construction.
+    media_id = base_id*10 + SPECTRAL_VARIANTS[kind] keeps the ground
+    truth derivable by id arithmetic (the planted-oracle pattern)."""
+    import hashlib  # noqa: F401  (used by _spectral_pixels)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 36 + did % 29, 36 + (did * 3) % 23
+                base_px = None
+                for kind in variants:
+                    code = SPECTRAL_VARIANTS[kind]
+                    if kind == "rescale":
+                        w2, h2 = (w * 13) // 10, (h * 14) // 10
+                        px = _spectral_pixels(did, w2, h2)
+                        payload = _png_encode(px, w2, h2, filt_seed=did)
+                    else:
+                        if base_px is None:
+                            base_px = _spectral_pixels(did, w, h)
+                        payload = _png_encode(
+                            base_px, w, h,
+                            filt_seed=did + (7 if kind == "reencode" else 0),
+                        )
+                    rows.append((did * 10 + code, did, kind, payload))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "base_id", "kind", "payload"]
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches,
+        "media_id long, base_id long, kind string, payload binary",
+    )
+
+
 def _png_defilter(data: bytes, w: int, h: int, bpp: int) -> bytes:
     """Reverse the five standard PNG row filters (spec §6). None/Sub/Up
     are numpy-vectorized per scanline (Sub's recon[x] = raw[x] +

@@ -1,0 +1,99 @@
+"""Perceptual image near-dup (operators/imagedup.py): pHash
+invariance/robustness/separation on planted spectral PNGs, banding
+completeness vs brute force, end-to-end survivor grouping, quarantine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from poc_spark.operators.imagedup import (
+    image_dedup_survivors,
+    phash64,
+    phash_near_pairs,
+)
+from poc_spark.operators.multimodal import synthesize_spectral_png_media
+
+
+def _corpus(spark, n=40):
+    docs = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    return synthesize_spectral_png_media(docs)
+
+
+def _hashes(spark, n=40):
+    return phash64(_corpus(spark, n)).cache()
+
+
+def test_phash_reencode_is_exact_rescale_is_near_distinct_is_far(spark):
+    h = {r["media_id"]: r for r in _hashes(spark).collect()}
+    assert len(h) == 120
+    for did in range(40):
+        base, re_, rs = h[did * 10], h[did * 10 + 1], h[did * 10 + 2]
+        assert base["phash"] is not None
+        # re-encode: byte-different container, identical pixels → 0 bits
+        assert re_["phash"] == base["phash"]
+        # rescale: same continuous content, different raster → ≤ 3 bits
+        ham_rs = bin((base["phash"] ^ rs["phash"]) & ((1 << 64) - 1)).count("1")
+        assert ham_rs <= 3, (did, ham_rs)
+        assert (rs["width"], rs["height"]) != (base["width"], base["height"])
+        # distinct: independent spectrum → far
+        other = h[((did + 1) % 40) * 10]
+        ham_d = bin((base["phash"] ^ other["phash"]) & ((1 << 64) - 1)).count(
+            "1"
+        )
+        assert ham_d >= 10, (did, ham_d)
+
+
+def test_banding_pairs_match_brute_force(spark):
+    hashes = _hashes(spark, 25)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_near_pairs(hashes, max_hamming=3, chunks=4).collect()
+    }
+    rows = hashes.collect()
+    want = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            x, y = sorted((a["media_id"], b["media_id"]))
+            ham = bin((a["phash"] ^ b["phash"]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                want.add((x, y, ham))
+    assert got == want
+    assert len(want) >= 25 * 3  # every planted triple is pairwise-near
+
+
+def test_survivor_groups_are_the_planted_triples(spark):
+    surv = image_dedup_survivors(_hashes(spark, 30)).collect()
+    got = {(r["survivor"], r["n_members"]) for r in surv}
+    assert got == {(did * 10, 3) for did in range(30)}
+
+
+def test_corrupt_and_unknown_payloads_quarantine(spark):
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, b"not an image at all"),
+            (3, b"\x89PNG\r\n\x1a\n" + b"torn"),
+            (4, b"\xff\xd8\xff\xe0torn jpeg"),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in phash64(df).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r["phash"] is None and r["width"] is None
+
+
+def test_phash_reads_real_jpeg_payloads(spark):
+    # signature sniffing: the synthesized JPEG tier hashes through the
+    # same operator (content differs from PNGs — only the plumbing is
+    # shared)
+    from poc_spark.operators.multimodal import synthesize_jpeg_media
+
+    docs = spark.range(0, 8).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    media = synthesize_jpeg_media(docs, corrupt_every=None)
+    rows = phash64(media).collect()
+    assert len(rows) == 8
+    assert all(r["phash"] is not None for r in rows)
