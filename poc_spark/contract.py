@@ -4264,8 +4264,9 @@ def mm_phash(spark, sf_dir):
     oracle derives the expected verdicts from the planted structure by
     id arithmetic: re-encode MUST be near (bit-identical, in fact —
     pytest pins Hamming 0), rescale MUST survive the raster change,
-    distinct spectra MUST be far (measured margins: rescale ≤ 2 bits,
-    distinct ≥ 20 — IMAGE_DEDUP_RECALL.json). Quarantine and the
+    distinct spectra MUST be far (measured margins over the 5000-doc
+    sf0.1 tail: rescale ≤ 4 bits, distinct ≥ 18; real-JPEG
+    recompression ≤ 10 — IMAGE_DEDUP_RECALL.json). Quarantine and the
     banding path are pytest-pinned (tests/test_imagedup.py)."""
     from poc_spark.operators.imagedup import phash64
     from poc_spark.operators.multimodal import synthesize_spectral_png_media
@@ -4289,7 +4290,7 @@ def mm_phash(spark, sf_dir):
         "base_id",
         "kind",
         (
-            F.bit_count(F.col("p_var").bitwiseXOR(F.col("p_base"))) <= 3
+            F.bit_count(F.col("p_var").bitwiseXOR(F.col("p_base"))) <= 6
         ).alias("near"),
     )
     w = Window.orderBy("base_id")
@@ -4304,7 +4305,7 @@ def mm_phash(spark, sf_dir):
             "base_id",
             F.lit("distinct").alias("kind"),
             (
-                F.bit_count(F.col("p_base").bitwiseXOR(F.col("p_next"))) <= 3
+                F.bit_count(F.col("p_base").bitwiseXOR(F.col("p_next"))) <= 6
             ).alias("near"),
         )
     )
@@ -4322,12 +4323,16 @@ def pipeline_image_dedup(spark, sf_dir):
     """END-TO-END image dedup from the production container: the
     planted spectral-PNG corpus (base + re-encode + rescale per doc)
     ships as WebDataset tar shards, is read back by the streaming
-    ustar walker, decoded, pHashed, banded (4×16-bit pigeonhole —
-    complete for Hamming ≤ 3), clustered by pointer-jumping connected
+    ustar walker, decoded, pHashed, banded (8×8-bit pigeonhole —
+    complete for Hamming ≤ 7, the radius that also absorbs JPEG-grade
+    recompression; the 4×16-bit radius-3 setting is the bucket-rich
+    choice when rasters are stable — IMAGE_DEDUP_RECALL.json measures
+    both), clustered by pointer-jumping connected
     components, and reduced to one survivor row per duplicate group.
     The oracle knows every group by construction: each doc's three
-    variants are pairwise within radius 3 (re-encode at 0, rescale
-    ≤ 2) and distinct docs' spectra are ≥ 20 bits apart, so the
+    variants are pairwise within radius 6 (re-encode at 0, rescale
+    ≤ 4 over the 5000-doc tail) and distinct docs' spectra are ≥ 18
+    bits apart, so the
     survivor set is exactly {base media_id, n=3} per doc — any missed
     near-dup, any false merge, or any member lost in the tar/decode
     hops breaks the hash match. Pixels are touched once (hash inside
@@ -4355,7 +4360,7 @@ def pipeline_image_dedup(spark, sf_dir):
         F.col("key").cast("long").alias("media_id"),
         F.col("parts").getItem("png").alias("payload"),
     )
-    return image_dedup_survivors(phash64(media), max_hamming=3, chunks=4)
+    return image_dedup_survivors(phash64(media), max_hamming=6, chunks=8)
 
 
 @register("src_jsonl_roundtrip", _jsonl_oracle("sf0.01"))
@@ -7484,6 +7489,126 @@ def sim_ivfpq_query(spark, sf_dir):
     return pq_adc_topk(codes, cb, q, 10)
 
 
+def _ivfpq_rerank_oracle(sf_base: str) -> str:
+    # the THREE-stage replay: IVF probe pruning (candidates only from
+    # the stored artifact's probed hive partitions), ADC shortlist of
+    # k' over those candidates (encode + LUT + sub-ordered fold,
+    # LIMIT 50 under pq_adc_topk's exact total order), then the exact
+    # per-dimension L2² re-rank of only the shortlist — both prunings
+    # and every re-ranked double value-hashed.
+    root = os.path.join(_REPO_ROOT, ".tmp", "ivfpqrr", sf_base)
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    cents AS (
+      SELECT centroid_id, center
+      FROM read_parquet('{root}/ivf/centroids/*.parquet')
+    ),
+    probe AS (
+      SELECT centroid_id FROM cents, q
+      ORDER BY list_cosine_similarity(center, qv) DESC, centroid_id
+      LIMIT 4
+    ),
+    cand AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM read_parquet('{root}/ivf/vectors/*/*.parquet',
+                        hive_partitioning = true)
+      WHERE centroid IN (SELECT centroid_id FROM probe)
+    ),
+    cb AS (
+      SELECT sub, code, center
+      FROM read_parquet('{root}/codebook/*.parquet')
+    ),
+    sd AS (
+      SELECT cand.vec_id, cb.sub, cb.code,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+                 d -> (v[cb.sub * 16 + d] - cb.center[d])
+                    * (v[cb.sub * 16 + d] - cb.center[d]))),
+               (acc, x) -> acc + x) AS dist
+      FROM cand, cb
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM sd
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist ASC, code ASC) = 1
+    ),
+    lut AS (
+      SELECT cb.sub, cb.code,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+                 d -> (qv[cb.sub * 16 + d] - cb.center[d])
+                    * (qv[cb.sub * 16 + d] - cb.center[d]))),
+               (acc, x) -> acc + x) AS ld
+      FROM cb, q
+    ),
+    shortlist AS (
+      SELECT enc.vec_id,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list(lut.ld ORDER BY enc.sub)),
+               (acc, x) -> acc + x) AS adist
+      FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+      GROUP BY enc.vec_id
+      ORDER BY round(adist, 6) ASC, vec_id ASC LIMIT 50
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    rr AS (
+      SELECT e.vec_id,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                 d -> (v[d] - qv[d]) * (v[d] - qv[d]))),
+               (acc, x) -> acc + x) AS dist
+      FROM e JOIN shortlist USING (vec_id), q
+    )
+    SELECT vec_id AS id, round(dist, 6) AS dist
+    FROM rr ORDER BY dist ASC, id ASC LIMIT 10
+    """
+
+
+@register("sim_ivfpq_rerank", _ivfpq_rerank_oracle("sf0.01"))
+def sim_ivfpq_rerank(spark, sf_dir):
+    """THREE-STAGE ANN serving — IVF probe → ADC → exact re-rank
+    (similarity.ivfpq_rerank_topk; VERDICT r13 missing #3): the IVF
+    index prunes the CANDIDATE SET to the query's 4 nearest lists
+    (hive partition pruning on the fit-once artifact — the ADC scan
+    reads ~n_probe/n_lists of the codes, which is what makes re-rank
+    affordable at 10⁹ vectors where sim_pq_rerank's stage 1 still
+    scans every code); PQ prunes the BYTES (4-byte codes, LUT adds);
+    the exact L2² re-rank touches only the 50-row broadcast
+    shortlist. All three stages replay in the oracle from the stored
+    artifacts — probe membership, shortlist membership, and every
+    re-ranked double are value-hashed. Recall vs (n_probe, k') is
+    receipted in PQ_RECALL.json ('ivfpq_rerank' block): probing 4/16
+    lists matches the full-scan re-rank curve within noise while
+    reading a quarter of the codes."""
+    from poc_spark.operators.similarity import (
+        build_ivf_index,
+        ivfpq_rerank_topk,
+        load_ivf_index,
+        load_pq_codebook,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _export_path("ivfpqrr", sf_dir)
+    # fresh artifacts each run (stale-artifact rule); cheap-fit — the
+    # oracle replays the persisted artifacts, quality moves recall only
+    build_ivf_index(
+        emb, f"{path}/ivf", n_centroids=16, sample_fraction=0.5, max_iter=6
+    )
+    pq_train(emb, path, m_sub=4, k=16, sample_fraction=0.5, max_iter=6)
+    vectors, cents = load_ivf_index(spark, f"{path}/ivf")
+    cb = load_pq_codebook(spark, path)
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return ivfpq_rerank_topk(
+        emb, vectors, cents, cb, q, n_probe=4, k=10, k_prime=50
+    )
+
+
 def _ivfpq_residual_oracle(sf_base: str) -> str:
     # assignment comes FROM THE ARTIFACT (the vectors table's hive
     # partition — no re-derivation race); residuals, encode, the
@@ -10250,6 +10375,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["sim_pq_topk"] = _pq_oracle(sf_base)
     out["sim_pq_rerank"] = _pq_rerank_oracle(sf_base)
     out["sim_ivfpq_query"] = _ivfpq_oracle(sf_base)
+    out["sim_ivfpq_rerank"] = _ivfpq_rerank_oracle(sf_base)
     out["sim_ivfpq_residual"] = _ivfpq_residual_oracle(sf_base)
     out["dedup_semdedup"] = _semdedup_oracle(sf_base)
     out["sim_ivf_join"] = _ivf_join_oracle(sf_base)

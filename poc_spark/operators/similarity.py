@@ -1041,6 +1041,67 @@ def pq_rerank_topk(
     )
 
 
+def ivf_probe_lists(
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    n_probe: int = 4,
+) -> list[int]:
+    """The query's n_probe nearest IVF lists by centroid cosine
+    (DESC, centroid_id ASC tie-break — the same total order the IVF
+    oracles replay). Driver-side over the broadcastable centroid set:
+    n_centroids is KBs even at trillion-vector scale."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    scored = sorted(
+        (
+            (
+                cid,
+                sum(a * b for a, b in zip(query_vec, c))
+                / ((qn * math.sqrt(sum(x * x for x in c))) or 1.0),
+            )
+            for cid, c in centroids
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return [cid for cid, _ in scored[:n_probe]]
+
+
+def ivfpq_rerank_topk(
+    df: DataFrame,
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebook: list[list[list[float]]],
+    query_vec: list[float],
+    n_probe: int = 4,
+    k: int = 10,
+    k_prime: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """THREE-STAGE ANN serving — the full production FAISS path
+    (Jégou et al. 2011 §V + the IVF coarse quantizer): (1) IVF PROBE
+    prunes the candidate set to the query's n_probe nearest lists
+    (partition pruning on the index artifact's hive layout — the scan
+    reads ~n_probe/n_lists of the codes, which is what makes stage 2
+    affordable at 10⁹ vectors); (2) ADC over ONLY the probed lists'
+    codes builds the k' shortlist (compressed distance, never a float
+    vector); (3) EXACT L2² re-rank of the k'-row shortlist against
+    the float table via broadcast join (pq_rerank_topk's stage 2 —
+    k' rows of floats, corpus-size-independent).
+
+    `vectors` is the loaded IVF index (id, centroid, vec — the
+    load_ivf_index frame); `df` the float table re-ranked against.
+    Recall vs (n_probe, k') is receipted in PQ_RECALL.json
+    ('ivfpq_rerank' block)."""
+    probe = ivf_probe_lists(centroids, query_vec, n_probe)
+    cand = vectors.filter(F.col("centroid").isin(probe))
+    codes = pq_encode(cand, codebook, vec_col=vec_col, id_col=id_col)
+    return pq_rerank_topk(
+        df, codes, codebook, query_vec, k, k_prime, vec_col, id_col
+    )
+
+
 def pq_residual_df(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

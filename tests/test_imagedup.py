@@ -31,9 +31,11 @@ def test_phash_reencode_is_exact_rescale_is_near_distinct_is_far(spark):
         assert base["phash"] is not None
         # re-encode: byte-different container, identical pixels → 0 bits
         assert re_["phash"] == base["phash"]
-        # rescale: same continuous content, different raster → ≤ 3 bits
+        # rescale: same continuous content, different raster → within
+        # the entries' radius (worst over the full 5000-id tail is 4 —
+        # IMAGE_DEDUP_RECALL.json tail_5000_ids)
         ham_rs = bin((base["phash"] ^ rs["phash"]) & ((1 << 64) - 1)).count("1")
-        assert ham_rs <= 3, (did, ham_rs)
+        assert ham_rs <= 6, (did, ham_rs)
         assert (rs["width"], rs["height"]) != (base["width"], base["height"])
         # distinct: independent spectrum → far
         other = h[((did + 1) % 40) * 10]

@@ -663,3 +663,80 @@ def test_pq_rerank_recovers_exact_order(spark, tmp_path):
         ).collect()
     ]
     assert full_id == full
+
+
+def test_ivfpq_rerank_three_stage(spark, tmp_path):
+    """IVF probe → ADC → exact re-rank: with every list probed and
+    k' = N the composition recovers brute-force exact top-k; with a
+    partial probe the result is exactly the exact-L2 re-ranking of
+    the ADC shortlist drawn from the probed lists only."""
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_lists,
+        ivfpq_rerank_topk,
+        load_ivf_index,
+        load_pq_codebook,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rows = []
+    for i in range(48):
+        vec = []
+        for j in range(4):
+            vec += [float((i * 5 + j * 7) % 11), float((i + 2 * j) % 6)] * 8
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    root = str(tmp_path / "ivfpqrr")
+    build_ivf_index(df, f"{root}/ivf", n_centroids=4, max_iter=4)
+    pq_train(df, root, m_sub=4, k=4, max_iter=4)
+    vectors, cents = load_ivf_index(spark, f"{root}/ivf")
+    cb = load_pq_codebook(spark, root)
+    q = rows[7][1]
+
+    def exact_order(ids, k=5):
+        ql = F.array(*[F.lit(float(x)) for x in q])
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        d = F.aggregate(
+            F.zip_with(v, ql, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        base = df if ids is None else df.filter(F.col("vec_id").isin(ids))
+        return [
+            (r["id"], r["dist"])
+            for r in base.select(
+                F.col("vec_id").alias("id"), F.round(d, 6).alias("dist")
+            )
+            .orderBy("dist", "id")
+            .limit(k)
+            .collect()
+        ]
+
+    # full probe + full shortlist: brute force recovered
+    got = [
+        (r["id"], r["dist"])
+        for r in ivfpq_rerank_topk(
+            df, vectors, cents, cb, q, n_probe=4, k=5, k_prime=48
+        ).collect()
+    ]
+    assert got == exact_order(None)
+    assert got[0][0] == 7 and got[0][1] == 0.0
+
+    # partial probe: membership = ADC shortlist over probed lists only
+    probe = ivf_probe_lists(cents, q, 2)
+    cand = vectors.filter(F.col("centroid").isin(probe))
+    shortlist = [
+        int(r["id"])
+        for r in pq_adc_topk(pq_encode(cand, cb), cb, q, 8).collect()
+    ]
+    got2 = [
+        (r["id"], r["dist"])
+        for r in ivfpq_rerank_topk(
+            df, vectors, cents, cb, q, n_probe=2, k=5, k_prime=8
+        ).collect()
+    ]
+    assert got2 == exact_order(shortlist)

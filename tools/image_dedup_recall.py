@@ -187,10 +187,49 @@ def main() -> int:
             }
         )
 
+    # full-tail scan over the sf0.1 id range (driver-side numpy — the
+    # exact arithmetic of the shipped operator): the 300-base sample
+    # above misses the rescale tail; the oracled entries' radius must
+    # clear the WORST planted pair over every id the driver will run
+    from poc_spark.operators.imagedup import _bilinear_32, _dct32
+    from poc_spark.operators.multimodal import _spectral_pixels as _sp
+
+    def _ph_local(did, w, h):
+        rgb = np.frombuffer(_sp(did, w, h), dtype=np.uint8).reshape(h, w, 3)
+        gray = (
+            77 * rgb[:, :, 0].astype(np.int64)
+            + 150 * rgb[:, :, 1].astype(np.int64)
+            + 29 * rgb[:, :, 2].astype(np.int64)
+        ).astype(np.float64) / 256.0
+        coef = _dct32() @ _bilinear_32(gray) @ _dct32().T
+        block = coef[:8, :8].flatten()[1:]
+        med = float(np.median(block))
+        return sum(1 << i for i, v in enumerate(block) if v > med)
+
+    tail_rescale = []
+    tail_distinct_min = 64
+    prev_base = None
+    for did in range(5000):
+        w, h = 36 + did % 29, 36 + (did * 3) % 23
+        hb = _ph_local(did, w, h)
+        hr = _ph_local(did, (w * 13) // 10, (h * 14) // 10)
+        tail_rescale.append(ham(hb, hr))
+        if prev_base is not None:
+            tail_distinct_min = min(tail_distinct_min, ham(prev_base, hb))
+        prev_base = hb
+
     payload = {
         "n_base": n_base,
         "n_images": 5 * n_base,
         "hamming_by_kind": {k: qtiles(v) for k, v in dists.items()},
+        "tail_5000_ids": {
+            "rescale": qtiles(tail_rescale),
+            "distinct_consecutive_min": tail_distinct_min,
+            "note": (
+                "every sf0.1 planted rescale pair vs the entry radius "
+                "(6): worst observed must stay below it"
+            ),
+        },
         "settings": out_settings,
         "note": (
             "pairs within a base triple (reencode<->rescale etc.) are "
