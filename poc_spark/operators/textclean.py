@@ -98,10 +98,19 @@ def strip_boilerplate(
     (group, line), so its shuffle is skew-bounded by the largest site
     rather than by the global line domain.
 
-    Scale shape: the boilerplate line set is tiny by definition (only
-    lines repeated across >= min_docs docs survive the HAVING), so the
-    removal join is a broadcast LEFT ANTI — no shuffle of the corpus.
-    The per-doc reassembly groups by id and sorts each doc's surviving
+    Scale shape: the boilerplate line set is USUALLY tiny (only lines
+    repeated across >= min_docs docs survive the HAVING), so the
+    removal join defaults to a broadcast LEFT ANTI — no shuffle of the
+    corpus. But a pathological template-heavy crawl (most lines
+    repeated across docs of a big site) can blow the broadcast budget,
+    so the dispatch is ADAPTIVE (r13 finding #1): the HAVING survivors
+    are localCheckpointed (they are needed twice anyway — once to
+    count, once to join), and above
+    `spark.poc.textclean.boilerBroadcastMaxRows` rows (default
+    500 000 ≈ tens of MB of line text; 0 forces the scale side — the
+    forced-all sweep exercises it) the anti-join falls back to a
+    shuffled hash join keyed on the same (group, line) columns. The
+    per-doc reassembly groups by id and sorts each doc's surviving
     (pos, line) structs in-memory (bounded by doc size, not corpus
     size). Line-frequency counting is one count-distinct aggregate
     shuffled by line — at 100 TB, cap candidate lines first with a
@@ -117,8 +126,16 @@ def strip_boilerplate(
         .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
         .select(*gcols, "line")
+        .localCheckpoint(eager=True)
     )
-    kept = lines.join(F.broadcast(boiler), gcols + ["line"], "left_anti")
+    bcast_max = int(
+        df.sparkSession.conf.get(
+            "spark.poc.textclean.boilerBroadcastMaxRows", "500000"
+        )
+    )
+    n_boiler = boiler.count()  # free: reads the checkpoint
+    build = F.broadcast(boiler) if 0 < n_boiler <= bcast_max else boiler
+    kept = lines.join(build, gcols + ["line"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             "\n",

@@ -88,6 +88,28 @@ def test_strip_boilerplate_ground_truth(spark):
     assert got[5]["n_removed"] == 0
 
 
+def test_strip_boilerplate_shuffle_path_equals_broadcast(spark):
+    """Adaptive dispatch (r13 finding #1): forcing the broadcast budget
+    to 0 routes the anti-join through the shuffled hash path; results
+    must be exactly the default broadcast path's."""
+    rows = [
+        (i, f"unique {i}\nshared footer\ncookie banner {i % 3}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        tuple(r) for r in strip_boilerplate(df, min_docs=2).collect()
+    )
+    spark.conf.set("spark.poc.textclean.boilerBroadcastMaxRows", "0")
+    try:
+        got = sorted(
+            tuple(r) for r in strip_boilerplate(df, min_docs=2).collect()
+        )
+    finally:
+        spark.conf.unset("spark.poc.textclean.boilerBroadcastMaxRows")
+    assert got == want
+
+
 def test_strip_boilerplate_preserves_line_order(spark):
     df = spark.createDataFrame(
         [

@@ -2,11 +2,12 @@
 # All-confs-forced correctness sweep (committed runner — previously
 # assembled ad hoc each round): every scale-side fork of an
 # adaptive-dispatch operator is forced ON simultaneously, against the
-# SAME DuckDB oracles as the default sweep, at sf0.01. Ten forces:
+# SAME DuckDB oracles as the default sweep, at sf0.01. Eleven forces:
 #   chunked windows, zero-threshold ntile, open-vocab jaccard/
 #   containment, always-incremental BPE, manifest pointer, fake object
 #   store with 2-entry listing pages and 64-byte copy chunks, symlink
-#   fast path off, and the wedge-broadcast-off graph path.
+#   fast path off, the wedge-broadcast-off graph path, and the
+#   boilerplate shuffle anti-join (broadcast budget forced to 0).
 # Usage: sh tools/forced_sweep.sh [OUT.json] [sf_dir]
 set -e
 OUT="${1:-/dev/null}"
@@ -23,4 +24,5 @@ exec python tools/check_correctness.py \
   --conf spark.poc.lake.fake.copyChunk=64 \
   --conf spark.poc.lake.symlink=off \
   --conf spark.poc.graph.wedgeBroadcastMaxRows=0 \
+  --conf spark.poc.textclean.boilerBroadcastMaxRows=0 \
   "$SF"
