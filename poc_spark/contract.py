@@ -7268,6 +7268,115 @@ def sim_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, q, 10)
 
 
+def _opq_oracle(sf_base: str) -> str:
+    # the PQ replay chain with one extra stage at the FRONT: every
+    # vector (and the query) is rotated by the persisted R — one exact
+    # left-assoc fold per output dimension, matching rotate_expr /
+    # rotate_query bit-for-bit — before encode + LUT + distance fold.
+    root = os.path.join(_REPO_ROOT, ".tmp", "opq", sf_base)
+    return f"""
+    WITH rot AS (
+      SELECT i, row FROM read_parquet('{root}/rotation/*.parquet')
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    rv AS (
+      SELECT e.vec_id, rot.i,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                 j -> rot.row[j] * v[j])),
+               (acc, x) -> acc + x) AS val
+      FROM e, rot
+    ),
+    rvec AS (
+      SELECT vec_id, list(val ORDER BY i) AS v FROM rv GROUP BY vec_id
+    ),
+    qr AS (
+      SELECT rot.i,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                 j -> rot.row[j] * qv0[j])),
+               (acc, x) -> acc + x) AS val
+      FROM rot, (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv0
+                 FROM embeddings WHERE vec_id = 0)
+    ),
+    q AS (SELECT list(val ORDER BY i) AS qv FROM qr),
+    cb AS (
+      SELECT sub, code, center
+      FROM read_parquet('{root}/codebook/*.parquet')
+    ),
+    sd AS (
+      SELECT rvec.vec_id, cb.sub, cb.code,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+                 d -> (v[cb.sub * 16 + d] - center[d])
+                    * (v[cb.sub * 16 + d] - center[d]))),
+               (acc, x) -> acc + x) AS dist
+      FROM rvec, cb
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM sd
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist ASC, code ASC) = 1
+    ),
+    lut AS (
+      SELECT cb.sub, cb.code,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+                 d -> (qv[cb.sub * 16 + d] - center[d])
+                    * (qv[cb.sub * 16 + d] - center[d]))),
+               (acc, x) -> acc + x) AS ld
+      FROM cb, q
+    ),
+    tot AS (
+      SELECT enc.vec_id,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, list(lut.ld ORDER BY enc.sub)),
+               (acc, x) -> acc + x) AS dist
+      FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+      GROUP BY enc.vec_id
+    )
+    SELECT vec_id AS id, round(dist, 6) AS dist
+    FROM tot ORDER BY dist ASC, id ASC LIMIT 10
+    """
+
+
+@register("sim_opq_topk", _opq_oracle("sf0.01"))
+def sim_opq_topk(spark, sf_dir):
+    """OPQ — learned-rotation product quantization (Ge et al. 2014;
+    VERDICT r13 next #6): an orthonormal rotation R is fit jointly
+    with the codebooks by alternating minimization (driver-local on a
+    bounded sample, the bpe_learn_local discipline), the corpus is
+    rotated by per-dimension exact expression folds and encoded, and
+    the query answers by ADC in the rotated space — orthonormal R
+    preserves L2, so the shortlist is directly comparable to raw PQ
+    at the same code budget. PQ_RECALL.json's 'opq' block measures
+    the recall delta vs raw PQ at 16 and 32 bits. The oracle replays
+    ROTATION (64 left-assoc folds per vector from the persisted R),
+    encode, LUT, and the distance fold — the full chain from raw
+    embeddings to the top-10, all value-hashed."""
+    from poc_spark.operators.similarity import (
+        load_opq_rotation,
+        load_pq_codebook,
+        opq_adc_topk,
+        opq_encode,
+        opq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _export_path("opq", sf_dir)
+    # fresh fit each run (stale-artifact rule); bounded driver-local
+    # sample — the oracle replays the persisted artifacts
+    opq_train(emb, path, m_sub=4, k=16, n_iter=4, sample_rows=2048)
+    rot = load_opq_rotation(spark, path)
+    cb = load_pq_codebook(spark, path)
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    codes = opq_encode(emb, rot, cb)
+    return opq_adc_topk(codes, rot, cb, q, 10)
+
+
 def _pq_rerank_oracle(sf_base: str) -> str:
     # replays BOTH retrieval stages from the stored codebook artifact:
     # the ADC shortlist (encode + LUT + sub-ordered fold, LIMIT k'),
@@ -10127,56 +10236,47 @@ from poc_spark import contract_analytics  # noqa: E402,F401  isort: skip
 # last. tests/test_contract_registry.py pins the invariant.
 
 _TAIL = [
-    # --- r13 rotation: regenerated oldest-witness-first from the
-    # CORRECTNESS_r01-r12 union (census: r7=1 r8=33 r9=39 r10=48
-    # r11=47 r12=50; zero never-witnessed entries — a first, per the
-    # r12 verdict). The 50-slot head holds:
-    # (a) all 34 entries whose freshest witness is r7/r8 — the whole
-    #     stale cohort the r12 verdict task #1 names (JPEG trio,
-    #     q8/q9/q11/q12/q15/q16/q20/q21, sample_split/mix/pack,
-    #     sketch_quantile_bounds, dedup_simhash/_semantic_buckets/
-    #     _ngram_spans/_embedding_cosine, graph_triangles/kcore, ...);
+    # --- r14 rotation: regenerated oldest-witness-first from the
+    # CORRECTNESS_r01-r13 union (census: r9=32 r10=48 r11=47 r12=49
+    # r13=50; zero never-witnessed entries). The 50-slot head holds:
+    # (a) the WHOLE 32-entry r9-stale cohort the r13 verdict task #1
+    #     names (op_fn_hash, q2, sim_ivf_join, the csv/jsonl/orc
+    #     round-trips + schema evolution, both sinks, 7 samplers
+    #     incl. temperature/stratified, the BPE batched/local
+    #     learners, the text scoring tier, lake_expectations,
+    #     mm_audio_energy, q_grouping_sets/intersect/event_funnel/
+    #     outlier_mad/rolling_time_avg/user_paths/zorder_cells,
+    #     pipeline_bpe_greedy_train_apply);
     # (b) mm_decode (pinned in-window by test_contract_registry);
-    # (c) 11 refreshes from the next-oldest (r9) cohort, chosen for
-    #     drift-sensitivity: the flagship (op_graph_flagship), three
-    #     TPC-H shapes (q1/q2/q17), iterative graph (components,
-    #     pagerank), the IVF pair (kmeans fit + join), one source
-    #     round-trip (csv), one BPE learner (greedy), one sampler
-    #     (stratified);
-    # (d) spare slots for the SEVEN entries added in r13 (new entries
-    #     are never in _TAIL, so they land in the head automatically;
-    #     a new entry's first witness outranks a refresh, so an (c)
-    #     refresh yields its slot when the count overflows 50):
-    #     src_tar_shards, pipeline_shard_to_pixels, sim_pq_rerank,
-    #     dedup_suffix_spans took the 4 reserved slots; then
-    #     dedup_span_keep_one displaced sample_stratified (its family
-    #     stays refreshed by sample_deterministic/split/mix/pack),
-    #     text_boilerplate_domain displaced sim_ivf_join
-    #     (sim_ivf_kmeans refreshes the IVF artifact path), and
-    #     pipeline_clean_corpus displaced src_csv_roundtrip (the new
-    #     src_tar_shards round-trip is this round's source-family
-    #     witness); the NINTH (stream_shard_ingest) displaced
-    #     q2_min_cost_supplier (q1/q17 refresh the TPC-H family and
-    #     q8-q21 of the stale cohort are all in-window anyway). All
-    #     displaced refreshes keep r9 witnesses + pytest + local-sweep
-    #     coverage.
-    'sample_stratified',
-    'sim_ivf_join',
-    'src_csv_roundtrip',
-    'q2_min_cost_supplier',
-    # Everything below has an r9+ driver witness and pytest/local-sweep
-    # coverage; capability-wise each is demonstrated by a green head
-    # entry of the same family.
+    # (c) 10 refreshes from the next-oldest (r10) cohort, chosen for
+    #     drift-sensitivity: the LSH pair flagship + its persisted-
+    #     index and survivor-policy consumers (dedup_minhash_lsh /
+    #     _incremental / _keep_best — the family the new planted
+    #     sf0.1 audit covers), the big dedup composition
+    #     (pipeline_training_prep), two lake paths (cdc_merge,
+    #     time_travel), two streaming (restart_rollup,
+    #     session_window), one chat-parity chunked-dispatch witness
+    #     (op_lag_edge), one TPC-H shape (q3);
+    # (d) the FOUR r14 additions land in the head automatically
+    #     (new entries are never in _TAIL): mm_phash,
+    #     pipeline_image_dedup, sim_ivfpq_rerank, sim_opq_topk.
+    #     Head = 47 of 50; if later r14 entries overflow the window,
+    #     refreshes yield in this order: q3_top_revenue,
+    #     stream_session_window, lake_time_travel (each family keeps
+    #     another fresh witness).
     'dedup_cluster_report',
     'dedup_containment',
+    'dedup_embedding_cosine',
     'dedup_exact',
-    'dedup_incremental',
-    'dedup_keep_best',
     'dedup_minhash_clusters',
-    'dedup_minhash_lsh',
     'dedup_ngram_jaccard',
+    'dedup_ngram_spans',
+    'dedup_semantic_buckets',
     'dedup_semdedup',
+    'dedup_simhash',
+    'dedup_span_keep_one',
     'dedup_span_removal',
+    'dedup_suffix_spans',
     'dedup_url',
     'emb_project',
     'emb_quantize',
@@ -10184,17 +10284,20 @@ _TAIL = [
     'graph_adamic_adar',
     'graph_adamic_adar_capped',
     'graph_cluster_coeff',
+    'graph_components',
     'graph_degrees',
+    'graph_kcore',
     'graph_modularity',
+    'graph_pagerank',
+    'graph_triangles',
     'lake_bloom_skipping',
     'lake_branching',
     'lake_catalog_txn',
     'lake_cdc_apply',
-    'lake_cdc_merge',
     'lake_change_feed',
+    'lake_compact',
     'lake_compact_partitions',
     'lake_deletion_vectors',
-    'lake_expectations',
     'lake_ivm_agg',
     'lake_ivm_join',
     'lake_merge_full',
@@ -10207,137 +10310,142 @@ _TAIL = [
     'lake_schema_evolution',
     'lake_snapshot_diff',
     'lake_stats_skipping',
-    'lake_time_travel',
     'mm_audio_autocorr',
-    'mm_audio_energy',
+    'mm_frame_sample',
+    'mm_jpeg420_decode',
+    'mm_jpeg_decode',
+    'mm_jpeg_resize',
     'mm_payload_stats',
     'mm_png_decode',
     'mm_png_resize',
+    'mm_resize',
     'op_agg_nodes',
     'op_agg_wordfreq',
     'op_fil_daterange',
     'op_fil_substr',
-    'op_fn_hash',
     'op_fn_sqrt',
+    'op_graph_flagship',
     'op_graph_partitioned',
     'op_join_point',
     'op_join_semi',
-    'op_lag_edge',
     'op_limit_n',
     'op_norm_sender',
     'op_parse_regex',
     'op_proj_users',
     'op_src_doc_scan',
     'op_topk',
-    'pipeline_bpe_greedy_train_apply',
     'pipeline_bpe_train_apply',
+    'pipeline_clean_corpus',
     'pipeline_crawl_to_corpus',
     'pipeline_entity_resolution',
     'pipeline_lake_lifecycle',
     'pipeline_quality_filter',
-    'pipeline_training_prep',
+    'pipeline_shard_to_pixels',
     'q10_returned_items',
+    'q11_important_parts',
+    'q12_late_priority',
     'q13_customer_distribution',
     'q14_promo_revenue',
+    'q15_top_supplier',
+    'q16_supplier_cnt',
+    'q17_small_qty_revenue',
     'q18_large_orders',
     'q19_disjunctive_revenue',
+    'q1_pricing_summary',
+    'q20_heavy_suppliers',
+    'q21_sole_late_supplier',
     'q22_idle_balances',
-    'q3_top_revenue',
     'q4_late_ship_priority',
     'q5_revenue_by_region',
     'q6_selective_revenue',
     'q7_volume_shipping',
+    'q8_market_share',
+    'q9_profit_by_nation',
     'q_anti_customers_no_orders',
     'q_asof_last_click',
+    'q_cohort_retention',
     'q_corr_matrix',
+    'q_cube_events',
     'q_customers_per_region',
-    'q_event_funnel',
     'q_events_by_type',
-    'q_grouping_sets',
-    'q_intersect',
+    'q_group_ols',
+    'q_json_extract',
     'q_outer_join_order_fill',
-    'q_outlier_mad',
     'q_percentiles',
     'q_pivot_events',
     'q_profile_generic',
     'q_profile_orders',
     'q_range_bucket_join',
     'q_rank_top3_per_segment',
+    'q_resample_gapfill',
     'q_rfm_segmentation',
-    'q_rolling_time_avg',
     'q_rolling_zscore',
     'q_rollup_lineitem',
     'q_running_sum',
     'q_scd2_build',
     'q_semi_orders_with_items',
+    'q_session_window',
     'q_union_except',
-    'q_user_paths',
     'q_user_sessions',
     'q_value_histogram',
     'q_window_zoo',
-    'q_zorder_cells',
-    'sample_domain_cap',
+    'sample_deterministic',
     'sample_epoch_order',
-    'sample_leakage_split',
-    'sample_temperature',
-    'sample_weighted',
-    'sample_weighted_k',
+    'sample_mix',
+    'sample_pack',
+    'sample_split',
     'sim_ann_filtered',
     'sim_ann_join',
     'sim_ann_lsh',
     'sim_ivf_append',
+    'sim_ivf_kmeans',
     'sim_ivfpq_query',
     'sim_ivfpq_residual',
     'sim_knn_brute',
     'sim_knn_join',
+    'sim_pq_rerank',
     'sim_pq_topk',
-    'sink_clustered_parquet',
-    'sink_hive_partitioned',
     'sketch_distinct_bounds',
     'sketch_hll_union',
-    'src_jsonl_roundtrip',
-    'src_orc_roundtrip',
-    'src_schema_evolution',
+    'sketch_quantile_bounds',
+    'src_tar_shards',
     'src_warc_roundtrip',
     'stream_append_table',
     'stream_click_attribution',
     'stream_hourly_counts',
     'stream_ivm_join',
     'stream_outer_join',
-    'stream_restart_rollup',
     'stream_rollup_maintenance',
-    'stream_session_window',
+    'stream_shard_ingest',
     'stream_stateful_dedup',
     'stream_watermark_eviction',
     'text_bigram_lm',
     'text_bigrams',
     'text_bm25_topk',
     'text_boilerplate',
+    'text_boilerplate_domain',
     'text_bpe_apply',
+    'text_bpe_count',
     'text_bpe_learn',
-    'text_bpe_learn_batched',
-    'text_bpe_learn_local',
+    'text_bpe_learn_greedy',
     'text_chunking',
-    'text_classifier_score',
+    'text_decontaminate',
     'text_doc_packing',
     'text_doc_stats',
     'text_domain_divergence',
-    'text_entropy',
     'text_fingerprint',
-    'text_hashed_features',
     'text_inverted_index',
     'text_keywords',
     'text_langid',
     'text_langid_ngram',
-    'text_perplexity_bucket',
     'text_pii_scrub',
     'text_pmi_collocations',
     'text_quality_classifier',
+    'text_repetition',
     'text_sentences',
     'text_tfidf',
     'text_token_count',
     'text_unicode_normalize',
-    'text_unigram_lm',
     'text_winnowing',
 ]
 
@@ -10376,6 +10484,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["sim_pq_rerank"] = _pq_rerank_oracle(sf_base)
     out["sim_ivfpq_query"] = _ivfpq_oracle(sf_base)
     out["sim_ivfpq_rerank"] = _ivfpq_rerank_oracle(sf_base)
+    out["sim_opq_topk"] = _opq_oracle(sf_base)
     out["sim_ivfpq_residual"] = _ivfpq_residual_oracle(sf_base)
     out["dedup_semdedup"] = _semdedup_oracle(sf_base)
     out["sim_ivf_join"] = _ivf_join_oracle(sf_base)

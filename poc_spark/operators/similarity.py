@@ -1102,6 +1102,196 @@ def ivfpq_rerank_topk(
     )
 
 
+def _lloyd_local(X, k: int, n_iter: int = 12):
+    """Deterministic driver-local Lloyd k-means (numpy): strided init
+    over the row order, fixed iteration count, empty clusters re-seeded
+    from the farthest point. Used only inside opq_train's alternating
+    minimization — the persisted ARTIFACT is what oracles replay, so
+    fit quality moves recall, never correctness."""
+    import numpy as np
+
+    n = len(X)
+    centers = X[np.arange(k) * max(1, n // k) % n].copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+            else:
+                centers[c] = X[d2.min(axis=1).argmax()]
+    return centers
+
+
+def opq_train(
+    df: DataFrame,
+    path: str,
+    m_sub: int = 4,
+    k: int = 16,
+    n_iter: int = 6,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    kmeans_iter: int = 10,
+) -> None:
+    """OPQ — Optimized Product Quantization (Ge et al. 2014, public):
+    learn an ORTHONORMAL ROTATION R jointly with the per-subspace
+    codebooks by alternating minimization, so the subspace split cuts
+    across the data's principal directions instead of the raw
+    coordinate order (raw PQ's recall ceiling at small code budgets is
+    mostly mis-allocated variance). Each round: (1) fix R, fit
+    per-subspace k-means on the rotated sample; (2) fix the codebooks,
+    set R to the orthogonal Procrustes optimum argmin‖XRᵀ − X̂‖ =
+    VUᵀ from the SVD of XᵀX̂. Driver-local on a bounded sample (the
+    bpe_learn_local discipline — the training set is sample_rows·d
+    doubles; the CORPUS encode stays distributed), deterministic init,
+    fixed iterations.
+
+    Persists `<path>/rotation` (i, row array<double>) — R's rows —
+    and `<path>/codebook` in pq_train's exact layout, so every
+    downstream consumer (encode, ADC, oracles) replays from the
+    artifact; like the KMeans entries, cross-machine float drift in
+    the FIT is absorbed by the artifact-is-truth discipline."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    rows = (
+        df.select(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r[0]] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m_sub:
+        raise ValueError(f"opq_train: dim {dim} not divisible by {m_sub}")
+    d_sub = dim // m_sub
+    R = np.eye(dim)
+    centers = None
+    for _ in range(n_iter):
+        Xr = X @ R.T
+        centers = [
+            _lloyd_local(Xr[:, j * d_sub : (j + 1) * d_sub], k, kmeans_iter)
+            for j in range(m_sub)
+        ]
+        Xhat = np.empty_like(Xr)
+        for j in range(m_sub):
+            sub = Xr[:, j * d_sub : (j + 1) * d_sub]
+            d2 = ((sub[:, None, :] - centers[j][None, :, :]) ** 2).sum(axis=2)
+            Xhat[:, j * d_sub : (j + 1) * d_sub] = centers[j][
+                d2.argmin(axis=1)
+            ]
+        U, _, Vt = np.linalg.svd(X.T @ Xhat)
+        R = (Vt.T @ U.T).T  # Procrustes optimum for x' = R x (row form)
+    schema = StructType(
+        [
+            StructField("i", IntegerType(), False),
+            StructField("row", ArrayType(DoubleType()), False),
+        ]
+    )
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, [float(x) for x in R[i]]) for i in range(dim)], 1
+        ),
+        schema,
+    ).write.mode("overwrite").parquet(f"{path}/rotation")
+    cb_schema = StructType(
+        [
+            StructField("sub", IntegerType(), False),
+            StructField("code", IntegerType(), False),
+            StructField("center", ArrayType(DoubleType()), False),
+        ]
+    )
+    cb_rows = [
+        (j, c, [float(x) for x in centers[j][c]])
+        for j in range(m_sub)
+        for c in range(k)
+    ]
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(cb_rows, 1), cb_schema
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def load_opq_rotation(spark, path: str) -> list[list[float]]:
+    """R's rows from an opq_train artifact (rotation applies as
+    x'_i = Σ_j R[i][j]·x[j] — left-assoc over j, the order every
+    consumer and oracle replays)."""
+    rows = spark.read.parquet(f"{path}/rotation").collect()
+    out = [None] * len(rows)
+    for r in rows:
+        out[int(r["i"])] = [float(x) for x in r["row"]]
+    return out
+
+
+def rotate_expr(vec: Column, rotation: list[list[float]]) -> Column:
+    """array<double> column of the rotated vector: one exact
+    left-associative fold per output dimension (matches DuckDB
+    list_reduce with 0.0 prepended, and the driver-side Python loop,
+    bit-for-bit — the _sub_l2 discipline)."""
+    dims = []
+    for row in rotation:
+        lit = F.array(*[F.lit(float(x)) for x in row])
+        dims.append(
+            F.aggregate(
+                F.zip_with(vec, lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*dims)
+
+
+def opq_encode(
+    df: DataFrame,
+    rotation: list[list[float]],
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes) — rotate then product-quantize. The rotation is a
+    per-row expression fold (JVM codegen, corpus never shuffles), the
+    encode is pq_encode over the rotated array."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    rotated = df.select(
+        F.col(id_col), rotate_expr(vec, rotation).alias("_rv")
+    )
+    return pq_encode(rotated, codebook, vec_col="_rv", id_col=id_col)
+
+
+def rotate_query(
+    rotation: list[list[float]], query_vec: list[float]
+) -> list[float]:
+    """Driver-side query rotation with the SAME left-assoc fold order
+    as rotate_expr (so ADC LUTs built from it agree with the oracle)."""
+    out = []
+    for row in rotation:
+        acc = 0.0
+        for a, b in zip(query_vec, row):
+            acc = acc + float(a) * float(b)
+        out.append(acc)
+    return out
+
+
+def opq_adc_topk(
+    codes_df: DataFrame,
+    rotation: list[list[float]],
+    codebook: list[list[list[float]]],
+    query_vec: list[float],
+    k_top: int = 10,
+) -> DataFrame:
+    """ADC top-k in the rotated space: rotation is orthonormal, so
+    rotated-space L2 IS original-space L2 and the shortlist order is
+    directly comparable to raw-PQ ADC at the same code budget —
+    PQ_RECALL.json's 'opq' block measures the recall delta."""
+    return pq_adc_topk(codes_df, codebook, rotate_query(rotation, query_vec), k_top)
+
+
 def pq_residual_df(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

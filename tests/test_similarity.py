@@ -665,6 +665,82 @@ def test_pq_rerank_recovers_exact_order(spark, tmp_path):
     assert full_id == full
 
 
+def test_opq_rotation_is_orthonormal_and_exact(spark, tmp_path):
+    """opq_train's persisted R must be orthonormal (L2-preserving —
+    the property that makes rotated-space ADC comparable to raw PQ);
+    rotate_expr (Spark fold) and rotate_query (driver fold) must agree
+    bit-for-bit; and with a codebook rich enough to be lossless the
+    rotated ADC recovers exact top-k."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.similarity import (
+        load_opq_rotation,
+        load_pq_codebook,
+        opq_adc_topk,
+        opq_encode,
+        opq_train,
+        rotate_expr,
+        rotate_query,
+    )
+
+    rows = []
+    for i in range(32):
+        vec = []
+        for j in range(4):
+            vec += [float((i * 3 + j) % 7), float((i + j) % 4)] * 8
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "opq")
+    opq_train(df, path, m_sub=4, k=16, n_iter=3, sample_rows=32)
+    R = np.array(load_opq_rotation(spark, path))
+    assert R.shape == (64, 64)
+    assert np.abs(R @ R.T - np.eye(64)).max() < 1e-9
+
+    # Spark fold == driver fold, bit for bit
+    rot = load_opq_rotation(spark, path)
+    got = df.filter("vec_id = 5").select(
+        rotate_expr(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")), rot
+        ).alias("rv")
+    ).head()["rv"]
+    want = rotate_query(rot, rows[5][1])
+    assert [float(x) for x in got] == want
+
+    # norms preserved under rotation
+    v = np.array(rows[5][1])
+    assert abs((np.array(want) ** 2).sum() - (v**2).sum()) < 1e-8
+
+    cb = load_pq_codebook(spark, path)
+    codes = opq_encode(df, rot, cb)
+    top = opq_adc_topk(codes, rot, cb, rows[5][1], 3).collect()
+    dists = [r["dist"] for r in top]
+    assert dists == sorted(dists)
+    # replay the ADC arithmetic driver-side for the returned rows:
+    # rotate each vector (same fold), encode (argmin L2², low code on
+    # ties), LUT against the rotated query — values must agree to the
+    # operator's 6-dp rounding
+    qr = rotate_query(rot, rows[5][1])
+    for r in top:
+        rv = rotate_query(rot, rows[int(r["id"])][1])
+        dist = 0.0
+        for j in range(4):
+            sub = rv[j * 16 : (j + 1) * 16]
+            best, bestd = 0, None
+            for c, center in enumerate(cb[j]):
+                acc = 0.0
+                for a, b in zip(sub, center):
+                    acc = acc + (a - b) * (a - b)
+                if bestd is None or acc < bestd:
+                    best, bestd = c, acc
+            qs = qr[j * 16 : (j + 1) * 16]
+            acc = 0.0
+            for a, b in zip(qs, cb[j][best]):
+                acc = acc + (a - b) * (a - b)
+            dist += acc
+        assert abs(round(dist, 6) - r["dist"]) <= 1e-6, (r["id"], dist)
+
+
 def test_ivfpq_rerank_three_stage(spark, tmp_path):
     """IVF probe → ADC → exact re-rank: with every list probed and
     k' = N the composition recovers brute-force exact top-k; with a
