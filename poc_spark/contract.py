@@ -4363,6 +4363,96 @@ def pipeline_image_dedup(spark, sf_dir):
     return image_dedup_survivors(phash64(media), max_hamming=6, chunks=8)
 
 
+@register(
+    "pipeline_multimodal_dedup",
+    """
+    SELECT (doc_id * 10)::BIGINT AS survivor, 3::BIGINT AS n_members
+    FROM documents
+    """,
+)
+def pipeline_multimodal_dedup(spark, sf_dir):
+    """CROSS-MODAL dedup — the LAION-style rule that a sample is a
+    duplicate if EITHER its image OR its caption near-matches: per doc
+    the planted corpus holds a base sample, an IMAGE-dup (re-encoded
+    identical pixels under a caption no other sample shares — only
+    pHash can catch it) and a CAPTION-dup (the base caption under an
+    independent spectrum — only MinHash can catch it). Samples ship as
+    WebDataset tar shards (png + txt members), are read back by the
+    ustar walker, and the two pair graphs — pHash Hamming ≤ 6 over
+    decoded pixels, exact-verified MinHash-LSH Jaccard ≥ 0.7 over
+    captions — are UNIONED before pointer-jumping components, so the
+    base bridges its two modality-specific duplicates into one
+    3-member cluster. Both catch probabilities are exactly 1 by
+    construction (identical pixels → Hamming 0; identical captions →
+    identical signatures in every band), captions use per-doc
+    synthetic token vocabularies (no organic cross-doc pairs), and
+    distinct spectra sit ≥ 18 bits apart — so the survivor set is
+    exactly {base media_id, n=3} per doc, derivable by id arithmetic.
+    Each modality's pair stage is the SHIPPED operator
+    (imagedup.phash_near_pairs / dedup.minhash_lsh_pairs); the
+    composition never touches pixels after the one decode pass."""
+    from poc_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+    from poc_spark.operators.imagedup import phash64, phash_near_pairs
+    from poc_spark.operators.multimodal import synthesize_spectral_png_media
+    from poc_spark.sources.tar_shards import read_tar_shards, write_tar_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = synthesize_spectral_png_media(
+        docs, variants=("base", "reencode", "distinct")
+    )
+    # captions by media-id arithmetic: base and the caption-dup
+    # (code 3) share cap<did>, the image-dup (code 1) gets acap<did>
+    did = F.expr("media_id DIV 10")
+    cap_tokens = lambda pfx: F.concat_ws(  # noqa: E731
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda i: F.concat(
+                F.lit(pfx), did.cast("string"), F.lit("x"), i.cast("string")
+            ),
+        ),
+    )
+    caption = F.when(
+        F.col("media_id") % 10 == 1, cap_tokens("acap")
+    ).otherwise(cap_tokens("cap"))
+    samples = corpus.select(
+        F.format_string("%012d", F.col("media_id")).alias("key"),
+        F.create_map(
+            F.lit("png"), F.col("payload"),
+            F.lit("txt"), F.encode(caption, "utf-8"),
+        ).alias("parts"),
+    )
+    path = _export_path("mmdedup", sf_dir)
+    n = write_tar_shards(samples, path, n_shards=8)
+    back = read_tar_shards(spark, path)
+    bad = back.filter(F.col("error").isNotNull()).count()
+    if bad or n != 3 * docs.count():
+        raise RuntimeError(
+            f"pipeline_multimodal_dedup: {bad} quarantined, {n} written"
+        )
+    media = back.select(
+        F.col("key").cast("long").alias("media_id"),
+        F.col("parts").getItem("png").alias("payload"),
+        F.decode(F.col("parts").getItem("txt"), "utf-8").alias("caption"),
+    ).localCheckpoint(eager=False)
+    img_pairs = phash_near_pairs(
+        phash64(media), max_hamming=6, chunks=8
+    ).select("id_a", "id_b")
+    cap_pairs = minhash_lsh_pairs(
+        media.select(F.col("media_id").alias("doc_id"),
+                     F.col("caption").alias("text")),
+        threshold=0.7, num_hashes=64, bands=16,
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(img_pairs.unionByName(cap_pairs))
+    ids = media.select(F.col("media_id").alias("id"))
+    assigned = ids.join(clusters, "id", "left").select(
+        "id", F.coalesce("cluster", F.col("id")).alias("cluster")
+    )
+    return assigned.groupBy("cluster").agg(
+        F.min("id").alias("survivor"), F.count("*").alias("n_members")
+    ).select("survivor", "n_members")
+
+
 @register("src_jsonl_roundtrip", _jsonl_oracle("sf0.01"))
 def src_jsonl_roundtrip(spark, sf_dir):
     """JSONL source/sink interop — the standard LLM-corpus format:

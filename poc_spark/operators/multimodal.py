@@ -452,8 +452,10 @@ def _spectral_pixels(did: int, w: int, h: int) -> bytes:
 
 #: (media_id, kind) layout of the planted image-dedup corpus:
 #: media_id = doc_id*10 + code, so oracles derive the ground truth by
-#: id arithmetic alone
-SPECTRAL_VARIANTS = {"base": 0, "reencode": 1, "rescale": 2}
+#: id arithmetic alone. 'distinct' renders an INDEPENDENT spectrum
+#: (seed offset 10^7) — the far-in-pHash-space control / the
+#: different-image member of a caption-dup pair.
+SPECTRAL_VARIANTS = {"base": 0, "reencode": 1, "rescale": 2, "distinct": 3}
 
 
 def synthesize_spectral_png_media(
@@ -486,6 +488,9 @@ def synthesize_spectral_png_media(
                         w2, h2 = (w * 13) // 10, (h * 14) // 10
                         px = _spectral_pixels(did, w2, h2)
                         payload = _png_encode(px, w2, h2, filt_seed=did)
+                    elif kind == "distinct":
+                        px = _spectral_pixels(did + 10_000_000, w, h)
+                        payload = _png_encode(px, w, h, filt_seed=did)
                     else:
                         if base_px is None:
                             base_px = _spectral_pixels(did, w, h)

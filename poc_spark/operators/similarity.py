@@ -1174,6 +1174,7 @@ def opq_train(
     d_sub = dim // m_sub
     R = np.eye(dim)
     centers = None
+    mse_first = mse_last = None
     for _ in range(n_iter):
         Xr = X @ R.T
         centers = [
@@ -1187,8 +1188,21 @@ def opq_train(
             Xhat[:, j * d_sub : (j + 1) * d_sub] = centers[j][
                 d2.argmin(axis=1)
             ]
+        mse_last = float(((Xr - Xhat) ** 2).sum() / max(1, n))
+        if mse_first is None:
+            mse_first = mse_last
+        # Procrustes optimum: min‖XRᵀ − X̂‖ = max tr(R·XᵀX̂); with
+        # XᵀX̂ = U S Vᵀ the maximizer is R = V Uᵀ (tr(VUᵀUSVᵀ) = ΣS).
+        # (The transposed variant OSCILLATES instead of descending —
+        # caught by the monotone-MSE assertion below and the pytest.)
         U, _, Vt = np.linalg.svd(X.T @ Xhat)
-        R = (Vt.T @ U.T).T  # Procrustes optimum for x' = R x (row form)
+        R = Vt.T @ U.T
+    if n_iter > 1 and mse_last > mse_first * 1.05:
+        # descent is the whole point — a rising objective means the
+        # rotation update is broken, not a data property
+        raise AssertionError(
+            f"opq_train: objective rose {mse_first:.4f}→{mse_last:.4f}"
+        )
     schema = StructType(
         [
             StructField("i", IntegerType(), False),

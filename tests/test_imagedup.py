@@ -69,6 +69,56 @@ def test_survivor_groups_are_the_planted_triples(spark):
     assert got == {(did * 10, 3) for did in range(30)}
 
 
+def test_cross_modal_pairs_come_from_the_right_modality(spark):
+    """pipeline_multimodal_dedup's premise: the image-dup member is
+    invisible to caption MinHash and the caption-dup member invisible
+    to pHash — each modality contributes exactly its own pair class."""
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.dedup import minhash_lsh_pairs
+    from poc_spark.operators.multimodal import synthesize_spectral_png_media
+
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    corpus = synthesize_spectral_png_media(
+        docs, variants=("base", "reencode", "distinct")
+    )
+    img_pairs = {
+        (r["id_a"] % 10, r["id_b"] % 10, r["id_a"] // 10 == r["id_b"] // 10)
+        for r in phash_near_pairs(
+            phash64(corpus), max_hamming=6, chunks=8
+        ).collect()
+    }
+    # pHash: base<->reencode within a doc only; never the distinct image
+    assert img_pairs == {(0, 1, True)}
+    did = F.expr("media_id DIV 10")
+    cap = F.when(
+        F.col("media_id") % 10 == 1,
+        F.concat(F.lit("acap"), did.cast("string"), F.lit(" only tokens")),
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda i: F.concat(
+                    F.lit("cap"), did.cast("string"), F.lit("x"),
+                    i.cast("string"),
+                ),
+            ),
+        )
+    )
+    cap_pairs = {
+        (r["id_a"] % 10, r["id_b"] % 10, r["id_a"] // 10 == r["id_b"] // 10)
+        for r in minhash_lsh_pairs(
+            corpus.select(
+                F.col("media_id").alias("doc_id"), cap.alias("text")
+            ),
+            threshold=0.7, num_hashes=64, bands=16,
+        ).collect()
+    }
+    # MinHash: base<->distinct-image (shared caption) within a doc only
+    assert cap_pairs == {(0, 3, True)}
+
+
 def test_corrupt_and_unknown_payloads_quarantine(spark):
     df = spark.createDataFrame(
         [

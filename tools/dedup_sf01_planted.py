@@ -7,8 +7,8 @@ linear-cost independent invariants — exactly the at-scale audit shape
 caught the r7 knn-join key-type bug, which was sf0.1-only and in this
 family.
 
-Four families covered (a fifth, dedup_minhash_clusters' component
-stage, is exercised inside the keep_best check):
+Six families covered (a seventh, dedup_minhash_clusters' component
+stage, is exercised inside the keep_best and cluster_report checks):
 
   minhash_lsh      planted exact clones (j=1.0) + 90%-prefix clones;
                    every planted pair with exact shingle-Jaccard ≥ 0.75
@@ -25,6 +25,14 @@ stage, is exercised inside the keep_best check):
                    survivor MUST be the longest member; plus a global
                    invariant — every survivor's score equals its
                    cluster's recomputed max (n_chars DESC, id ASC).
+  incremental      exact corpus clones planted into the BATCH probed
+                   against the persisted band index: every clone MUST
+                   come back at j=1.0, and every reported pair is
+                   exact-verified (linear in pairs, never all-pairs).
+  cluster_report   the synthetic triples' audit rows must equal the
+                   exactly-computable (n_members, n_edges, min/max
+                   jaccard); organic clusters must satisfy
+                   connectivity + threshold invariants.
 
 Writes DEDUP_SF01_PLANTED_r14.json.
 Usage: python tools/dedup_sf01_planted.py [sf_dir]
@@ -372,9 +380,139 @@ def main() -> int:
     surv.unpersist()
     clusters.unpersist()
 
+    # ---------------- incremental (batch vs persisted index) --------
+    t0 = time.perf_counter()
+    from poc_spark.operators.dedup import dedup_incremental, minhash_band_index
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    plants = corpus.filter(F.col("doc_id") % 103 == 0).select(
+        (F.col("doc_id") + OFF).alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    n_plants = plants.count()
+    index = minhash_band_index(corpus, num_hashes=64, bands=16)
+    inc = dedup_incremental(
+        batch.unionByName(plants), index, corpus,
+        threshold=0.7, num_hashes=64, bands=16,
+    ).persist()
+    planted_hits = inc.filter(
+        (F.col("new_id") == F.col("old_id") + OFF)
+        & (F.col("jaccard") == 1.0)
+    ).count()
+    # exact-verify EVERY reported pair linearly (never all-pairs)
+    allrows = docs.unionByName(plants)
+    sh2 = allrows.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("s")
+    )
+    bad_pairs = (
+        inc.join(
+            sh2.select(F.col("doc_id").alias("new_id"),
+                       F.col("s").alias("sn")), "new_id"
+        )
+        .join(
+            sh2.select(F.col("doc_id").alias("old_id"),
+                       F.col("s").alias("so")), "old_id"
+        )
+        .withColumn(
+            "jx",
+            F.round(
+                F.size(F.array_intersect("sn", "so")).cast("double")
+                / F.size(F.array_union("sn", "so")), 6,
+            ),
+        )
+        .filter((F.col("jx") != F.col("jaccard")) | (F.col("jx") < 0.7))
+        .count()
+    )
+    report["incremental"] = {
+        "planted_clones_in_batch": int(n_plants),
+        "planted_caught_at_j1": int(planted_hits),
+        "reported_pairs_total": int(inc.count()),
+        "pairs_failing_exact_verify": int(bad_pairs),
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "ok": planted_hits == n_plants and bad_pairs == 0,
+    }
+    inc.unpersist()
+
+    # ---------------- cluster_report ----------------
+    t0 = time.perf_counter()
+    from poc_spark.operators.dedup import minhash_lsh_pairs as _mlp
+
+    planted = docs.unionByName(kb)  # the keep_best synthetic triples
+    pairs = _mlp(planted, threshold=0.7, num_hashes=64, bands=16)
+    clusters = dedup_clusters(pairs).persist()
+    mem = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    edges = (
+        pairs.join(
+            clusters.select(F.col("id").alias("id_a"), "cluster"), "id_a"
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    rep = {
+        int(r["cluster"]): r.asDict()
+        for r in mem.join(edges, "cluster").collect()
+    }
+
+    # expected jaccards for the kb triples, computed exactly in python
+    def _shingles(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else {" ".join(toks)}
+
+    toks = [f"kbGxx{i}" for i in range(150)]  # group tag is irrelevant
+    s150, s140, s130 = (
+        _shingles(toks[:150]), _shingles(toks[:140]), _shingles(toks[:130])
+    )
+
+    def _j(a, b):
+        return round(len(a & b) / len(a | b), 6)
+
+    want_j = sorted([_j(s150, s140), _j(s150, s130), _j(s140, s130)])
+    bad_reports = []
+    for g in range(30):
+        r = rep.get(KB_BASE + g * 10)
+        if (
+            r is None
+            or r["n_members"] != 3
+            or r["n_edges"] != 3
+            or round(r["min_jaccard"], 6) != want_j[0]
+            or round(r["max_jaccard"], 6) != want_j[-1]
+        ):
+            bad_reports.append((g, r))
+    organic_bad = sum(
+        1
+        for c, r in rep.items()
+        if c < KB_BASE
+        and (
+            r["n_edges"] < r["n_members"] - 1
+            or r["min_jaccard"] < 0.7
+            or r["n_members"] < 2
+        )
+    )
+    report["cluster_report"] = {
+        "planted_clusters": 30,
+        "planted_report_mismatches": len(bad_reports),
+        "expected_planted_jaccards": want_j,
+        "organic_clusters": sum(1 for c in rep if c < KB_BASE),
+        "organic_invariant_violations": int(organic_bad),
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "ok": not bad_reports and organic_bad == 0,
+    }
+    clusters.unpersist()
+
     report["all_ok"] = all(
         report[k]["ok"]
-        for k in ("minhash_lsh", "simhash", "embedding_cosine", "keep_best")
+        for k in (
+            "minhash_lsh", "simhash", "embedding_cosine", "keep_best",
+            "incremental", "cluster_report",
+        )
     )
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
