@@ -4272,7 +4272,11 @@ def mm_phash(spark, sf_dir):
     from poc_spark.operators.multimodal import synthesize_spectral_png_media
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    hashes = phash64(synthesize_spectral_png_media(docs))
+    # barrier: three plan legs (variant join, base side, lead control)
+    # must not each re-run the synth+decode+hash upstream
+    hashes = phash64(synthesize_spectral_png_media(docs)).localCheckpoint(
+        eager=False
+    )
     base = hashes.filter(F.col("media_id") % 10 == 0).select(
         F.expr("media_id DIV 10").alias("base_id"),
         F.col("phash").alias("p_base"),
@@ -4348,8 +4352,12 @@ def pipeline_image_dedup(spark, sf_dir):
         F.format_string("%012d", F.col("media_id")).alias("key"),
         F.create_map(F.lit("png"), F.col("payload")).alias("parts"),
     )
-    n = write_tar_shards(samples, path, n_shards=8)
-    back = read_tar_shards(spark, path)
+    # 32 shards: the tar READ fans out one task per shard file, and
+    # the decode+pHash pass rides that parallelism
+    n = write_tar_shards(samples, path, n_shards=32)
+    # one tar pass: the quarantine count and the decode+hash stage read
+    # the same checkpointed scan instead of re-walking the shards
+    back = read_tar_shards(spark, path).localCheckpoint(eager=False)
     bad = back.filter(F.col("error").isNotNull()).count()
     if bad or n != 3 * docs.count():
         raise RuntimeError(
@@ -4423,8 +4431,9 @@ def pipeline_multimodal_dedup(spark, sf_dir):
         ).alias("parts"),
     )
     path = _export_path("mmdedup", sf_dir)
-    n = write_tar_shards(samples, path, n_shards=8)
-    back = read_tar_shards(spark, path)
+    # 32 shards — per-file read parallelism for the decode+hash pass
+    n = write_tar_shards(samples, path, n_shards=32)
+    back = read_tar_shards(spark, path).localCheckpoint(eager=False)
     bad = back.filter(F.col("error").isNotNull()).count()
     if bad or n != 3 * docs.count():
         raise RuntimeError(
@@ -4434,7 +4443,7 @@ def pipeline_multimodal_dedup(spark, sf_dir):
         F.col("key").cast("long").alias("media_id"),
         F.col("parts").getItem("png").alias("payload"),
         F.decode(F.col("parts").getItem("txt"), "utf-8").alias("caption"),
-    ).localCheckpoint(eager=False)
+    )
     img_pairs = phash_near_pairs(
         phash64(media), max_hamming=6, chunks=8
     ).select("id_a", "id_b")

@@ -164,7 +164,12 @@ def phash_near_pairs(
     bucket join never all-pairs (see hamming_band_pairs for the piece-
     width vs bucket-occupancy scale tradeoff; 4×16-bit chunks is the
     radius-≤3 production setting: 65 536 buckets per chunk)."""
-    sigs = hashes.filter(F.col(hash_col).isNotNull())
+    # barrier before the banding SELF-join: without it each join side
+    # re-executes the whole upstream (decode + hash — the multi-leg
+    # recompute trap); the checkpointed frame is 8 bytes + id per image
+    sigs = hashes.filter(F.col(hash_col).isNotNull()).localCheckpoint(
+        eager=False
+    )
     return hamming_band_pairs(
         sigs, max_hamming, chunks, 64, id_col=id_col, sig_col=hash_col
     )
@@ -182,6 +187,10 @@ def image_dedup_survivors(
     survivor and the member count. Images with no near-duplicate are
     singleton groups (survivor = self, n_members = 1), so the output
     is the full keep-list: 'keep every survivor' IS the dedup action."""
+    # one barrier feeds the pair stage, the iterative component rounds,
+    # AND the keep-list leg — the upstream (tar read + decode + hash)
+    # runs once
+    hashes = hashes.localCheckpoint(eager=False)
     pairs = phash_near_pairs(hashes, max_hamming, chunks, id_col, hash_col)
     clusters = dedup_clusters(pairs)
     ids = hashes.filter(F.col(hash_col).isNotNull()).select(

