@@ -4372,6 +4372,50 @@ def pipeline_image_dedup(spark, sf_dir):
 
 
 @register(
+    "dedup_image_incremental",
+    """
+    SELECT (doc_id * 10 + 2)::BIGINT AS new_id,
+           (doc_id * 10)::BIGINT AS old_id
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def dedup_image_incremental(spark, sf_dir):
+    """INCREMENTAL image dedup — an incoming batch probed against the
+    PERSISTED pHash band index of the standing corpus
+    (imagedup.phash_incremental_pairs; dedup_incremental's image twin,
+    the continuous-ingestion steady state of a LAION-style multimodal
+    pipeline). The index holds every doc's BASE rendering; the batch
+    carries, for each doc_id % 5 == 0, a RESCALE of that doc's field
+    (a true re-upload — must match its indexed base within radius 6;
+    the worst planted pair over the full 5000-id tail is 4 bits) and a
+    DISTINCT-spectrum image (an unseen upload — must match nothing:
+    independent spectra sit ≥ 18 bits apart). Probe work is
+    batch-sized band rows equi-joined into the index, never
+    corpus-sized; candidates verify by exact bit_count. The oracle is
+    the planted structure by id arithmetic: exactly one (rescale,
+    base) pair per batch doc and zero rows for the distinct
+    members."""
+    from poc_spark.operators.imagedup import (
+        phash64,
+        phash_band_index,
+        phash_incremental_pairs,
+    )
+    from poc_spark.operators.multimodal import synthesize_spectral_png_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = synthesize_spectral_png_media(docs, variants=("base",))
+    index = phash_band_index(phash64(corpus))
+    batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = synthesize_spectral_png_media(
+        batch_docs, variants=("rescale", "distinct")
+    )
+    pairs = phash_incremental_pairs(
+        phash64(batch), index, max_hamming=6, chunks=8
+    )
+    return pairs.select("new_id", "old_id")
+
+
+@register(
     "pipeline_multimodal_dedup",
     """
     SELECT (doc_id * 10)::BIGINT AS survivor, 3::BIGINT AS n_members

@@ -175,6 +175,83 @@ def phash_near_pairs(
     )
 
 
+def phash_band_index(
+    hashes: DataFrame,
+    chunks: int = 8,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """(chunk, piece, id, phash) — the persisted pHash BAND INDEX for
+    continuous ingestion (dedup.minhash_band_index's image twin): one
+    row per (image, chunk), bucketed by the chunk's bit piece. An
+    incoming batch probes it with an equi-join instead of re-pairing
+    the corpus; write it partitioned/bucketed by (chunk, piece) at
+    scale so probes prune to touched buckets."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    sigs = hashes.filter(F.col(hash_col).isNotNull())
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col(hash_col), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("piece"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cp"),
+    ).select("cp.chunk", "cp.piece", "id", "phash")
+
+
+def phash_incremental_pairs(
+    new_hashes: DataFrame,
+    index_df: DataFrame,
+    max_hamming: int = 6,
+    chunks: int = 8,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """(new_id, old_id, hamming ≤ max_hamming) — an incoming image
+    batch probed against a PERSISTED pHash band index: the
+    continuous-ingestion steady state (nobody re-pairs the corpus per
+    batch; LAION-scale multimodal pipelines dedup each crawl increment
+    against the standing index). The batch's band rows equi-join the
+    index on (chunk, piece) — batch-sized work, never corpus-sized —
+    and candidates verify by exact bit_count on the two 8-byte
+    signatures. Pigeonhole completeness holds batch-vs-index exactly
+    as it does within one corpus (max_hamming < chunks). Pairs among
+    the batch itself are out of scope (same contract as
+    dedup.dedup_incremental — run the batch through
+    phash_near_pairs for intra-batch)."""
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole completeness needs max_hamming < chunks")
+    probes = phash_band_index(new_hashes, chunks, id_col, hash_col)
+    return (
+        probes.alias("p")
+        .join(
+            index_df.alias("ix"),
+            (F.col("p.chunk") == F.col("ix.chunk"))
+            & (F.col("p.piece") == F.col("ix.piece"))
+            & (F.col("p.id") != F.col("ix.id")),
+        )
+        .select(
+            F.col("p.id").alias("new_id"),
+            F.col("ix.id").alias("old_id"),
+            F.bit_count(
+                F.col("p.phash").bitwiseXOR(F.col("ix.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def image_dedup_survivors(
     hashes: DataFrame,
     max_hamming: int = 3,

@@ -119,6 +119,38 @@ def test_cross_modal_pairs_come_from_the_right_modality(spark):
     assert cap_pairs == {(0, 3, True)}
 
 
+def test_incremental_probe_matches_batch_vs_index_brute_force(spark):
+    """phash_incremental_pairs == brute-force batch×index Hamming ≤ t
+    (pigeonhole completeness across the index boundary), and contains
+    NO intra-batch pairs by contract."""
+    from poc_spark.operators.imagedup import (
+        phash_band_index,
+        phash_incremental_pairs,
+    )
+
+    corpus = phash64(_corpus(spark, 20)).cache()  # media ids 0..199
+    index_side = corpus.filter(F.col("media_id") % 10 == 0)
+    batch_side = corpus.filter(F.col("media_id") % 10 != 0)
+    index = phash_band_index(index_side)
+    got = {
+        (r["new_id"], r["old_id"], r["hamming"])
+        for r in phash_incremental_pairs(
+            batch_side, index, max_hamming=6, chunks=8
+        ).collect()
+    }
+    idx_rows = index_side.collect()
+    want = set()
+    for b in batch_side.collect():
+        for o in idx_rows:
+            ham = bin((b["phash"] ^ o["phash"]) & ((1 << 64) - 1)).count("1")
+            if ham <= 6:
+                want.add((b["media_id"], o["media_id"], ham))
+    assert got == want
+    # each batch variant matched exactly its own base, nothing else
+    assert len(got) == batch_side.count()
+    assert all(n // 10 == o // 10 for n, o, _ in got)
+
+
 def test_corrupt_and_unknown_payloads_quarantine(spark):
     df = spark.createDataFrame(
         [
