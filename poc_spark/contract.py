@@ -10400,13 +10400,14 @@ _TAIL = [
     #     time_travel), two streaming (restart_rollup,
     #     session_window), one chat-parity chunked-dispatch witness
     #     (op_lag_edge), one TPC-H shape (q3);
-    # (d) the FIVE r14 additions land in the head automatically
+    # (d) the SIX r14 additions land in the head automatically
     #     (new entries are never in _TAIL): mm_phash,
     #     pipeline_image_dedup, sim_ivfpq_rerank, sim_opq_topk,
-    #     pipeline_multimodal_dedup. Head = 48 of 50; if later r14
-    #     entries overflow the window, refreshes yield in this order:
-    #     q3_top_revenue, stream_session_window, lake_time_travel
-    #     (each family keeps another fresh witness).
+    #     pipeline_multimodal_dedup, dedup_image_incremental.
+    #     Head = 49 of 50; if later r14 entries overflow the window,
+    #     refreshes yield in this order: q3_top_revenue,
+    #     stream_session_window, lake_time_travel (each family keeps
+    #     another fresh witness).
     'dedup_cluster_report',
     'dedup_containment',
     'dedup_embedding_cosine',
