@@ -324,9 +324,15 @@ def pipeline_quality_filter(spark, sf_dir):
     )
     model = langid_ngram_train(train, lang_col="clz")
     scored = quality_classifier_score(docs, model)
+    # barrier: `kept` feeds TWO plan legs (the fingerprint leftsemi and
+    # the report's left join) — without it the entire weak-label +
+    # train + score chain (the two corpus-sized trigram explodes) is
+    # planned and EXECUTED once per leg. The checkpointed frame is a
+    # doc_id list, KBs. (Guide §2.4 / the repo's multi-leg-recompute
+    # discipline, same as mm_phash / image_dedup_survivors.)
     kept = scored.filter(F.col("quality") >= 0.5).select(
         F.col("id").alias("doc_id")
-    )
+    ).localCheckpoint(eager=False)
     fps = fingerprints(docs)
     surv = (
         fps.join(kept, "doc_id", "leftsemi")

@@ -547,17 +547,51 @@ def _png_defilter(data: bytes, w: int, h: int, bpp: int) -> bytes:
         elif ft == 2:
             recon[r] = line + prev  # uint8 wraps = mod 256
         elif ft == 3:
-            out = recon[r]
+            # serial left-to-right scan — but over PYTHON ints on
+            # lists, not per-element numpy indexing (a numpy scalar
+            # read/write is ~10× a list index; this loop was 90% of
+            # the whole pHash decode lane — guide §4.2's 'make the
+            # per-task work fast' applied to the codec hot loop).
+            # Byte-identical to the spec arithmetic (pytest-pinned).
+            ln = line.tolist()
+            pv = prev.tolist()
+            out = [0] * stride
             for x in range(stride):
-                a = int(out[x - bpp]) if x >= bpp else 0
-                out[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+                a = out[x - bpp] if x >= bpp else 0
+                out[x] = (ln[x] + ((a + pv[x]) >> 1)) & 0xFF
+            recon[r] = out
         elif ft == 4:
-            out = recon[r]
+            ln = line.tolist()
+            pv = prev.tolist()
+            out = [0] * stride
             for x in range(stride):
-                a = int(out[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                out[x] = (int(line[x]) + _png_paeth(a, b, c)) & 0xFF
+                if x >= bpp:
+                    a = out[x - bpp]
+                    c = pv[x - bpp]
+                else:
+                    a = 0
+                    c = 0
+                b = pv[x]
+                # Paeth with the algebraic shortcut pa=|b−c|, pb=|a−c|,
+                # pc=|a+b−2c| (identical values to the spec's
+                # p=a+b−c form; _png_paeth keeps the reference shape)
+                pa = b - c
+                if pa < 0:
+                    pa = -pa
+                pb = a - c
+                if pb < 0:
+                    pb = -pb
+                pc = a + b - 2 * c
+                if pc < 0:
+                    pc = -pc
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                out[x] = (ln[x] + pred) & 0xFF
+            recon[r] = out
         else:
             raise ValueError(f"bad filter type {ft}")
     return recon.tobytes()

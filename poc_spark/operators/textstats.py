@@ -154,6 +154,8 @@ def langid_ngram_train(
     c/total directly (one exact integer fold + one final double
     division) instead of log-probabilities: bit-exact cross-engine,
     no libm, same argmax family (monotone per-class linear scorer)."""
+    from pyspark.sql import Window
+
     grams = df.select(
         F.col(lang_col).alias("lang"),
         F.explode(_char_trigrams(text_col)).alias("g"),
@@ -161,10 +163,18 @@ def langid_ngram_train(
     model = grams.select(
         "lang", _gram_bucket(F.col("g"), n_features).alias("bucket")
     ).groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    totals = model.groupBy("lang").agg(F.sum("c").alias("total"))
-    return model.join(totals, "lang").select(
+    # per-lang totals as a window over the MODEL relation (≤ n_langs ×
+    # n_features rows), not a second aggregate + join: the join form
+    # planned the corpus-sized gram explode TWICE (once per agg leg —
+    # Spark does not share common subtrees across join inputs), so the
+    # most expensive stage of every train ran twice for a value that is
+    # derivable from the first agg's output. Values are identical
+    # (total = sum(c) per lang either way); the optimization guide's
+    # §2.4 'remove shuffles outright' applied to a duplicated PASS.
+    total = F.sum("c").over(Window.partitionBy("lang"))
+    return model.select(
         "lang", "bucket", F.col("c").cast("long").alias("c"),
-        F.col("total").cast("long").alias("total"),
+        total.cast("long").alias("total"),
     )
 
 

@@ -676,3 +676,56 @@ def test_png_encode_vectorized_matches_reference():
         ln = struct.unpack(">I", got[sig : sig + 4])[0]
         idat = got[sig + 8 : sig + 8 + ln]
         assert zlib.decompress(idat) == reference(px, w, h, seed)
+
+
+def test_png_defilter_scan_matches_reference():
+    """The r14-optimized Average/Paeth defilter rows (python-int list
+    scans instead of per-element numpy indexing) must reconstruct
+    byte-identically to a straightforward per-byte transcription of
+    the PNG spec §6 reconstruction — on random pixels, every filter
+    type, including the degenerate 1-px-wide raster."""
+    import random
+
+    from poc_spark.operators.multimodal import _png_defilter, _png_paeth
+
+    def reference(data, w, h, bpp):
+        stride = w * bpp
+        recon = bytearray(stride * h)
+        pos = 0
+        for r in range(h):
+            ft = data[pos]
+            line = data[pos + 1 : pos + 1 + stride]
+            pos += 1 + stride
+            base = r * stride
+            for x in range(stride):
+                a = recon[base + x - bpp] if x >= bpp else 0
+                b = recon[base - stride + x] if r else 0
+                c = (
+                    recon[base - stride + x - bpp]
+                    if (r and x >= bpp)
+                    else 0
+                )
+                if ft == 0:
+                    v = line[x]
+                elif ft == 1:
+                    v = (line[x] + a) & 0xFF
+                elif ft == 2:
+                    v = (line[x] + b) & 0xFF
+                elif ft == 3:
+                    v = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    v = (line[x] + _png_paeth(a, b, c)) & 0xFF
+                recon[base + x] = v
+        return bytes(recon)
+
+    rnd = random.Random(1414)
+    for _ in range(10):
+        w, h = rnd.randint(1, 23), rnd.randint(1, 19)
+        stride = w * 3
+        # random filtered stream: every row gets a random filter type
+        data = b"".join(
+            bytes([rnd.randrange(5)])
+            + bytes(rnd.randrange(256) for _ in range(stride))
+            for _ in range(h)
+        )
+        assert _png_defilter(data, w, h, 3) == reference(data, w, h, 3)
