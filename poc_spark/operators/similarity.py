@@ -927,6 +927,48 @@ def _sub_l2(sub_vec: Column, center: list[float]) -> Column:
     )
 
 
+def _np_widen(col) -> "object":
+    """(n, d) float64 matrix from a pandas column of Arrow-delivered
+    vectors (float32 or float64) — widening is exact, matching Spark's
+    cast(double) on every element."""
+    import numpy as np
+
+    return np.array([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _np_sub_dists(V, centers) -> "object":
+    """(n, k) L2² distances of V's rows to each center, accumulated in
+    the EXACT left-associative element order of _sub_l2's aggregate
+    fold (acc = ((0.0 + s_0) + s_1) + …): one elementwise numpy op per
+    dimension, never a reordering matmul/sum — IEEE-identical to the
+    JVM expression eval, so argmin picks the same code."""
+    import numpy as np
+
+    n, d = V.shape
+    dists = np.empty((n, len(centers)), dtype=np.float64)
+    for ci, c in enumerate(centers):
+        acc = np.zeros(n, dtype=np.float64)
+        for j in range(d):
+            diff = V[:, j] - c[j]
+            acc = acc + diff * diff
+        dists[:, ci] = acc
+    return dists
+
+
+def _np_encode_codes(V, codebook) -> "object":
+    """(n, m) int32 PQ codes with pq_encode's exact argmin semantics:
+    first position of the minimum (numpy argmin == array_position of
+    array_min on bit-identical distances)."""
+    import numpy as np
+
+    d_sub = len(codebook[0][0])
+    codes = np.empty((V.shape[0], len(codebook)), dtype=np.int32)
+    for j, centers in enumerate(codebook):
+        sub = V[:, j * d_sub : (j + 1) * d_sub]
+        codes[:, j] = _np_sub_dists(sub, centers).argmin(axis=1)
+    return codes
+
+
 def pq_encode(
     df: DataFrame,
     codebook: list[list[list[float]]],
@@ -935,23 +977,42 @@ def pq_encode(
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, codes array<int>) — assign each subspace its nearest code
-    (argmin L2², lowest code on ties via first-position). Pure JVM
-    array expressions against the broadcast-literal codebook: the
-    corpus never shuffles, m·k small folds per row."""
-    d_sub = len(codebook[0][0])
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    codes = []
-    for j, centers in enumerate(codebook):
-        sub = F.slice(vec, j * d_sub + 1, d_sub)
-        dists = F.array(*[_sub_l2(sub, c) for c in centers])
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array(*codes).alias("codes"),
-        *[F.col(c) for c in keep_cols],
+    (argmin L2², lowest code on ties via first-position), as one
+    Arrow-vectorized numpy pass (guide §4: vectorized pandas batches,
+    only the id+vec columns cross the boundary; the corpus never
+    shuffles). r14 measurement: the previous pure-expression form spent
+    ~5 s PER CALL building its m·k·d_sub-literal fold tree through
+    Py4J on the DRIVER and evaluated the folds interpreted (higher-
+    order functions have no codegen) — at sf0.1 the build cost alone
+    dwarfed execution. The numpy fold replays _sub_l2's exact
+    left-associative element order (see _np_sub_dists), so codes are
+    bit-identical and every oracle replay still matches."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    cb = [[[float(x) for x in c] for c in centers] for centers in codebook]
+    src = df.select(id_col, vec_col, *keep_cols)
+    fields = {f.name: f for f in src.schema.fields}
+    out_schema = StructType(
+        [
+            StructField("id", fields[id_col].dataType, True),
+            StructField("codes", ArrayType(IntegerType()), True),
+        ]
+        + [fields[c] for c in keep_cols]
     )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = _np_encode_codes(_np_widen(pdf[vec_col]), cb)
+            data = {"id": pdf[id_col].values, "codes": list(codes)}
+            for c in keep_cols:
+                data[c] = pdf[c].values
+            yield pd.DataFrame(data)
+
+    return src.mapInPandas(batches, schema=out_schema)
 
 
 def pq_adc_topk(
@@ -1268,14 +1329,45 @@ def opq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, codes) — rotate then product-quantize. The rotation is a
-    per-row expression fold (JVM codegen, corpus never shuffles), the
-    encode is pq_encode over the rotated array."""
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    rotated = df.select(
-        F.col(id_col), rotate_expr(vec, rotation).alias("_rv")
+    """(id, codes) — rotate then product-quantize, fused into ONE
+    Arrow-vectorized numpy pass (guide §4; r14: the rotate_expr +
+    pq_encode expression form cost ~5.6 s of driver-side Py4J tree
+    construction per call — dim² rotation literals — plus interpreted
+    HOF eval; the numpy path replays the same left-assoc fold per
+    output dimension (rotate_expr's aggregate order) then encodes with
+    _np_sub_dists' exact order, so codes are bit-identical)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    R = [[float(x) for x in row] for row in rotation]
+    cb = [[[float(x) for x in c] for c in centers] for centers in codebook]
+    src = df.select(id_col, vec_col)
+    id_type = src.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id", id_type, True),
+            StructField("codes", ArrayType(IntegerType()), True),
+        ]
     )
-    return pq_encode(rotated, codebook, vec_col="_rv", id_col=id_col)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = _np_widen(pdf[vec_col])
+            n = V.shape[0]
+            Vr = np.empty((n, len(R)), dtype=np.float64)
+            for i, row in enumerate(R):
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(len(row)):
+                    acc = acc + V[:, j] * row[j]
+                Vr[:, i] = acc
+            codes = _np_encode_codes(Vr, cb)
+            yield pd.DataFrame({"id": pdf[id_col].values, "codes": list(codes)})
+
+    return src.mapInPandas(batches, schema=out_schema)
 
 
 def rotate_query(
