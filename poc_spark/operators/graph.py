@@ -132,18 +132,30 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     )
     changed = 0
     for i in range(max_iterations):
-        neighbor_min = (
-            directed.join(labels, directed.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
+        # min over {own label} ∪ {neighbors' labels} in ONE aggregate:
+        # the self row rides the same union (tagged is_self) instead of
+        # a separate left join back onto `labels`, and it carries the
+        # pre-round label out of the aggregate — so the fixpoint check
+        # below is a scan of the checkpointed frame, not a second join.
+        # Per round this removes two exchanges and one job vs the
+        # join + left-join + changed-join shape (least(own, min(nbr))
+        # == min over the union, so labels are bit-identical).
+        prop = directed.join(labels, directed.dst == labels.id).select(
+            "src", "component", F.lit(False).alias("is_self")
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
+        own = labels.select(
+            F.col("id").alias("src"), "component", F.lit(True).alias("is_self")
+        )
+        mins = (
+            prop.unionByName(own)
+            .groupBy("src")
+            .agg(
+                F.min("component").alias("component"),
+                # exactly one self row per node; when() keeps the
+                # component's own type (no cast assumptions on the id)
+                F.max(
+                    F.when(F.col("is_self"), F.col("component"))
+                ).alias("_old"),
             )
         )
         # pointer-jumping shortcut (the large-star/small-star idea):
@@ -151,25 +163,25 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         # halving label-chain depth each round — convergence drops from
         # O(diameter) to O(log diameter), so long chain graphs fit the
         # iteration budget.
-        lbl = new_labels.select(
-            F.col("id").alias("c_id"), F.col("component").alias("c_comp")
+        lbl = mins.select(
+            F.col("src").alias("c_id"), F.col("component").alias("c_comp")
         )
-        new_labels = new_labels.join(
-            lbl, new_labels.component == lbl.c_id, "left"
+        new_labels = mins.join(
+            lbl, mins.component == lbl.c_id, "left"
         ).select(
-            "id",
+            F.col("src").alias("id"),
             F.least(
                 F.col("component"), F.coalesce("c_comp", F.col("component"))
             ).alias("component"),
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+            "_old",
+        # lazy checkpoint: the changed-count below materializes the
+        # blocks inside its own job — one action per round, not an
+        # eager-materialize job plus a count job
+        ).localCheckpoint(eager=False)
+        changed = new_labels.filter(
+            F.col("component") != F.col("_old")
+        ).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     if changed > 0:
