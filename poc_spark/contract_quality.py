@@ -292,17 +292,13 @@ def pipeline_quality_filter(spark, sf_dir):
     stage — model, scores, threshold, dedup rank — replays relationally
     in the oracle. Scale shape: the classifier's broadcast-model aggs +
     one fingerprint hash agg; no corpus-vs-corpus shuffle anywhere."""
-    from poc_spark.operators.textstats import (
-        fingerprints,
-        langid_ngram_train,
-    )
+    from poc_spark.operators.textstats import fingerprints
     from poc_spark.operators.textquality import (
-        quality_classifier_score,
-        quality_weak_labels,
+        quality_classifier_train_score,
+        weak_label_col,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    labels = quality_weak_labels(docs)
     s = F.pmod(
         F.conv(
             F.substring(
@@ -313,17 +309,17 @@ def pipeline_quality_filter(spark, sf_dir):
         ).cast("long"),
         F.lit(4),
     )
-    split = docs.join(labels.select("doc_id", "label"), "doc_id").withColumn(
-        "s", s
-    )
-    # docs carry a REAL `lang` column here (the report key), so the
-    # class label trains under its own name instead of the rename the
-    # classifier entry uses
-    train = split.filter("s < 3 AND label IS NOT NULL").select(
-        "doc_id", F.col("label").alias("clz"), "text"
-    )
-    model = langid_ngram_train(train, lang_col="clz")
-    scored = quality_classifier_score(docs, model)
+    # FUSED train+score (r14 opt, guide §2.4 — share one pass): this
+    # entry trains on the s<3 weak-labeled split and scores the ENTIRE
+    # corpus, so the un-fused weak-label-join → train-explode →
+    # score-explode chain paid the corpus gram pass ~1.75×. The train
+    # label is a pure COLUMN of the doc (weak label where s<3), so it
+    # rides the scorer's (id, bucket) tf aggregate and the model is a
+    # model-sized reduction of that — values bit-identical (integer
+    # sums; the oracle's tg/model/dg/docg chain is unchanged).
+    label = weak_label_col(F.col("text"))
+    tl = F.when((s < 3) & label.isNotNull(), label)
+    scored = quality_classifier_train_score(docs, tl)
     # barrier: `kept` feeds TWO plan legs (the fingerprint leftsemi and
     # the report's left join) — without it the entire weak-label +
     # train + score chain (the two corpus-sized trigram explodes) is

@@ -143,6 +143,25 @@ def decontaminate(
     )
 
 
+def weak_label_col(
+    text: F.Column,
+    low_max_ratio: float = 0.40,
+    high_min_ratio: float = 0.60,
+) -> F.Column:
+    """The weak-supervision label as a COLUMN ('low' / 'high' / NULL
+    for the abstained middle band) — the expression form of
+    quality_weak_labels, so fused pipelines can carry the label through
+    a gram pass without a docs-vs-labels self-join."""
+    toks = _tokens(text)
+    ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    return (
+        F.when(ratio <= F.lit(low_max_ratio), F.lit("low"))
+        .when(ratio >= F.lit(high_min_ratio), F.lit("high"))
+    )
+
+
 def quality_weak_labels(
     df: DataFrame,
     text_col: str = "text",
@@ -204,6 +223,101 @@ def quality_classifier_score(
         .select("id", _gram_bucket(F.col("g"), n_features).alias("bucket"))
         .groupBy("id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per = (
+        docg.join(F.broadcast(model), "bucket")
+        .groupBy("id", "lang")
+        .agg(
+            F.sum(F.col("tf") * F.col("c")).cast("long").alias("num"),
+            F.max("total").alias("total"),  # constant within the group
+        )
+        .select(
+            "id",
+            "lang",
+            (F.col("num").cast("double") / F.col("total").cast("double")).alias(
+                "sc"
+            ),
+        )
+    )
+    sh = F.coalesce(F.sum(F.when(F.col("lang") == "high", F.col("sc"))), F.lit(0.0))
+    sl = F.coalesce(F.sum(F.when(F.col("lang") == "low", F.col("sc"))), F.lit(0.0))
+    return (
+        per.groupBy("id")
+        .agg(sh.alias("sh"), sl.alias("sl"))
+        .select(
+            "id",
+            F.round("sl", 6).alias("q_low"),
+            F.round("sh", 6).alias("q_high"),
+            F.round(F.col("sh") / (F.col("sh") + F.col("sl")), 6).alias(
+                "quality"
+            ),
+            F.when(F.col("sh") >= F.col("sl"), F.lit("high"))
+            .otherwise(F.lit("low"))
+            .alias("pred_label"),
+        )
+    )
+
+
+def quality_classifier_train_score(
+    df: DataFrame,
+    train_label: F.Column,
+    n_features: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FUSED weak-train + full-corpus score — ONE gram pass where the
+    train-then-score composition (quality_weak_labels →
+    langid_ngram_train → quality_classifier_score) runs TWO: the
+    training label (`train_label`, a COLUMN that is NULL off the
+    training split — functionally dependent on the document) rides the
+    scorer's per-(id, bucket) term-frequency aggregate as an extra
+    group key, so the model's per-(label, bucket) counts are the SUM
+    of those tf rows (count of gram occurrences ≡ sum of per-doc
+    counts — exact integers) instead of a second corpus explode.
+
+    Output and semantics are IDENTICAL to quality_classifier_score
+    over a langid_ngram_train model: same buckets (md5 ':lid' salt),
+    same integer numerators, one double division, round 6.
+
+    Scale shape (the point of the fusion): corpus-sized work is ONE
+    explode + ONE map-side-combining hash agg; the model leg reduces
+    the checkpointed tf relation to ≤ 2×n_features rows with a
+    model-sized shuffle; the score leg broadcast-joins that model.
+    The un-fused chain paid the explode + md5 bucketing TWICE (train
+    split + full corpus ≈ 1.75× the corpus at a 3/4 split) plus a
+    docs-vs-weak-labels self-join this form never materializes."""
+    from pyspark.sql import Window
+
+    from poc_spark.operators.textstats import _char_trigrams, _gram_bucket
+
+    # two measured shape traps here (sf0.1, local[32]):
+    # - the label must be a COLUMN of the Generate's child (computed in
+    #   this projection, once per doc): inlined next to explode() it is
+    #   re-evaluated per OUTPUT gram row (29 s vs 6 s — the
+    #   split+array_distinct inside the weak label × 10M grams);
+    # - the gram ARRAY must stay inline in the generator: pre-projecting
+    #   it as a column materializes UnsafeArrayData per doc before the
+    #   explode unpacks it again (12 s vs 6 s).
+    pre = df.select(
+        F.col(id_col).alias("id"), train_label.alias("tl"), text_col
+    )
+    docg = (
+        pre.select("id", "tl", F.explode(_char_trigrams(text_col)).alias("g"))
+        .select("id", "tl", _gram_bucket(F.col("g"), n_features).alias("bucket"))
+        .groupBy("id", "tl", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # one barrier feeds the model leg (via broadcast build) and the
+        # score leg — the corpus pass runs once
+        .localCheckpoint(eager=False)
+    )
+    model = (
+        docg.filter(F.col("tl").isNotNull())
+        .groupBy(F.col("tl").alias("lang"), "bucket")
+        .agg(F.sum("tf").cast("long").alias("c"))
+    )
+    total = F.sum("c").over(Window.partitionBy("lang"))
+    model = model.select(
+        "lang", "bucket", "c", total.cast("long").alias("total")
     )
     per = (
         docg.join(F.broadcast(model), "bucket")

@@ -129,3 +129,60 @@ def test_quality_classifier_separates_planted_spam(spark):
     }
     assert got[1000][0] == "low" and got[1000][1] < 0.5
     assert got[1001][0] == "high" and got[1001][1] > 0.5
+
+
+def test_fused_train_score_equals_unfused_chain(spark):
+    """quality_classifier_train_score (one gram pass, r14 opt) must be
+    row-identical to the composed weak-label → langid_ngram_train →
+    quality_classifier_score chain it fuses — including doubles, which
+    stay exact because both forms divide the same integer numerators."""
+    from pyspark.sql import functions as F
+
+    from poc_spark.operators.textstats import langid_ngram_train
+    from poc_spark.operators.textquality import (
+        quality_classifier_score,
+        quality_classifier_train_score,
+        quality_weak_labels,
+        weak_label_col,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the bank"),
+        (2, "spam spam spam spam spam spam spam spam"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (4, "x"),  # under 3 chars: no grams, no score row
+        (5, "mixed mixed tokens tokens appear appear here here often often"),
+        (6, "one two three four five six seven eight nine ten eleven"),
+        (7, "dup dup dup dup unique piece dup dup dup dup dup dup"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lower("text"), F.lit(":qcsplit"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(4),
+    )
+
+    labels = quality_weak_labels(docs)
+    split = docs.join(labels.select("doc_id", "label"), "doc_id").withColumn(
+        "s", s
+    )
+    train = split.filter("s < 3 AND label IS NOT NULL").select(
+        "doc_id", F.col("label").alias("clz"), "text"
+    )
+    unfused = quality_classifier_score(
+        docs, langid_ngram_train(train, lang_col="clz")
+    )
+
+    tl = F.when((s < 3) & weak_label_col(F.col("text")).isNotNull(),
+                weak_label_col(F.col("text")))
+    fused = quality_classifier_train_score(docs, tl)
+
+    a = sorted(map(tuple, unfused.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b
+    assert len(a) >= 5  # the corpus actually scored (doc 4 drops)
