@@ -34,6 +34,71 @@ def _seg_start(length: Column, i: Column, k: int) -> Column:
     return (i * (length / n).cast("int") + F.least(i, length % n)).cast("int")
 
 
+def _fastss_pairs(base: DataFrame, k: int = 1) -> DataFrame:
+    """All pairs (id_a < id_b, dist ≤ 1) via DELETION-NEIGHBORHOOD
+    blocking (the FastSS family — Bocek et al., "Fast Similarity
+    Search in Large Dictionaries", 2007): each string keys on xxhash64
+    of itself and of each single-character deletion; two strings at
+    edit distance ≤ 1 share a key (equal → identity key; substitution
+    → deletion at the differing position; insert/delete → the longer
+    side's deletion IS the shorter string). Complete for k = 1 only.
+
+    Why it exists next to PassJoin (r14 opt): on real identifier-like
+    name data ("Customer#000000042") PassJoin's first segment is a
+    shared constant prefix, so its candidate set degenerates toward
+    all same-length pairs (~2.3M candidate ids on the sf0.1 entity
+    stratum); deletion keys differ wherever the strings differ, so
+    candidates stay near the true-pair count (~10³). Keys are 8-byte
+    hashes — L+1 per string, so the blocking relation is
+    O(corpus × length); the `fastssMaxLen` dispatch bound in
+    edit_distance_join keeps it off long-string corpora where
+    PassJoin's constant 18-row probe grid wins. Hash collisions only
+    add candidates; the exact levenshtein verify removes them."""
+    s = F.col("s")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.col("len")),
+        lambda i: F.xxhash64(
+            F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                F.substring(s, i + 1, F.col("len") - i),
+            )
+        ),
+    )
+    keys = F.array_distinct(
+        F.concat(
+            F.when(F.col("len") > 0, dels).otherwise(
+                F.array().cast("array<bigint>")
+            ),
+            F.array(F.xxhash64(s)),
+        )
+    )
+    rows = base.select(F.col("id"), F.explode(keys).alias("key"))
+    cand_ids = (
+        rows.alias("a")
+        .join(
+            rows.alias("b"),
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    names = base.select("id", "s")
+    dist = F.levenshtein(F.col("s_a"), F.col("s_b"))
+    return (
+        cand_ids.join(
+            names.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")),
+            "id_a",
+        )
+        .join(
+            names.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")),
+            "id_b",
+        )
+        .filter(dist <= F.lit(k))
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
+    )
+
+
 def edit_distance_join(
     df: DataFrame,
     k: int = 2,
@@ -65,6 +130,30 @@ def edit_distance_join(
         F.col(text_col).alias("s"),
         F.length(F.col(text_col)).cast("int").alias("len"),
     ).filter(F.col("s").isNotNull())
+    # ADAPTIVE k=1 strategy (r14 opt): deletion-neighborhood blocking
+    # (_fastss_pairs) replaces PassJoin when every string is short
+    # enough that L+1 deletion keys beat the constant 18-row probe
+    # grid AND the prefix-degeneracy risk — identifier-like name data
+    # is exactly this stratum, and PassJoin's candidate set there
+    # degenerates toward all same-length pairs (docstring of
+    # _fastss_pairs; measured 4.0 s → sub-second on the entity
+    # pipeline's 2,143-name sf0.1 stratum, identical pairs). The max-
+    # length probe is one cheap agg over the name relation; conf
+    # spark.poc.fuzzy.k1Strategy ∈ {auto, fastss, passjoin} forces
+    # either path (the forced sweep exercises passjoin), and
+    # spark.poc.fuzzy.fastssMaxLen bounds the auto dispatch.
+    if k == 1:
+        spark = df.sparkSession
+        strategy = spark.conf.get("spark.poc.fuzzy.k1Strategy", "auto")
+        if strategy == "fastss":
+            return _fastss_pairs(base, k)
+        if strategy == "auto":
+            max_len = int(
+                spark.conf.get("spark.poc.fuzzy.fastssMaxLen", "64")
+            )
+            mx = base.agg(F.max("len")).first()[0]
+            if mx is not None and mx <= max_len:
+                return _fastss_pairs(base, k)
     long_side = base.filter(F.col("len") >= 2 * k + 1)
     short_side = base.filter(F.col("len") < 2 * k + 1)
 

@@ -76,3 +76,41 @@ def test_edit_distance_join_equals_quadratic(spark, seed, k):
         if _lev(names[i], names[j]) <= k
     }
     assert got == exp
+
+
+def test_k1_fastss_equals_passjoin(spark):
+    """The k=1 deletion-neighborhood path (r14 opt) must produce the
+    exact pair set of the forced PassJoin path on a corpus that hits
+    every stratum: shared constant prefixes (the degenerate PassJoin
+    case it exists for), short strings, empty-adjacent strings, and
+    repeated characters (duplicate deletion keys)."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from poc_spark.operators.fuzzy import edit_distance_join
+
+    rng = random.Random(5)
+    names = [f"Customer#{rng.randint(0, 40):06d}" for _ in range(60)] + [
+        "".join(rng.choice("ab") for _ in range(rng.randint(0, 6)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+
+    def run():
+        return {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_join(df, k=1).collect()
+        }
+
+    spark.conf.set("spark.poc.fuzzy.k1Strategy", "fastss")
+    try:
+        fastss = run()
+    finally:
+        spark.conf.set("spark.poc.fuzzy.k1Strategy", "passjoin")
+    try:
+        passjoin = run()
+    finally:
+        spark.conf.unset("spark.poc.fuzzy.k1Strategy")
+    assert fastss == passjoin
+    assert len(fastss) > 0
