@@ -3845,6 +3845,24 @@ def _export_path(subdir: str, sf_dir: str) -> str:
     )
 
 
+def _overlap(*thunks):
+    """Run independent fit/write stages as concurrent Spark job groups
+    from driver threads (r14 opt, guide §2.6 — overlap independent
+    jobs): the IVF fit+write and the PQ codebook train in the ivfpq
+    entries share no inputs or outputs (PQ trains on the RAW embedding
+    relation and writes <path>/codebook; IVF writes <path>/ivf), so
+    running them serially just sums two job-scheduling floors. Results
+    are identical by construction — each thunk's fits keep their own
+    seeds and data. Exceptions propagate; all thunks are joined before
+    return."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 def _lsh_code_fingerprint() -> str:
     """8-hex fingerprint of the pair-GENERATION code path: the source
     of minhash_lsh_pairs and every minhash/shingle helper it composes.
@@ -7713,11 +7731,17 @@ def sim_ivfpq_query(spark, sf_dir):
     # cheap fit settings: the ORACLE replays the persisted artifact, so
     # centroid quality affects recall only (receipted in PQ_RECALL.json)
     # — the entry stays hash-green by construction while the bench wall
-    # drops from ~20 KMeans jobs per subspace to ~6 on half the rows
-    build_ivf_index(
-        emb, f"{path}/ivf", n_centroids=16, sample_fraction=0.5, max_iter=6
+    # drops from ~20 KMeans jobs per subspace to ~6 on half the rows.
+    # IVF build and PQ train are input/output-disjoint → overlapped
+    _overlap(
+        lambda: build_ivf_index(
+            emb, f"{path}/ivf", n_centroids=16, sample_fraction=0.5,
+            max_iter=6,
+        ),
+        lambda: pq_train(
+            emb, path, m_sub=4, k=16, sample_fraction=0.5, max_iter=6
+        ),
     )
-    pq_train(emb, path, m_sub=4, k=16, sample_fraction=0.5, max_iter=6)
     vectors, cents = load_ivf_index(spark, f"{path}/ivf")
     cb = load_pq_codebook(spark, path)
     q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
@@ -7848,11 +7872,18 @@ def sim_ivfpq_rerank(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     path = _export_path("ivfpqrr", sf_dir)
     # fresh artifacts each run (stale-artifact rule); cheap-fit — the
-    # oracle replays the persisted artifacts, quality moves recall only
-    build_ivf_index(
-        emb, f"{path}/ivf", n_centroids=16, sample_fraction=0.5, max_iter=6
+    # oracle replays the persisted artifacts, quality moves recall
+    # only. IVF build and PQ train are input/output-disjoint →
+    # overlapped (r14 opt, _overlap docstring)
+    _overlap(
+        lambda: build_ivf_index(
+            emb, f"{path}/ivf", n_centroids=16, sample_fraction=0.5,
+            max_iter=6,
+        ),
+        lambda: pq_train(
+            emb, path, m_sub=4, k=16, sample_fraction=0.5, max_iter=6
+        ),
     )
-    pq_train(emb, path, m_sub=4, k=16, sample_fraction=0.5, max_iter=6)
     vectors, cents = load_ivf_index(spark, f"{path}/ivf")
     cb = load_pq_codebook(spark, path)
     q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
