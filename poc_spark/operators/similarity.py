@@ -273,22 +273,57 @@ def ivf_centroids_kmeans(
     sample_fraction: float | None = None,
     max_iter: int = 20,
 ) -> list[tuple[int, list[float]]]:
-    """Real IVF centroids: pyspark.ml KMeans fit (k-means||init). At
-    scale, fit on a sample (`sample_fraction`) — centroid quality needs
+    """Real IVF centroids. At scale: pyspark.ml KMeans fit (k-means||
+    init) on a sample (`sample_fraction`) — centroid quality needs
     only a representative subset, and the result is a tiny broadcast
-    list either way. Distributed fit: no vector ever collects to the
-    driver except the k centers themselves."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    list either way; no vector ever collects to the driver except the
+    k centers themselves.
 
+    SIZE-GATED LOCAL FIT for CHEAP-FIT callers (r14 opt, guide §4.4 —
+    heavyweight work where the data is): when the caller already opted
+    into an approximate fit (`sample_fraction` set — the ivfpq
+    entries' bench setting) and the sampled training set fits under
+    `spark.poc.sim.localFitMaxRows` (default 65536 — ~32 MB of
+    float64 at d=64), collect it once and fit with the deterministic
+    numpy `_lloyd_local` kernel opq_train already uses, instead of
+    paying ~10 Spark job floors per k-means|| fit. This is FAISS's own
+    discipline (train on a bounded in-process sample); the probe is a
+    `limit(bound+1).collect()` that stops scanning past the bound, so
+    a 100 TB corpus falls through to the distributed fit after reading
+    ~bound rows. Full-quality callers (sample_fraction=None —
+    sim_ivf_kmeans/join/append, whose contract docstrings promise the
+    k-means|| fit) ALWAYS keep the distributed path: measured
+    interleaved A/B showed strided-init Lloyd's slightly less balanced
+    lists cost ivf_join ~0.5 s in join fan-out, while the cheap-fit
+    ivfpq entries win 1–3 s each. Centroid VALUES differ between the
+    two paths — both are absorbed by the artifact-is-truth discipline
+    (oracles replay the persisted centers; fit quality moves recall
+    only, receipted in PQ_RECALL.json). `localFitMaxRows=0` forces the
+    distributed path everywhere (tools/forced_sweep.sh keeps it
+    oracled)."""
+    spark = df.sparkSession
+    bound = int(spark.conf.get("spark.poc.sim.localFitMaxRows", "65536"))
     data = df.select(
-        array_to_vector(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        ).alias("features")
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
     )
     if sample_fraction is not None:
         data = data.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(data)
+    if bound > 0 and sample_fraction is not None:
+        head = data.limit(bound + 1).collect()
+        if n_centroids <= len(head) <= bound:
+            import numpy as np
+
+            X = np.array([r["v"] for r in head], dtype=np.float64)
+            centers = _lloyd_local(X, n_centroids, n_iter=max(12, max_iter))
+            return [
+                (i, [float(x) for x in c]) for i, c in enumerate(centers)
+            ]
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(
+        data.select(array_to_vector(F.col("v")).alias("features"))
+    )
     return [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
@@ -869,6 +904,39 @@ def pq_train(
     d_sub = dim // m_sub
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
+    # SIZE-GATED LOCAL FIT for cheap-fit callers (r14 opt): same
+    # dispatch as ivf_centroids_kmeans (docstring there) — ONE bounded
+    # collect of the sampled training set feeds all m_sub numpy Lloyd
+    # fits (sliced views, no per-subspace Spark job), vs m_sub
+    # concurrent k-means|| fits at ~10 job floors each. limit(bound+1)
+    # keeps the probe cheap on a huge corpus; sample_fraction=None
+    # (full-quality ask) or localFitMaxRows=0 forces the distributed
+    # path (forced_sweep.sh keeps it oracled). Centers differ between
+    # paths; artifact-is-truth absorbs it (recall receipted in
+    # PQ_RECALL.json).
+    bound = int(spark.conf.get("spark.poc.sim.localFitMaxRows", "65536"))
+    local_rows = None
+    if bound > 0 and sample_fraction is not None:
+        samp = df.select(vec.alias("v"))
+        if sample_fraction is not None:
+            samp = samp.sample(False, sample_fraction, seed)
+        head = samp.limit(bound + 1).collect()
+        if k <= len(head) <= bound:
+            import numpy as np
+
+            X = np.array([r["v"] for r in head], dtype=np.float64)
+            local_rows = [
+                (j, c, [float(x) for x in center])
+                for j in range(m_sub)
+                for c, center in enumerate(
+                    _lloyd_local(
+                        X[:, j * d_sub : (j + 1) * d_sub],
+                        k,
+                        n_iter=max(12, max_iter),
+                    )
+                )
+            ]
+
     def _fit_sub(j: int) -> list[tuple[int, int, list[float]]]:
         data = df.select(
             array_to_vector(F.slice(vec, j * d_sub + 1, d_sub)).alias(
@@ -883,11 +951,14 @@ def pq_train(
             for c, center in enumerate(model.clusterCenters())
         ]
 
-    from concurrent.futures import ThreadPoolExecutor
+    if local_rows is not None:
+        rows = local_rows
+    else:
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(m_sub, 8)) as ex:
-        per_sub = list(ex.map(_fit_sub, range(m_sub)))
-    rows = [r for sub in per_sub for r in sub]
+        with ThreadPoolExecutor(max_workers=min(m_sub, 8)) as ex:
+            per_sub = list(ex.map(_fit_sub, range(m_sub)))
+        rows = [r for sub in per_sub for r in sub]
     schema = StructType(
         [
             StructField("sub", IntegerType(), False),

@@ -816,3 +816,40 @@ def test_ivfpq_rerank_three_stage(spark, tmp_path):
         ).collect()
     ]
     assert got2 == exact_order(shortlist)
+
+
+def test_cheap_fit_local_dispatch(spark, emb, tmp_path):
+    """r14 opt: the cheap-fit (sample_fraction set) KMeans dispatch.
+    Pins (1) the local Lloyd path is deterministic (fit == fit),
+    (2) full-quality callers (sample_fraction=None) are CONF-
+    INDEPENDENT — forcing localFitMaxRows=0 must change nothing for
+    them, bit-for-bit, because they never dispatch locally, and
+    (3) a local-path pq_train codebook loads back dense with exactly
+    k centers per subspace."""
+    from poc_spark.operators.similarity import (
+        ivf_centroids_kmeans,
+        load_pq_codebook,
+        pq_train,
+    )
+
+    # (1) local path: deterministic, right shape
+    a = ivf_centroids_kmeans(emb, 8, sample_fraction=0.9, max_iter=6)
+    b = ivf_centroids_kmeans(emb, 8, sample_fraction=0.9, max_iter=6)
+    assert a == b
+    assert len(a) == 8 and len(a[0][1]) == 64
+
+    # (2) full-quality ask: identical under both conf settings
+    full_default = ivf_centroids_kmeans(emb, 4, max_iter=3)
+    spark.conf.set("spark.poc.sim.localFitMaxRows", "0")
+    try:
+        full_forced = ivf_centroids_kmeans(emb, 4, max_iter=3)
+    finally:
+        spark.conf.unset("spark.poc.sim.localFitMaxRows")
+    assert full_default == full_forced
+
+    # (3) local pq_train artifact: dense codes, k centers per sub
+    path = str(tmp_path / "pqlocal")
+    pq_train(emb, path, m_sub=4, k=8, sample_fraction=0.9, max_iter=6)
+    cb = load_pq_codebook(spark, path)
+    assert len(cb) == 4 and all(len(sub) == 8 for sub in cb)
+    assert all(len(c) == 16 for sub in cb for c in sub)
