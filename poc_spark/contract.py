@@ -6342,11 +6342,24 @@ def lake_repartition_spec(spark, sf_dir):
                 "lake_repartition_spec: deletion vector survived the "
                 "respec rewrite — it must fold"
             )
-        # pre-respec version: old spec, DV still masking (its own state)
+        # pre-respec version: old spec, DV still masking (its own state).
+        # The three gate counts are independent reads (retained snapshot
+        # / immutable input) — overlapped from driver threads (r14 opt,
+        # guide §2.6, same _overlap discipline as the ivfpq entries)
         versions = list_versions(root)
-        n_then = read_version(spark, root, versions[-2]).count()
-        n_total = docs.count()
-        n_masked = docs.filter("doc_id % 9 = 4").count()
+        _gate: dict = {}
+        _overlap(
+            lambda: _gate.__setitem__(
+                "then", read_version(spark, root, versions[-2]).count()
+            ),
+            lambda: _gate.__setitem__("total", docs.count()),
+            lambda: _gate.__setitem__(
+                "masked", docs.filter("doc_id % 9 = 4").count()
+            ),
+        )
+        n_then = _gate["then"]
+        n_total = _gate["total"]
+        n_masked = _gate["masked"]
         if n_then != n_total - n_masked:
             raise RuntimeError(
                 f"lake_repartition_spec: pre-respec snapshot served "

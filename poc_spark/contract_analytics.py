@@ -28,6 +28,7 @@ from poc_spark.contract import (
     EVENT_ORDER,
     _content_agg,
     _export_path,
+    _overlap,
     _stream_shuffle,
     _t,
     register,
@@ -1320,12 +1321,23 @@ def lake_catalog_txn(spark, sf_dir):
 
     _shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
-    write_partitioned(docs, facts_root, ["lang"])
     summary0 = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_chars").alias("sum_chars"),
     )
-    write_partitioned(summary0, summary_root, ["source"])
+    # the two seed tables and the probe's expected total are mutually
+    # independent (distinct output roots / a pure read of the immutable
+    # input), so their jobs overlap from driver threads (r14 opt,
+    # guide §2.6 — same _overlap discipline as the ivfpq entries);
+    # catalog_init still runs strictly after both tables exist
+    _seed: dict = {}
+    _overlap(
+        lambda: write_partitioned(docs, facts_root, ["lang"]),
+        lambda: write_partitioned(summary0, summary_root, ["source"]),
+        lambda: _seed.__setitem__(
+            "base_sum", docs.agg(F.sum("n_chars")).collect()[0][0]
+        ),
+    )
     catalog_init(
         spark, catalog_path, {"facts": facts_root, "summary": summary_root}
     )
@@ -1342,7 +1354,7 @@ def lake_catalog_txn(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_chars").alias("sum_chars"),
     )
-    base_sum = docs.agg(F.sum("n_chars")).collect()[0][0]
+    base_sum = _seed["base_sum"]
 
     def probe():
         f_sum = (
@@ -1373,8 +1385,17 @@ def lake_catalog_txn(spark, sf_dir):
     facts = catalog_read_table(spark, catalog_path, "facts")
     summary = catalog_read_table(spark, catalog_path, "summary")
     # cross-table invariant gate: summary must equal facts' aggregate
-    f_sum = facts.agg(F.sum("n_chars")).collect()[0][0]
-    s_sum = summary.agg(F.sum("sum_chars")).collect()[0][0]
+    # (two independent reads — overlapped, guide §2.6)
+    _gate: dict = {}
+    _overlap(
+        lambda: _gate.__setitem__(
+            "f", facts.agg(F.sum("n_chars")).collect()[0][0]
+        ),
+        lambda: _gate.__setitem__(
+            "s", summary.agg(F.sum("sum_chars")).collect()[0][0]
+        ),
+    )
+    f_sum, s_sum = _gate["f"], _gate["s"]
     if f_sum != s_sum:
         raise RuntimeError(
             f"cross-table invariant broken after commit: facts={f_sum} "

@@ -371,6 +371,7 @@ def synthesize_png_media(
     id_col: str = "doc_id",
     text_col: str = "text",
     corrupt_every: int | None = 17,
+    n_tasks: int = 64,
 ) -> DataFrame:
     """(media_id, payload) — a REAL binary PNG table synthesized from
     documents: each payload is a spec-valid PNG (RGB8, IHDR/IDAT/IEND,
@@ -406,7 +407,14 @@ def synthesize_png_media(
                 rows.append((did, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return df.select(id_col, text_col).mapInPandas(
+    # the id+text projection typically collapses to ONE parquet-scan
+    # partition — repartition so the per-row codec work (container
+    # synthesis AND the decode/resize mapInPandas stages downstream,
+    # which share this stage's partitioning) uses the cluster, not one
+    # Python worker (the single-partition-upstream trap the spectral
+    # lane already fixes; n_tasks is task COUNT, not concurrency —
+    # AQE/low-core runs schedule them over whatever cores exist)
+    return df.select(id_col, text_col).repartition(n_tasks).mapInPandas(
         batches, "media_id long, payload binary"
     )
 
@@ -1271,6 +1279,7 @@ def synthesize_jpeg_media(
     id_col: str = "doc_id",
     text_col: str = "text",
     corrupt_every: int | None = 17,
+    n_tasks: int = 64,
 ) -> DataFrame:
     """(media_id, payload) — spec-valid baseline JPEGs synthesized from
     documents: 3-component YCbCr 4:4:4, DC-ONLY blocks with DC quantizer
@@ -1314,7 +1323,14 @@ def synthesize_jpeg_media(
                 rows.append((did, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return df.select(id_col, text_col).mapInPandas(
+    # the id+text projection typically collapses to ONE parquet-scan
+    # partition — repartition so the per-row codec work (container
+    # synthesis AND the decode/resize mapInPandas stages downstream,
+    # which share this stage's partitioning) uses the cluster, not one
+    # Python worker (the single-partition-upstream trap the spectral
+    # lane already fixes; n_tasks is task COUNT, not concurrency —
+    # AQE/low-core runs schedule them over whatever cores exist)
+    return df.select(id_col, text_col).repartition(n_tasks).mapInPandas(
         batches, "media_id long, payload binary"
     )
 
@@ -1324,6 +1340,7 @@ def synthesize_jpeg420_media(
     id_col: str = "doc_id",
     text_col: str = "text",
     corrupt_every: int | None = 17,
+    n_tasks: int = 64,
 ) -> DataFrame:
     """(media_id, payload) — spec-valid baseline 4:2:0 JPEGs (the
     sampling layout most real-world JPEGs use: Y 2x2, chroma 1x1,
@@ -1373,7 +1390,14 @@ def synthesize_jpeg420_media(
                 rows.append((did, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return df.select(id_col, text_col).mapInPandas(
+    # the id+text projection typically collapses to ONE parquet-scan
+    # partition — repartition so the per-row codec work (container
+    # synthesis AND the decode/resize mapInPandas stages downstream,
+    # which share this stage's partitioning) uses the cluster, not one
+    # Python worker (the single-partition-upstream trap the spectral
+    # lane already fixes; n_tasks is task COUNT, not concurrency —
+    # AQE/low-core runs schedule them over whatever cores exist)
+    return df.select(id_col, text_col).repartition(n_tasks).mapInPandas(
         batches, "media_id long, payload binary"
     )
 
