@@ -1517,9 +1517,11 @@ def _decode_jpeg(buf: bytes) -> tuple | None:
                     zz = body[bpos + 1 : bpos + 65]
                     if len(zz) != 64:
                         raise ValueError("short DQT")
-                    nat = [0] * 64
-                    for k in range(64):
-                        nat[_JPEG_ZIGZAG[k]] = zz[k]
+                    # natural-order quantizer as a float64 VECTOR (the
+                    # batched dequant multiplies it directly; uint8
+                    # values are exact in float64)
+                    nat = np.zeros(64)
+                    nat[list(_JPEG_ZIGZAG)] = np.frombuffer(zz, np.uint8)
                     qt[tq] = nat
                     bpos += 65
             elif marker == 0xC4:  # DHT
@@ -1533,15 +1535,26 @@ def _decode_jpeg(buf: bytes) -> tuple | None:
                     vals = body[bpos + 17 : bpos + 17 + n]
                     if len(vals) != n:
                         raise ValueError("short DHT symbols")
-                    table: dict = {}
+                    # canonical T.81 F.16 decode arrays (mincode /
+                    # maxcode / valptr) instead of a (len, code)->sym
+                    # dict: the fast scan below resolves a symbol with
+                    # int compares on a 16-bit peek, no per-bit dict
+                    # walk. Same canonical code assignment as the dict
+                    # form — identical symbols for every valid stream.
+                    maxcode = [-1] * 17
+                    mincode = [0] * 17
+                    valptr = [0] * 17
                     code, vi = 0, 0
                     for ln in range(1, 17):
-                        for _ in range(counts[ln - 1]):
-                            table[(ln, code)] = vals[vi]
-                            code += 1
-                            vi += 1
+                        cnt = counts[ln - 1]
+                        if cnt:
+                            valptr[ln] = vi
+                            mincode[ln] = code
+                            code += cnt
+                            vi += cnt
+                            maxcode[ln] = code - 1
                         code <<= 1
-                    huff[(tc, th)] = table
+                    huff[(tc, th)] = (maxcode, mincode, valptr, bytes(vals))
                     bpos += 17 + n
             elif marker == 0xC0:  # SOF0 baseline
                 if sof is not None:
@@ -1591,67 +1604,215 @@ def _decode_jpeg(buf: bytes) -> tuple | None:
         vmax = max(c[3] for c in comps)
         mw = (w + 8 * hmax - 1) // (8 * hmax)
         mh = (h + 8 * vmax - 1) // (8 * vmax)
-        a = _jpeg_idct_basis()
-        planes = [
-            np.zeros((mh * c[3] * 8, mw * c[2] * 8), dtype=np.uint8)
-            for c in comps
-        ]
+        # resolve every scan component's tables ONCE (old per-MCU
+        # lookups hoisted; same "missing table" error surface)
+        scan_tabs = []
+        for idx, dc_id, ac_id in scan:
+            q = qt.get(comps[idx][1])
+            dc_tab = huff.get((0, dc_id))
+            ac_tab = huff.get((1, ac_id))
+            if q is None or dc_tab is None or ac_tab is None:
+                raise ValueError("missing table")
+            scan_tabs.append((idx, dc_tab, ac_tab))
+
+        # ---- entropy PRE-SCAN (guide §4.2, make per-task work fast):
+        # one bulk pass un-stuffs FF 00 and splits the entropy region
+        # at RST/terminating markers, so the bit loop below never
+        # byte-walks. Equivalence with the per-byte reader it replaced:
+        # a stream needing bits past a segment end raises exactly where
+        # the old reader's fetch hit the marker (consume tracks REAL
+        # bits only — the 16-bit peek zero-pads for display but a
+        # symbol whose length exceeds the remaining real bits still
+        # over-consumes and raises), and the restart/EOI gates require
+        # the pad-only remainder the old pos-equality checks implied.
+        segs: list[tuple[bytes, int | None, int]] = []
+        cur = bytearray()
+        i = pos
+        blen = len(buf)
+        while True:
+            j = buf.find(b"\xff", i)
+            if j < 0 or j + 1 >= blen:
+                # runs off the buffer (or lone trailing FF): the old
+                # reader raised on fetch; here the overrun/EOI gates do
+                cur += buf[i:blen]
+                segs.append((bytes(cur), None, blen))
+                break
+            cur += buf[i:j]
+            nxt = buf[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i = j + 2
+            elif 0xD0 <= nxt <= 0xD7:
+                segs.append((bytes(cur), nxt, j))
+                cur = bytearray()
+                i = j + 2
+            else:
+                segs.append((bytes(cur), nxt, j))
+                break
+
+        zig = _JPEG_ZIGZAG
+        seg_idx = 0
+        data = segs[0][0]
+        dlen = len(data)
+        acc = nbits = ptr = 0
         preds = [0] * nc
-        reader = _JpegBitReader(buf, pos)
         rst = 0
-        for m in range(mh * mw):
+        # raw (pre-dequant) coefficients per component, natural order,
+        # FLAT (64 ints per block) — dequant + IDCT run BATCHED in
+        # numpy after the scan, and a flat int list converts faster
+        # than nested per-block lists
+        comp_blocks: list[list[int]] = [[] for _ in comps]
+        nmcu = mh * mw
+        for m in range(nmcu):
             if ri and m and m % ri == 0:
-                reader.restart(rst)
+                # old restart(): reader must sit exactly at the marker
+                # (pad bits only — ptr drained, under a byte buffered)
+                # and the marker must be the expected RSTn
+                if not (
+                    ptr == dlen
+                    and nbits < 8
+                    and segs[seg_idx][1] == 0xD0 + rst
+                ):
+                    raise ValueError("missing restart marker")
+                seg_idx += 1
+                if seg_idx >= len(segs):  # cannot happen (scan always
+                    raise ValueError("truncated after restart")  # appends)
+                data = segs[seg_idx][0]
+                dlen = len(data)
+                acc = nbits = ptr = 0
                 rst = (rst + 1) % 8
                 preds = [0] * nc
-            my, mx = divmod(m, mw)
-            for idx, dc_id, ac_id in scan:
-                q = qt.get(comps[idx][1])
-                dc_tab = huff.get((0, dc_id))
-                ac_tab = huff.get((1, ac_id))
-                if q is None or dc_tab is None or ac_tab is None:
-                    raise ValueError("missing table")
-                ch, cv = comps[idx][2], comps[idx][3]
+            for idx, dc_tab, ac_tab in scan_tabs:
+                ch = comps[idx][2]
+                cv = comps[idx][3]
+                maxc_d, minc_d, vptr_d, vals_d = dc_tab
+                maxc_a, minc_a, vptr_a, vals_a = ac_tab
+                target = comp_blocks[idx]
                 # T.81 A.2.3: within an MCU, a component contributes
                 # its Hi x Vi blocks in raster order
-                for bv in range(cv):
-                    for bh2 in range(ch):
-                        coef = np.zeros((8, 8))
-                        s = _jpeg_huff_decode(reader, dc_tab)
-                        if s > 11:
-                            raise ValueError("bad DC category")
-                        preds[idx] += _jpeg_extend(reader.read(s), s)
-                        coef[0, 0] = preds[idx] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_huff_decode(reader, ac_tab)
-                            r, sz = rs >> 4, rs & 15
-                            if sz == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            nat = _JPEG_ZIGZAG[k]
-                            coef[nat // 8, nat % 8] = (
-                                _jpeg_extend(reader.read(sz), sz) * q[nat]
-                            )
-                            k += 1
-                        spatial = a.T @ coef @ a
-                        samples = np.clip(
-                            np.floor(spatial + 128.5), 0, 255
-                        ).astype(np.uint8)
-                        by, bx = my * cv + bv, mx * ch + bh2
-                        planes[idx][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = samples
-        # after the last MCU: byte-align and require EOI (a stream that
-        # ends before it is a torn download, same rule as PNG's IEND)
-        pos = reader.pos
-        if buf[pos : pos + 2] != b"\xff\xd9":
+                for _b in range(cv * ch):
+                    blk = [0] * 64
+                    # --- DC: canonical decode on a 16-bit peek
+                    while nbits < 16 and ptr < dlen:
+                        acc = (acc << 8) | data[ptr]
+                        ptr += 1
+                        nbits += 8
+                    code16 = (
+                        (acc >> (nbits - 16)) & 0xFFFF
+                        if nbits >= 16
+                        else (acc << (16 - nbits)) & 0xFFFF
+                    )
+                    ln = 1
+                    while ln <= 16:
+                        c = code16 >> (16 - ln)
+                        if c <= maxc_d[ln]:
+                            break
+                        ln += 1
+                    else:
+                        raise ValueError("invalid huffman code")
+                    s = vals_d[vptr_d[ln] + c - minc_d[ln]]
+                    nbits -= ln
+                    if nbits < 0:
+                        raise ValueError("truncated entropy data")
+                    acc &= (1 << nbits) - 1
+                    if s > 11:
+                        raise ValueError("bad DC category")
+                    if s:
+                        while nbits < s and ptr < dlen:
+                            acc = (acc << 8) | data[ptr]
+                            ptr += 1
+                            nbits += 8
+                        nbits -= s
+                        if nbits < 0:
+                            raise ValueError("truncated entropy data")
+                        v = (acc >> nbits) & ((1 << s) - 1)
+                        acc &= (1 << nbits) - 1
+                        # T.81 F.12 EXTEND inline
+                        preds[idx] += (
+                            v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        )
+                    blk[0] = preds[idx]
+                    # --- AC run-length loop, same canonical decode
+                    k = 1
+                    while k < 64:
+                        while nbits < 16 and ptr < dlen:
+                            acc = (acc << 8) | data[ptr]
+                            ptr += 1
+                            nbits += 8
+                        code16 = (
+                            (acc >> (nbits - 16)) & 0xFFFF
+                            if nbits >= 16
+                            else (acc << (16 - nbits)) & 0xFFFF
+                        )
+                        ln = 1
+                        while ln <= 16:
+                            c = code16 >> (16 - ln)
+                            if c <= maxc_a[ln]:
+                                break
+                            ln += 1
+                        else:
+                            raise ValueError("invalid huffman code")
+                        rs = vals_a[vptr_a[ln] + c - minc_a[ln]]
+                        nbits -= ln
+                        if nbits < 0:
+                            raise ValueError("truncated entropy data")
+                        acc &= (1 << nbits) - 1
+                        r = rs >> 4
+                        sz = rs & 15
+                        if sz == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        while nbits < sz and ptr < dlen:
+                            acc = (acc << 8) | data[ptr]
+                            ptr += 1
+                            nbits += 8
+                        nbits -= sz
+                        if nbits < 0:
+                            raise ValueError("truncated entropy data")
+                        v = (acc >> nbits) & ((1 << sz) - 1)
+                        acc &= (1 << nbits) - 1
+                        blk[zig[k]] = (
+                            v if v >= (1 << (sz - 1)) else v - (1 << sz) + 1
+                        )
+                        k += 1
+                    target.extend(blk)
+        # after the last MCU: pad-only remainder and EOI, the same
+        # byte-align + marker rule the old reader.pos check enforced
+        if not (ptr == dlen and nbits < 8):
+            raise ValueError("trailing bytes before EOI")
+        if segs[seg_idx][1] != 0xD9:
             raise ValueError("missing EOI")
+
+        # ---- dequant + IDCT + level shift, BATCHED per component
+        # (bit-identical to the per-block a.T @ coef @ a loop: numpy's
+        # stacked matmul runs the same dgemm per 8x8 slice — pinned by
+        # test_jpeg_batched_idct_matches_per_block)
+        a = _jpeg_idct_basis()
+        at = a.T
+        planes = []
+        for comp, blocks in zip(comps, comp_blocks):
+            chs, cvs = comp[2], comp[3]
+            qv = qt[comp[1]]
+            coefs = (
+                np.asarray(blocks, dtype=np.float64).reshape(-1, 64) * qv
+            ).reshape(-1, 8, 8)
+            spatial = np.matmul(np.matmul(at, coefs), a)
+            samples = np.clip(np.floor(spatial + 128.5), 0, 255).astype(
+                np.uint8
+            )
+            # blocks arrive (mcu raster, bv, bh)-ordered: fold back to
+            # the plane grid in one transpose
+            plane = (
+                samples.reshape(mh, mw, cvs, chs, 8, 8)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(mh * cvs * 8, mw * chs * 8)
+            )
+            planes.append(plane)
         if nc == 1:
             return (w, h, 1, planes[0][:h, :w].tobytes())
         y = planes[0][:h, :w].astype(np.float64)

@@ -536,3 +536,58 @@ def test_jpeg_resize_ground_truth_and_quarantine(spark):
     assert got[1]["resized_sha"] == want
     assert (got[1]["width"], got[1]["height"]) == (16, 8)
     assert got[2]["resized_sha"] is None and got[3]["resized_sha"] is None
+
+
+def test_jpeg_batched_idct_matches_per_block():
+    """The entropy-decode rewrite runs dequant+IDCT BATCHED per
+    component (np.matmul over stacked 8x8 blocks). Pin bit-identity
+    against the per-block a.T @ coef @ a loop it replaced, over random
+    dequantized coefficient magnitudes — numpy's stacked matmul must
+    keep running the same per-slice dgemm for the decoded planes to
+    stay byte-identical."""
+    from poc_spark.operators.multimodal import _jpeg_idct_basis
+
+    a = _jpeg_idct_basis()
+    rng = np.random.RandomState(7)
+    coefs = (
+        rng.randint(-2048, 2048, size=(512, 8, 8))
+        * rng.randint(1, 256, size=(512, 8, 8))
+    ).astype(np.float64)
+    per = np.stack(
+        [
+            np.clip(np.floor((a.T @ c @ a) + 128.5), 0, 255).astype(np.uint8)
+            for c in coefs
+        ]
+    )
+    batched = np.clip(
+        np.floor(np.matmul(np.matmul(a.T, coefs), a) + 128.5), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(per, batched)
+
+
+def test_jpeg_entropy_rewrite_ac_differential():
+    """AC-heavy container decoded by the fast canonical-array scan
+    equals the independent reference reconstruction — exercises every
+    rewrite path at once: run-length skips, ZRL, amplitude EXTEND,
+    multi-block DPCM, batched dequant, plane scatter."""
+    qtab = [8] + [16] * 63
+    rng = np.random.RandomState(3)
+    nat = [0] * 64
+    nat[0] = 25
+    for k in (1, 8, 9, 17, 34, 52, 63):  # scattered AC incl. last slot
+        nat[k] = int(rng.randint(-40, 40)) or 5
+    nat2 = [0] * 64
+    nat2[0] = -90
+    nat2[21] = 17
+    buf = _jpeg_encode_blocks([[_zig(nat), _zig(nat2)]], 16, 8, qtab)
+    got = _decode_jpeg(buf)
+    assert got is not None
+    w, h, nc, px = got
+    assert (w, h, nc) == (16, 8, 1)
+    ref = np.zeros((8, 16))
+    for bi, blk in enumerate((nat, nat2)):
+        deq = [blk[i] * qtab[i] for i in range(64)]
+        ref[:, bi * 8 : bi * 8 + 8] = np.clip(
+            np.floor(_idct_ref(deq) + 128.5), 0, 255
+        )
+    assert np.frombuffer(px, dtype=np.uint8).reshape(8, 16).tolist() == ref.tolist()
