@@ -1402,62 +1402,6 @@ def synthesize_jpeg420_media(
     )
 
 
-class _JpegBitReader:
-    """MSB-first bit reader over the entropy-coded segment: un-stuffs
-    FF 00, stops at any real marker, and (re)aligns across RSTn."""
-
-    def __init__(self, buf: bytes, pos: int) -> None:
-        self.buf = buf
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fetch(self) -> None:
-        b = self.buf[self.pos]
-        if b == 0xFF:
-            nxt = self.buf[self.pos + 1]
-            if nxt != 0x00:
-                raise ValueError("marker inside entropy data")
-            self.pos += 2
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def read(self, n: int) -> int:
-        while self.nbits < n:
-            self._fetch()
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def restart(self, expected: int) -> None:
-        self.acc, self.nbits = 0, 0  # discard pad bits to byte boundary
-        if self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] != (
-            0xD0 + expected
-        ):
-            raise ValueError("missing restart marker")
-        self.pos += 2
-
-
-def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
-    code, ln = 0, 0
-    while ln < 16:
-        code = (code << 1) | reader.read(1)
-        ln += 1
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid huffman code")
-
-
-def _jpeg_extend(v: int, s: int) -> int:
-    """T.81 F.12 EXTEND: map s received bits back to the signed
-    amplitude."""
-    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-
 def _decode_jpeg(buf: bytes) -> tuple | None:
     """Core baseline JPEG decode: (width, height, n_components,
     pixel_bytes) — grayscale plane or interleaved RGB after JFIF
@@ -1482,7 +1426,9 @@ def _decode_jpeg(buf: bytes) -> tuple | None:
             raise ValueError("bad SOI")
         pos = 2
         qt: dict[int, list[int]] = {}
-        huff: dict[tuple[int, int], dict] = {}
+        # (class, id) -> canonical decode arrays (maxcode, mincode,
+        # valptr, huffval) per T.81 F.16
+        huff: dict[tuple[int, int], tuple] = {}
         sof = None
         ri = 0
         comps: list[tuple[int, int]] = []  # (component id, quant table id)
