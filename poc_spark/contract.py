@@ -4077,8 +4077,17 @@ def src_warc_roundtrip(spark, sf_dir):
     )
     n = write_warc(recs, path, n_files=8)
     back = read_warc(spark, path)
-    bad = back.filter(F.col("error").isNotNull()).count()
-    if bad or n != docs.count():
+    # quarantine scan and input-count gate are independent jobs —
+    # overlapped (guide §2.6, the _overlap discipline)
+    _gate: dict = {}
+    _overlap(
+        lambda: _gate.__setitem__(
+            "bad", back.filter(F.col("error").isNotNull()).count()
+        ),
+        lambda: _gate.__setitem__("nd", docs.count()),
+    )
+    bad = _gate["bad"]
+    if bad or n != _gate["nd"]:
         raise RuntimeError(
             f"src_warc_roundtrip: {bad} quarantined records, "
             f"{n} written — a fresh synthesized corpus must parse clean"
@@ -4147,8 +4156,17 @@ def src_tar_shards(spark, sf_dir):
     )
     n = write_tar_shards(samples, path, n_shards=8)
     back = read_tar_shards(spark, path)
-    bad = back.filter(F.col("error").isNotNull()).count()
-    if bad or n != docs.count():
+    # quarantine scan and input-count gate are independent jobs —
+    # overlapped (guide §2.6, the _overlap discipline)
+    _gate: dict = {}
+    _overlap(
+        lambda: _gate.__setitem__(
+            "bad", back.filter(F.col("error").isNotNull()).count()
+        ),
+        lambda: _gate.__setitem__("nd", docs.count()),
+    )
+    bad = _gate["bad"]
+    if bad or n != _gate["nd"]:
         raise RuntimeError(
             f"src_tar_shards: {bad} quarantined samples, {n} written — "
             "a fresh synthesized corpus must parse clean"
@@ -4376,8 +4394,18 @@ def pipeline_image_dedup(spark, sf_dir):
     # one tar pass: the quarantine count and the decode+hash stage read
     # the same checkpointed scan instead of re-walking the shards
     back = read_tar_shards(spark, path).localCheckpoint(eager=False)
-    bad = back.filter(F.col("error").isNotNull()).count()
-    if bad or n != 3 * docs.count():
+    # the checkpoint-materializing quarantine scan and the input-count
+    # gate are independent — overlapped (guide §2.6); the light count
+    # rides alongside the tar walk
+    _gate: dict = {}
+    _overlap(
+        lambda: _gate.__setitem__(
+            "bad", back.filter(F.col("error").isNotNull()).count()
+        ),
+        lambda: _gate.__setitem__("nd", docs.count()),
+    )
+    bad = _gate["bad"]
+    if bad or n != 3 * _gate["nd"]:
         raise RuntimeError(
             f"pipeline_image_dedup: {bad} quarantined, {n} written — "
             "a fresh synthesized corpus must ship clean"
@@ -4496,8 +4524,16 @@ def pipeline_multimodal_dedup(spark, sf_dir):
     # 32 shards — per-file read parallelism for the decode+hash pass
     n = write_tar_shards(samples, path, n_shards=32)
     back = read_tar_shards(spark, path).localCheckpoint(eager=False)
-    bad = back.filter(F.col("error").isNotNull()).count()
-    if bad or n != 3 * docs.count():
+    # same overlapped quarantine/count gate as pipeline_image_dedup
+    _gate: dict = {}
+    _overlap(
+        lambda: _gate.__setitem__(
+            "bad", back.filter(F.col("error").isNotNull()).count()
+        ),
+        lambda: _gate.__setitem__("nd", docs.count()),
+    )
+    bad = _gate["bad"]
+    if bad or n != 3 * _gate["nd"]:
         raise RuntimeError(
             f"pipeline_multimodal_dedup: {bad} quarantined, {n} written"
         )
@@ -9519,8 +9555,15 @@ def pipeline_crawl_to_corpus(spark, sf_dir):
         F.encode(F.lit("software: poc\r\n"), "utf-8").alias("payload"),
     )
     path = _export_path("wetcorpus", sf_dir)
-    n_conv = crawl.count()
-    write_warc(recs.unionByName(info), path, n_files=8)
+    # the conversion-count gate reads only the immutable input — it
+    # overlaps the WARC export (guide §2.6, the _overlap discipline);
+    # the WET read-back below still runs strictly after the write
+    _gate: dict = {}
+    _overlap(
+        lambda: _gate.__setitem__("n_conv", crawl.count()),
+        lambda: write_warc(recs.unionByName(info), path, n_files=8),
+    )
+    n_conv = _gate["n_conv"]
     wet = read_wet_text(spark, path)
     parsed = wet.select(
         F.regexp_extract("url", r"crawl/(\d+)$", 1)
