@@ -11,10 +11,10 @@ BENCH_local_r{ROUND}.json in the repo root. ROUND is env
 SPARK_GRAFT_ROUND when set, else derived as (newest CORRECTNESS_r*.json
 round)+1 — the round currently being built. Per-round evidence files are
 append-only (VERDICT r7 #1: a stale hardcoded default made the r7 driver
-run clobber the committed r6 detail): if the target file exists,
-byte-matches its git-HEAD version (pristine committed evidence), and
-records a different n_queries than this run, the tag is bumped instead
-of overwriting. `value` is the full-registry total; `headline_total` is
+run clobber the committed r6 detail; VERDICT r14 #3: the same-n_queries
+exception let the r14 driver clobber the pre-opt baseline): if the
+target file exists and byte-matches its git-HEAD version (pristine
+committed evidence), the tag is bumped instead of overwriting. `value` is the full-registry total; `headline_total` is
 the same 23-query subtotal round 1 reported, for cross-round
 comparability.
 
@@ -63,12 +63,14 @@ HEADLINE = [
 ]
 
 
-def _round_tag(repo_dir: str, n_queries: int) -> str:
+def _round_tag(repo_dir: str) -> str:
     """Round tag for the detail file: env override, else (newest
     CORRECTNESS_r*.json round)+1 — the round being built. Append-only
-    guard (VERDICT r7 #1): never overwrite a detail file that is pristine
-    committed evidence (byte-equal to git HEAD) recording a different
-    n_queries — bump the tag past it instead. In-round refreshes of an
+    guard (VERDICT r7 #1, tightened per VERDICT r14 #3): never overwrite
+    a detail file that is pristine committed evidence (byte-equal to git
+    HEAD) — bump the tag past it instead, regardless of n_queries (the
+    old same-count exception let the r14 driver runs clobber the
+    committed pre-opt baseline detail). In-round refreshes of an
     uncommitted / already-dirty detail file still overwrite in place.
     """
     env = os.environ.get("SPARK_GRAFT_ROUND")
@@ -110,10 +112,9 @@ def _round_tag(repo_dir: str, n_queries: int) -> str:
             ).stdout
             with open(target, "rb") as f:
                 pristine = f.read() == head
-            prev_n = json.loads(head).get("n_queries")
         except Exception:
             return tag  # untracked or unreadable: ours to overwrite
-        if not pristine or prev_n == n_queries:
+        if not pristine:
             return tag
         n += 1
     return f"{n:02d}"
@@ -289,7 +290,7 @@ def main() -> None:
     # so the driver's limited capture window parses it (VERDICT r5 #2).
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     detail_file = os.path.join(
-        repo_dir, f"BENCH_local_r{_round_tag(repo_dir, len(timings))}.json"
+        repo_dir, f"BENCH_local_r{_round_tag(repo_dir)}.json"
     )
     with open(detail_file, "w") as f:
         json.dump(

@@ -4907,9 +4907,9 @@ def lake_bloom_skipping(spark, sf_dir):
 def stream_rollup_maintenance(spark, sf_dir):
     """Streaming × lake composition: CONTINUOUS rollup maintenance
     (streaming/ingest.py maintain_rollup_stream). The events table is
-    re-laid as a 4-file landing directory, drained by a REAL
+    re-laid as a 2-file landing directory, drained by a REAL
     FileStreamSource under availableNow with maxFilesPerTrigger=1 —
-    so the backlog commits as ~4 independent micro-batches — and each
+    so the backlog commits as ~2 independent micro-batches — and each
     batch merges into a per-(day, event_type) partitioned rollup via
     lake.rollup_incremental (partial-agg the batch, sum-merge only
     the affected day partitions, atomic version-pointer publish;
@@ -4927,8 +4927,12 @@ def stream_rollup_maintenance(spark, sf_dir):
     landing = _export_path("stream_rollup_src", sf_dir)
     agg_root = _export_path("stream_rollup_agg", sf_dir)
     # fresh source layout AND rollup tree each run (stale-artifact
-    # rule — replaying onto an existing rollup would double-count)
-    ev.repartition(4).write.mode("overwrite").parquet(landing)
+    # rule — replaying onto an existing rollup would double-count).
+    # r15 (VERDICT r14 #3b): 2 landing files, not 4 — the entry's
+    # declared semantics is a MULTI-batch drain (>= 2 asserted below;
+    # the merge algebra is split-arbitrary), and each extra micro-batch
+    # costs one engine-commit floor (~1 s locally) for no added claim
+    ev.repartition(2).write.mode("overwrite").parquet(landing)
     drop_tree(agg_root)
     with _stream_shuffle(spark):
         n_batches = maintain_rollup_stream(
@@ -5018,7 +5022,11 @@ def stream_restart_rollup(spark, sf_dir):
     drop_tree(agg_root)
     first = ev.filter(F.col("user_id") % 2 == 0)
     second = ev.filter(F.col("user_id") % 2 != 0)
-    first.repartition(3).write.mode("overwrite").parquet(landing)
+    # r15 (VERDICT r14 #3b): 2 files per delivery, not 3 — the restart
+    # scenario's declared semantics (multi-batch query 1, restart-only
+    # drain in query 2) is asserted as n1 >= 2 and 1 <= n2 below; the
+    # third file only added an engine-commit floor per query
+    first.repartition(2).write.mode("overwrite").parquet(landing)
     schema = spark.read.parquet(landing).schema
 
     def prepare(df):
@@ -5067,7 +5075,7 @@ def stream_restart_rollup(spark, sf_dir):
         )
     # second delivery lands as NEW files; a brand-new query resumes
     # from the same checkpoint
-    second.repartition(3).write.mode("append").parquet(landing)
+    second.repartition(2).write.mode("append").parquet(landing)
     with _stream_shuffle(spark):
         n2 = drain()  # query 2: must drain ONLY the new files
     if not (1 <= n2 <= 3):
@@ -5143,7 +5151,11 @@ def stream_append_table(spark, sf_dir):
     drop_tree(root)
     first = ev.filter(F.col("user_id") % 2 == 0)
     second = ev.filter(F.col("user_id") % 2 != 0)
-    first.repartition(3).write.mode("overwrite").parquet(landing)
+    # r15 (VERDICT r14 #3b): 2 files per delivery, not 3 — the restart
+    # scenario's declared semantics (multi-batch query 1, restart-only
+    # drain in query 2) is asserted as n1 >= 2 and 1 <= n2 below; the
+    # third file only added an engine-commit floor per query
+    first.repartition(2).write.mode("overwrite").parquet(landing)
     schema = spark.read.parquet(landing).schema
 
     def prepare(df):
@@ -5177,7 +5189,7 @@ def stream_append_table(spark, sf_dir):
             "stream_append_table: a replayed batch id was APPLIED — "
             "exactly-once dedup is broken"
         )
-    second.repartition(3).write.mode("append").parquet(landing)
+    second.repartition(2).write.mode("append").parquet(landing)
     with _stream_shuffle(spark):
         n2 = drain()  # new query, same checkpoint: only the new files
     if not (1 <= n2 <= 3):
@@ -8068,10 +8080,28 @@ def sim_ivfpq_residual(spark, sf_dir):
             lambda a, b: a - b,
         ).alias("res"),
     )
-    pq_train(
-        res_all, path, m_sub=4, k=16, vec_col="res",
-        sample_fraction=0.5, max_iter=6,
-    )
+    # RESIDUAL PQ train pinned to the DISTRIBUTED k-means|| fit
+    # (r15, VERDICT r14 what's-wrong #1 / next-round #5): residual
+    # vectors cluster tightly around zero and the local Lloyd kernel —
+    # strided OR kmeans++-seeded — measured recall@10 0.18–0.205 at
+    # the contract setting vs k-means||'s 0.225 (PQ_RECALL.json); the
+    # quality gap is specific to residual geometry (raw-vector cheap
+    # fits are within noise of k-means||), so this one train keeps the
+    # distributed path and pays its ~6 Lloyd job floors. The IVF build
+    # above stays on the cheap local dispatch (its recall receipt is
+    # fit-mode-insensitive).
+    _old_bound = spark.conf.get("spark.poc.sim.localFitMaxRows", None)
+    spark.conf.set("spark.poc.sim.localFitMaxRows", "0")
+    try:
+        pq_train(
+            res_all, path, m_sub=4, k=16, vec_col="res",
+            sample_fraction=0.5, max_iter=6,
+        )
+    finally:
+        if _old_bound is None:
+            spark.conf.unset("spark.poc.sim.localFitMaxRows")
+        else:
+            spark.conf.set("spark.poc.sim.localFitMaxRows", _old_bound)
     cb = load_pq_codebook(spark, path)
     codes = pq_encode(res_all, cb, "res", "vec_id", keep_cols=("centroid",))
     q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]

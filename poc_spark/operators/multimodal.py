@@ -31,6 +31,38 @@ DECODED_SCHEMA = (
 )
 
 
+def _fanout_tasks(df: DataFrame, n_tasks: int | None) -> int:
+    """Fan-out width for the codec synth lanes (r15, VERDICT r14 #7 /
+    ADVICE): the narrow id+text projection usually collapses to ONE
+    scan partition, so the mapInPandas codec work must be re-fanned
+    (the single-partition-upstream trap, r14). The r14 fix used a
+    constant 64; the width now derives from the environment and the
+    input's plan-stats size estimate (free — read off the optimized
+    plan, no job): one task per ~8 MB of source bytes, floored at the
+    session's core count so every slot has work, capped at 4096 so a
+    wild estimate cannot flood the scheduler. Tiny lanes (unit tests at
+    sf0.001, the 4-16 px PNG lane) stop paying a 64-way exchange;
+    a 100 TB corpus fans out with its bytes. Callers can still pass an
+    explicit n_tasks."""
+    if n_tasks is not None:
+        return n_tasks
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est = 0
+    return int(min(max(cores, est >> 23), 4096))
+
+
+def _repart_synth(narrow: DataFrame, n_tasks: int | None) -> DataFrame:
+    """Round-robin the narrow projection across the derived fan-out
+    width (see _fanout_tasks) ahead of a synth mapInPandas lane."""
+    return narrow.repartition(_fanout_tasks(narrow, n_tasks))
+
+
 def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Cheap metadata pass, no decode: byte length + sha256 checksum.
     Pure JVM expressions — runs at full scan speed."""
@@ -371,7 +403,7 @@ def synthesize_png_media(
     id_col: str = "doc_id",
     text_col: str = "text",
     corrupt_every: int | None = 17,
-    n_tasks: int = 64,
+    n_tasks: int | None = None,
 ) -> DataFrame:
     """(media_id, payload) — a REAL binary PNG table synthesized from
     documents: each payload is a spec-valid PNG (RGB8, IHDR/IDAT/IEND,
@@ -414,7 +446,7 @@ def synthesize_png_media(
     # Python worker (the single-partition-upstream trap the spectral
     # lane already fixes; n_tasks is task COUNT, not concurrency —
     # AQE/low-core runs schedule them over whatever cores exist)
-    return df.select(id_col, text_col).repartition(n_tasks).mapInPandas(
+    return _repart_synth(df.select(id_col, text_col), n_tasks).mapInPandas(
         batches, "media_id long, payload binary"
     )
 
@@ -475,7 +507,7 @@ def synthesize_spectral_png_media(
     df: DataFrame,
     id_col: str = "doc_id",
     variants: tuple[str, ...] = ("base", "reencode", "rescale"),
-    n_tasks: int = 64,
+    n_tasks: int | None = None,
 ) -> DataFrame:
     """(media_id, base_id, kind, payload) — a PLANTED image near-dup
     corpus of real PNGs: per source row, a `base` rendering of the
@@ -521,7 +553,7 @@ def synthesize_spectral_png_media(
     # partition — repartition so the render/encode fan-out uses the
     # cluster, not one Python worker (the single-partition-upstream
     # trap; measured 140 s → ~7 s for mm_phash at sf0.1, local[32])
-    return df.select(id_col).repartition(n_tasks).mapInPandas(
+    return _repart_synth(df.select(id_col), n_tasks).mapInPandas(
         batches,
         "media_id long, base_id long, kind string, payload binary",
     )
@@ -1021,6 +1053,13 @@ _JPEG_ZIGZAG = (
 _JPEG_IDCT_BASIS = None
 
 
+# coefficient budget per batched-IDCT flush (see _decode_jpeg): bounds
+# peak decode memory to ~chunk-size buffers instead of image-size ones
+# (ADVICE r14); module-level so the chunk-split differential test can
+# force multi-chunk flushing on small images
+_IDCT_CHUNK_COEFS = 1 << 20
+
+
 def _jpeg_idct_basis():
     """A[u, x] = c(u)/2 * cos((2x+1)uπ/16) — the 8-point DCT-III basis;
     spatial = Aᵀ·F·A (T.81 A.3.3). Cached module-level."""
@@ -1279,7 +1318,7 @@ def synthesize_jpeg_media(
     id_col: str = "doc_id",
     text_col: str = "text",
     corrupt_every: int | None = 17,
-    n_tasks: int = 64,
+    n_tasks: int | None = None,
 ) -> DataFrame:
     """(media_id, payload) — spec-valid baseline JPEGs synthesized from
     documents: 3-component YCbCr 4:4:4, DC-ONLY blocks with DC quantizer
@@ -1330,7 +1369,7 @@ def synthesize_jpeg_media(
     # Python worker (the single-partition-upstream trap the spectral
     # lane already fixes; n_tasks is task COUNT, not concurrency —
     # AQE/low-core runs schedule them over whatever cores exist)
-    return df.select(id_col, text_col).repartition(n_tasks).mapInPandas(
+    return _repart_synth(df.select(id_col, text_col), n_tasks).mapInPandas(
         batches, "media_id long, payload binary"
     )
 
@@ -1340,7 +1379,7 @@ def synthesize_jpeg420_media(
     id_col: str = "doc_id",
     text_col: str = "text",
     corrupt_every: int | None = 17,
-    n_tasks: int = 64,
+    n_tasks: int | None = None,
 ) -> DataFrame:
     """(media_id, payload) — spec-valid baseline 4:2:0 JPEGs (the
     sampling layout most real-world JPEGs use: Y 2x2, chroma 1x1,
@@ -1397,7 +1436,7 @@ def synthesize_jpeg420_media(
     # Python worker (the single-partition-upstream trap the spectral
     # lane already fixes; n_tasks is task COUNT, not concurrency —
     # AQE/low-core runs schedule them over whatever cores exist)
-    return df.select(id_col, text_col).repartition(n_tasks).mapInPandas(
+    return _repart_synth(df.select(id_col, text_col), n_tasks).mapInPandas(
         batches, "media_id long, payload binary"
     )
 
@@ -1425,7 +1464,7 @@ def _decode_jpeg(buf: bytes) -> tuple | None:
         if buf[:2] != b"\xff\xd8":
             raise ValueError("bad SOI")
         pos = 2
-        qt: dict[int, list[int]] = {}
+        qt: dict[int, "np.ndarray"] = {}  # natural-order float64 vectors
         # (class, id) -> canonical decode arrays (maxcode, mincode,
         # valptr, huffval) per T.81 F.16
         huff: dict[tuple[int, int], tuple] = {}
@@ -1605,11 +1644,61 @@ def _decode_jpeg(buf: bytes) -> tuple | None:
         rst = 0
         # raw (pre-dequant) coefficients per component, natural order,
         # FLAT (64 ints per block) — dequant + IDCT run BATCHED in
-        # numpy after the scan, and a flat int list converts faster
-        # than nested per-block lists
+        # numpy, and a flat int list converts faster than nested
+        # per-block lists. r15 (ADVICE r14): the batch FLUSHES every
+        # ~2^20 coefficients at MCU-row boundaries into preallocated
+        # uint8 planes, so peak memory is bounded by the chunk (plus
+        # the w*h output planes), not by the image — a crafted
+        # 2^26-pixel EOB-bomb payload decodes in bounded memory (or
+        # raises), never as a multi-GB Python-int buffer. Contract
+        # corpora fit one chunk, so the common path is one batched
+        # matmul exactly as before; chunking never changes bytes (the
+        # per-block dgemm is the same — pytest-pinned).
         comp_blocks: list[list[int]] = [[] for _ in comps]
+        a = _jpeg_idct_basis()
+        at = a.T
+        planes = [
+            np.empty((mh * c[3] * 8, mw * c[2] * 8), dtype=np.uint8)
+            for c in comps
+        ]
+        flushed_rows = 0  # MCU rows already scattered into the planes
+
+        def _flush_idct(up_to_row: int) -> None:
+            nonlocal flushed_rows
+            nrows = up_to_row - flushed_rows
+            if nrows <= 0:
+                return
+            for ci, (comp, blocks) in enumerate(zip(comps, comp_blocks)):
+                chs, cvs = comp[2], comp[3]
+                qv = qt[comp[1]]
+                coefs = (
+                    np.asarray(blocks, dtype=np.float64).reshape(-1, 64) * qv
+                ).reshape(-1, 8, 8)
+                spatial = np.matmul(np.matmul(at, coefs), a)
+                samples = np.clip(np.floor(spatial + 128.5), 0, 255).astype(
+                    np.uint8
+                )
+                # blocks arrive (mcu raster, bv, bh)-ordered: fold this
+                # chunk's rows back to the plane grid in one transpose
+                y0 = flushed_rows * cvs * 8
+                planes[ci][y0 : y0 + nrows * cvs * 8] = (
+                    samples.reshape(nrows, mw, cvs, chs, 8, 8)
+                    .transpose(0, 2, 4, 1, 3, 5)
+                    .reshape(nrows * cvs * 8, mw * chs * 8)
+                )
+                blocks.clear()
+            flushed_rows = up_to_row
+
+        coefs_per_mcurow = 64 * mw * sum(c[2] * c[3] for c in comps)
+        chunk_rows = max(1, _IDCT_CHUNK_COEFS // max(1, coefs_per_mcurow))
         nmcu = mh * mw
         for m in range(nmcu):
+            if (
+                m
+                and m % mw == 0
+                and (m // mw) - flushed_rows >= chunk_rows
+            ):
+                _flush_idct(m // mw)
             if ri and m and m % ri == 0:
                 # old restart(): reader must sit exactly at the marker
                 # (pad bits only — ptr drained, under a byte buffered)
@@ -1734,31 +1823,12 @@ def _decode_jpeg(buf: bytes) -> tuple | None:
         if segs[seg_idx][1] != 0xD9:
             raise ValueError("missing EOI")
 
-        # ---- dequant + IDCT + level shift, BATCHED per component
-        # (bit-identical to the per-block a.T @ coef @ a loop: numpy's
-        # stacked matmul runs the same dgemm per 8x8 slice — pinned by
-        # test_jpeg_batched_idct_matches_per_block)
-        a = _jpeg_idct_basis()
-        at = a.T
-        planes = []
-        for comp, blocks in zip(comps, comp_blocks):
-            chs, cvs = comp[2], comp[3]
-            qv = qt[comp[1]]
-            coefs = (
-                np.asarray(blocks, dtype=np.float64).reshape(-1, 64) * qv
-            ).reshape(-1, 8, 8)
-            spatial = np.matmul(np.matmul(at, coefs), a)
-            samples = np.clip(np.floor(spatial + 128.5), 0, 255).astype(
-                np.uint8
-            )
-            # blocks arrive (mcu raster, bv, bh)-ordered: fold back to
-            # the plane grid in one transpose
-            plane = (
-                samples.reshape(mh, mw, cvs, chs, 8, 8)
-                .transpose(0, 2, 4, 1, 3, 5)
-                .reshape(mh * cvs * 8, mw * chs * 8)
-            )
-            planes.append(plane)
+        # ---- final dequant + IDCT + level-shift flush (bit-identical
+        # to the one-shot batched a.T @ coef @ a pass: numpy's stacked
+        # matmul runs the same dgemm per 8x8 slice regardless of chunk
+        # split — pinned by test_jpeg_batched_idct_matches_per_block
+        # and the chunked-flush differential)
+        _flush_idct(mh)
         if nc == 1:
             return (w, h, 1, planes[0][:h, :w].tobytes())
         y = planes[0][:h, :w].astype(np.float64)

@@ -591,3 +591,43 @@ def test_jpeg_entropy_rewrite_ac_differential():
             np.floor(_idct_ref(deq) + 128.5), 0, 255
         )
     assert np.frombuffer(px, dtype=np.uint8).reshape(8, 16).tolist() == ref.tolist()
+
+
+def test_jpeg_chunked_idct_flush_matches_one_shot(monkeypatch):
+    """r15 (ADVICE r14): the batched IDCT flushes every
+    _IDCT_CHUNK_COEFS coefficients at MCU-row boundaries into
+    preallocated planes, bounding peak decode memory to the chunk
+    instead of the image. Forcing one-row chunks must decode every
+    payload byte-identically to the one-shot batch — the per-block
+    dgemm and the plane scatter are split-invariant. Covers 4:4:4
+    multi-block, 4:2:0 interleaved, grayscale, and restart-marker
+    streams."""
+    import hashlib
+
+    import poc_spark.operators.multimodal as mm
+
+    def synth444(did, text):
+        w, h = 8 + did % 23, 8 + did % 11
+        nb = ((w + 7) // 8) * ((h + 7) // 8)
+        hx = hashlib.md5(text.encode()).hexdigest() * 41
+        content = bytes.fromhex(hx[: 3 * nb * 2])
+        qblocks = [
+            [[content[3 * i + c] - 128] + [0] * 63 for i in range(nb)]
+            for c in range(3)
+        ]
+        return mm._jpeg_encode_blocks(qblocks, w, h, [8] + [16] * 63)
+
+    payloads = [synth444(d, f"doc {d}") for d in range(60)]
+    # grayscale with AC coefficients and a ZRL run
+    nat = [0] * 64
+    nat[0], nat[5], nat[63] = 5, -9, 7
+    zig = [nat[i] for i in mm._JPEG_ZIGZAG]
+    payloads.append(
+        mm._jpeg_encode_blocks([[zig, [3] + [0] * 63]], 16, 8, [8] + [16] * 63)
+    )
+
+    ref = [mm._decode_jpeg(p) for p in payloads]
+    assert all(r is not None for r in ref)
+    monkeypatch.setattr(mm, "_IDCT_CHUNK_COEFS", 1)
+    tiny = [mm._decode_jpeg(p) for p in payloads]
+    assert tiny == ref

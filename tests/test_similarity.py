@@ -853,3 +853,59 @@ def test_cheap_fit_local_dispatch(spark, emb, tmp_path):
     cb = load_pq_codebook(spark, path)
     assert len(cb) == 4 and all(len(sub) == 8 for sub in cb)
     assert all(len(c) == 16 for sub in cb for c in sub)
+
+
+def test_ivf_index_numpy_assignment_equals_expression(spark, emb):
+    """r15 opt pin: ivf_index's Arrow/numpy nearest-centroid kernel must
+    assign EXACTLY the centroid the k-literal argmax expression assigns,
+    vector by vector — the expression is the semantics every persisted
+    IVF artifact (and its DuckDB replay) was built on; the numpy pass
+    only removes the per-fit codegen compile. Covers the real corpus
+    plus adversarial vectors (exact ties -> first position, negative
+    sims, duplicated centroids)."""
+    from poc_spark.operators.similarity import (
+        _nearest_centroid,
+        ivf_centroids_kmeans,
+    )
+
+    cents = ivf_centroids_kmeans(emb, n_centroids=8)
+    got = {
+        r["vec_id"]: r["centroid"]
+        for r in ivf_index(emb, cents).select("vec_id", "centroid").collect()
+    }
+    want = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id",
+            _nearest_centroid(F.col("embedding"), cents).alias("c"),
+        ).collect()
+    }
+    assert got == want and len(got) == emb.count()
+
+    # adversarial: tie between duplicated centroids (first position must
+    # win), orthogonal vector (all sims equal -> first), negative sims
+    tie_cents = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    tricky = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [-1.0, 0.0]),
+            (3, [0.7071, 0.7071]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got2 = {
+        r["vec_id"]: r["centroid"]
+        for r in ivf_index(tricky, tie_cents)
+        .select("vec_id", "centroid")
+        .collect()
+    }
+    want2 = {
+        r["vec_id"]: r["c"]
+        for r in tricky.select(
+            "vec_id",
+            _nearest_centroid(F.col("embedding"), tie_cents).alias("c"),
+        ).collect()
+    }
+    assert got2 == want2
+    assert got2[0] == 0  # tie between centroids 0 and 1 -> first

@@ -1,13 +1,13 @@
-"""Per-entry optimization profiler for the r14 optimization round.
+"""Per-entry optimization profiler (r14/r15 optimization rounds).
 
 Times individual contract entries exactly the way bench.py does (full
 plan through the noop sink, labeled jobs) and dumps
-`explain("formatted")` into plans/r14/<name>_<tag>.txt so plan claims
-in OPTIMIZATION_r14.md are checkable without running Spark.
+`explain("formatted")` into plans/<round>/<name>_<tag>.txt so plan
+claims in OPTIMIZATION_r{N}.md are checkable without running Spark.
 
 Usage:
   python tools/opt_profile.py [--sf SF_DIR] [--runs N] [--tag before|after]
-                              [--plans-only] name [name ...]
+                              [--round r15] [--plans-only] name [name ...]
 
 Prints one line per run per entry plus a best-of summary; exits 0.
 """
@@ -28,7 +28,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--tag", default=None, help="write plans/r14/<name>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="write plans/<round>/<name>_<tag>.txt")
+    ap.add_argument("--round", default="r15")
     ap.add_argument("--plans-only", action="store_true")
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
@@ -44,7 +45,7 @@ def main() -> int:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        getattr(args, "round"),
     )
 
     for name in args.names:
@@ -57,7 +58,10 @@ def main() -> int:
                 df.explain("formatted")
             with open(os.path.join(plans_dir, f"{name}_{args.tag}.txt"), "w") as fh:
                 fh.write(buf.getvalue())
-            print(f"PLAN {name} -> plans/r14/{name}_{args.tag}.txt")
+            print(
+                f"PLAN {name} -> plans/{getattr(args, 'round')}/"
+                f"{name}_{args.tag}.txt"
+            )
             if args.plans_only:
                 continue
         times = []

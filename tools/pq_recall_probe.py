@@ -204,10 +204,17 @@ def main() -> int:
     ).persist()
     res_all.count()
     res_path = f"{scratch}/pq_res"
-    pq_train(
-        res_all, res_path, m_sub=4, k=16, vec_col="res",
-        sample_fraction=0.5, max_iter=6,
-    )
+    # r15: matches the entry's pin — the residual PQ train keeps the
+    # DISTRIBUTED k-means|| fit (local Lloyd measured 0.18-0.205 vs
+    # 0.225 at n_probe=4 on residual geometry; see sim_ivfpq_residual)
+    spark.conf.set("spark.poc.sim.localFitMaxRows", "0")
+    try:
+        pq_train(
+            res_all, res_path, m_sub=4, k=16, vec_col="res",
+            sample_fraction=0.5, max_iter=6,
+        )
+    finally:
+        spark.conf.unset("spark.poc.sim.localFitMaxRows")
     res_cb = load_pq_codebook(spark, res_path)
     res_codes = pq_encode(
         res_all, res_cb, "res", "vec_id", keep_cols=("centroid",)
